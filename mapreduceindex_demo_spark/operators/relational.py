@@ -1,0 +1,101 @@
+"""Reusable relational operator builders (SURVEY §2.4 A1–A10, M4).
+
+The reference declares scan-side statistics and leaves all relational
+processing to the upstream engine (``/root/reference/index.go:39-43`` —
+Count/MinKey/MaxKey/DistinctCount/Bins are declared, never implemented).
+Here the relational layer is first-class, expressed declaratively so
+Catalyst supplies pushdown/pruning/join-planning, and shaped so the same
+plan scales: broadcast for dims, hash-shuffle only on true big-big joins,
+window functions instead of self-joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: lossless decimal types for the 2-decimal testdata numerics; exact,
+#: order-independent SUM in both Spark and DuckDB (registry docstring).
+MONEY = "decimal(12,2)"
+RATE = "decimal(4,2)"
+
+
+def dec(col: str | Column, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dsum(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(dec(col, typ)).cast("double").alias(alias)
+
+
+def davg(col: str | Column, alias: str, typ: str = MONEY) -> Column:
+    """Deterministic average: exact decimal sum → double, one double divide."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c, typ)).cast("double") / F.count(c).cast("double")).alias(alias)
+
+
+def r6(c: Column) -> Column:
+    """Policy rounding for unavoidable double math (see registry docstring)."""
+    return F.round(c, 6)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number — single shuffle on the partition keys;
+    no self-join. ``order_by`` must be a total order for determinism."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` and equal ``on`` key.
+
+    Implemented as union + one window pass (single shuffle on the key),
+    not a range self-join — the union trick is O(n log n) per partition and
+    skew-safe, which is what survives 100 TB. Right payload columns are
+    carried via `last(..., ignorenulls=True)` over the merged ordering.
+    """
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    cols = set(lt.columns) | set(rt.columns)
+    lt = lt.select(
+        *[
+            F.col(c) if c in lt.columns else F.lit(None).alias(c)
+            for c in sorted(cols)
+        ]
+    )
+    rt = rt.select(
+        *[
+            F.col(c) if c in rt.columns else F.lit(None).alias(c)
+            for c in sorted(cols)
+        ]
+    )
+    merged = lt.unionByName(rt)
+    # right rows sort before left rows at equal timestamps (side 0 < 1)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in right_payload:
+        marked = F.when(F.col("__side") == 0, F.col(p))
+        merged = merged.withColumn(f"asof_{p}", F.last(marked, ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__side", "__ts")

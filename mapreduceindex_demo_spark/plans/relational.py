@@ -1,0 +1,759 @@
+"""Relational query suite (SURVEY §2.4 A1–A10 + M4 declarative expressions).
+
+Each query is built with the DataFrame API (Catalyst does pushdown/pruning/
+join planning; the reference has no optimizer, SURVEY §4.1) and registered
+with the DuckDB oracle SQL the driver checks it against.
+
+Scale notes are on each query: which joins broadcast, where the shuffles
+are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.operators.relational import (
+    MONEY,
+    RATE,
+    asof_join,
+    davg,
+    dec,
+    dsum,
+    r6,
+    topk_per_group,
+)
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# A1/A5: scan → filter → hash aggregate → sort (flagship; TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "filter"),
+    bench=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: filter → groupBy → 8 aggregates → sort over lineitem.
+
+    Scale: single shuffle on the (tiny-cardinality) group keys; partial
+    aggregation map-side; filter + 7-column projection pushed to the
+    parquet scan. Decimal sums keep the result order-independent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(RATE)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount", RATE))
+    charge = disc_price * (one + dec("l_tax", RATE))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", RATE),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A6/A8: 3-way join → agg → deterministic top-k (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem → revenue per order → top 10.
+
+    Scale: customer-filter side is small after the segment filter →
+    broadcast into orders; orders⋈lineitem is the only big-big shuffle
+    (both hashed on orderkey). Tiebreak on l_orderkey makes LIMIT stable.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    one = F.lit(1).cast(RATE)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: 6-way star join (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join with a local-supplier (c_nationkey=s_nationkey)
+    constraint.
+
+    Scale: region/nation/supplier/customer all broadcast (dims); the only
+    big-big shuffle is orders⋈lineitem on orderkey. AQE would re-plan if a
+    "dim" outgrew the broadcast threshold.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(RATE)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A6: outer / semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name,
+      COUNT(o_orderkey) AS order_cnt,
+      CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers.
+
+    Scale: at real scale this is a shuffled hash join on custkey with
+    map-side partial agg after; here customer broadcasts.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "big_spender_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    tags=("join", "semi"),
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS). Scale: semi-join shuffles only the key
+    column of the probe side; no row duplication."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "orderless_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# A3/A5: distinct aggregates, ROLLUP, CUBE
+# --------------------------------------------------------------------------
+
+
+@query(
+    "priority_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+      COUNT(*) AS order_cnt,
+      COUNT(DISTINCT o_custkey) AS distinct_customers,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "distinct"),
+)
+def q_priority_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (reference declares DistinctCount at
+    index.go:42 but never implements it). Scale: Spark expands distinct
+    aggs to a two-phase plan automatically; for 100 TB the approx variant
+    (approx_count_distinct) is the stated alternative."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice", "total_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7: window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — one shuffle on the partition key,
+    no self-join (the scalable formulation; SURVEY §2.4 A8)."""
+    orders = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+    )
+
+
+@query(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      LAG(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      RANK() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    """,
+    tags=("window", "analytic"),
+)
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + LAG + RANK in one window pass (explicit ROWS frame;
+    order made total by (o_orderdate, o_orderkey))."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(wrank).alias("price_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8: global sort + limit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top100_expensive_items",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort", "limit"),
+)
+def q_top100_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    + driver merge of k rows, no full sort at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# A9: set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_presence_setops",
+    oracle="""
+    SELECT 'both' AS tag, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'supplier_only' AS tag, nationkey FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      EXCEPT SELECT c_nationkey FROM customer)
+    """,
+    tags=("setop",),
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics) / UNION ALL."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+    c_only = c.distinct().exceptAll(s.distinct()).select(
+        F.lit("customer_only").alias("tag"), "nationkey"
+    )
+    s_only = s.distinct().exceptAll(c.distinct()).select(
+        F.lit("supplier_only").alias("tag"), "nationkey"
+    )
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+# --------------------------------------------------------------------------
+# A10: scalar function coverage (string / date / math / JSON)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+      upper(substr(p_name, 1, 10)) AS name_prefix,
+      CAST(length(p_name) AS INTEGER) AS name_len,
+      concat_ws('-', p_brand, replace(p_type, ' ', '_')) AS brand_type,
+      lpad(p_brand, 12, '*') AS brand_padded,
+      (p_name LIKE '%a%') AS has_a
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String builtins — all JVM-side, whole-stage-codegen friendly (the
+    reference pushes all of this into user JS, M1; SURVEY §2.4 A10)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws(
+            "-", F.col("p_brand"), F.regexp_replace("p_type", " ", "_")
+        ).alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.col("p_name").contains("a").alias("has_a"),
+    )
+
+
+@query(
+    "order_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      CAST(day(o_orderdate) AS INTEGER) AS order_day,
+      strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch,
+      strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time builtins; timestamps leave the query as formatted strings
+    (determinism convention)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("due_date"),
+    )
+
+
+@query(
+    "lineitem_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      round(l_extendedprice * l_discount, 6) AS disc_amount,
+      CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+      CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket_hi,
+      round(sqrt(l_extendedprice), 6) AS price_sqrt,
+      round(abs(l_discount - 0.05), 6) AS disc_dev,
+      l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math builtins; IEEE-deterministic ops only (no libm-divergent pow/log
+    in oracle-checked output), rounded per the 6-decimal policy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+        F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket_hi"),
+        r6(F.sqrt("l_extendedprice")).alias("price_sqrt"),
+        r6(F.abs(F.col("l_discount") - 0.05)).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path access on the document payload — the reference's N1QL
+    expression branch (M4, projector.go:796-803) expressed as
+    get_json_object, which Catalyst evaluates JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-bucketed aggregation over the event stream (batch view of T4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      COUNT(DISTINCT user_id) AS distinct_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "time", "events"),
+    bench=True,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily windows over the event stream, batch form — the same
+    grouping Structured Streaming maintains incrementally (SURVEY §2.5 T4)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value", "sum_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 non-equi: range join and as-of join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shipments_within_90_days",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    tags=("join", "range"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate join: the range condition rides on the
+    hash join (evaluated post-probe), so no nested-loop blowup at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias(
+                "ship_month"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "events_value_buckets",
+    oracle="""
+    SELECT b.bucket_id,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT i AS bucket_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+          FROM range(0, 10) t(i)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket_id
+    """,
+    tags=("join", "range", "histogram"),
+)
+def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (band) join against a generated bucket dim — Spark
+    plans BroadcastNestedLoopJoin; the dim is tiny so this is the right
+    physical choice at any scale. Doubles as the reference's declared
+    histogram-bins statistic (index.go:43)."""
+    e = _t(spark, sf_dir, "events")
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "purchase_last_click_asof",
+    oracle="""
+    WITH merged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), marked AS (
+      SELECT *, last_value(click_id IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+      FROM merged
+    )
+    SELECT event_id AS purchase_id, user_id, asof_click_id
+    FROM marked WHERE side = 1
+    """,
+    tags=("join", "asof"),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click — union + single window pass, one shuffle on
+    user_id (see operators.relational.asof_join for the scale argument)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("asof_click_id"),
+    )

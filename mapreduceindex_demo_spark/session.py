@@ -1,0 +1,105 @@
+"""SparkSession factory and testdata loading.
+
+Scale posture: configs below are chosen so the same code runs on a
+1000-executor cluster — AQE handles post-shuffle partition sizing and skew,
+broadcast threshold keeps star-schema dims (region/nation/customer at any
+realistic size) on the broadcast path, and the session timezone is pinned to
+UTC so timestamp semantics are deterministic across engines/JVMs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the ten driver-provided tables (TESTDATA.md)
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "mapreduceindex-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    local[N] for tests/bench; on a real cluster the master/resource flags
+    come from spark-submit and everything here still applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        # At 100 TB we'd raise shuffle.partitions into the thousands and let
+        # AQE coalesce; the skew-join config is what survives hot keys.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Star-schema dims stay broadcast even when generously sized.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamp semantics (match DuckDB's naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects; read
+        # as long and convert in load_table (µs truncation == what DuckDB's
+        # µs TIMESTAMP does on the same file, keeping oracle parity).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Plain parquet scan → Catalyst gets filter
+    pushdown + column pruning on it for free."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read: convert epoch-nanos → µs-precision timestamp
+        # with integer division (ns values exceed 2^53 — no float math).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load all testdata tables; optionally register them as temp views so
+    ``spark.sql`` works against the same names the DuckDB oracle uses."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
