@@ -1,0 +1,365 @@
+"""Map-index subsystem — the reference's core capability, Spark-first.
+
+The reference maintains secondary indexes over a CDC stream of JSON
+documents: a per-document map function (user JS ``OnMap(meta, doc)`` +
+``emit(...)``, or a declarative N1QL expression) produces zero-or-more
+composite keys per document, and the index is maintained incrementally
+(old-key retraction + new-key insert + delete broadcast;
+``/root/reference/Projector/indexjs.go:73-191``).
+
+Spark re-expression:
+
+- **Expression indexes** (reference ``ExprType_N1QL``, M4) evaluate key
+  parts as Spark SQL expressions — pure Catalyst, whole-stage codegen,
+  filter pushdown (the reference's WHERE FIXME at indexjs.go:125-127 is
+  simply Catalyst's default behavior here).
+- **Function indexes** (reference ``ExprType_JAVASCRIPT``, M1/M2) run a
+  registered Python ``on_map(meta, doc) -> list[tuple]`` as a UDF returning
+  ``array<struct>`` that is exploded — one emit ⇒ one index entry, zero
+  emits ⇒ WHERE-false (indexjs.go:109-111). Evaluation is panic-safe
+  (indexjs.go:77-81): an exception yields no entries.
+- **Incremental maintenance** (M6/M7) is a per-batch anti-join MERGE:
+  retract all entries of changed doc-ids, insert fresh entries for live
+  upserts. Retraction is by the ``doc_id`` column, which makes the
+  reference's old-key (``okey``) machinery unnecessary — the index itself
+  carries the join key, so no back-index lookup and no old-value plumbing.
+- **At scale**: entries are hash/range-partitioned by declared partition
+  keys (P1/P2); the MERGE is a shuffle on doc_id only; state between
+  batches would live in a real table (Delta/Iceberg MERGE INTO) — here it
+  is a DataFrame lineage with periodic local checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduceindex_demo_spark.catalog import Catalog, IndexDefn
+from mapreduceindex_demo_spark.collation import collate_key
+
+#: inclusion flags for range scans (reference Inclusion enum, index.go:31-37)
+INCL_NEITHER, INCL_LOW, INCL_HIGH, INCL_BOTH = 0, 1, 2, 3
+
+
+def _key_cols(n: int) -> list[str]:
+    return [f"key_{i}" for i in range(n)]
+
+
+class MapIndexEngine:
+    """Create/maintain/scan secondary indexes over DataFrames."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.catalog = Catalog()
+        self._state: dict[str, DataFrame] = {}
+
+    # -- function library --------------------------------------------------
+
+    def register_function(self, name, fn, description: str = ""):
+        return self.catalog.register_function(name, fn, description)
+
+    # -- DDL (D1) ----------------------------------------------------------
+
+    def create_index(
+        self,
+        defn: IndexDefn,
+        source: DataFrame,
+        doc_id_col: str,
+        seq_col: str | None = None,
+    ) -> DataFrame | None:
+        """CREATE INDEX: register the defn and backfill from a source
+        snapshot (reference lifecycle CREATED→INITIAL→ACTIVE, index.go:66-85;
+        deferred indexes stay CREATED until :meth:`build`)."""
+        self.catalog.add_index(defn)
+        if defn.deferred:
+            return None
+        return self.build(defn.name, source, doc_id_col, seq_col)
+
+    def build(
+        self,
+        name: str,
+        source: DataFrame,
+        doc_id_col: str,
+        seq_col: str | None = None,
+    ) -> DataFrame:
+        """(Re)build from a snapshot — the INIT_STREAM backfill (T2)."""
+        defn = self.catalog.get_index(name)
+        entries = self._entries(defn, source, doc_id_col, seq_col)
+        entries = self._partitioned(defn, entries)
+        self._state[name] = entries
+        return entries
+
+    def drop_index(self, name: str) -> None:
+        self.catalog.drop_index(name)
+        self._state.pop(name, None)
+
+    def index_table(self, name: str) -> DataFrame:
+        if name not in self._state:
+            raise KeyError(f"index {name!r} has no built state")
+        return self._state[name]
+
+    # -- the map pipeline (M1-M9) ------------------------------------------
+
+    def _entries(
+        self,
+        defn: IndexDefn,
+        df: DataFrame,
+        doc_id_col: str,
+        seq_col: str | None = None,
+    ) -> DataFrame:
+        """Evaluate the index's map over documents → entry rows
+        ``(key_0..key_{n-1}, doc_id)``."""
+        if defn.where_expr:
+            # WHERE suppression (M5) — pushed into the scan by Catalyst,
+            # fixing the reference's "not used to optimize out messages"
+            # FIXME (indexjs.go:125-127)
+            df = df.filter(F.expr(defn.where_expr))
+
+        if defn.is_primary:
+            out = df.select(F.col(doc_id_col).alias("doc_id"))
+            return out
+
+        if defn.sec_exprs is not None:
+            keys = [F.expr(e) for e in defn.sec_exprs]
+            if defn.key_types:
+                keys = [k.cast(t) for k, t in zip(keys, defn.key_types)]
+            if defn.is_array_index:
+                # array index: one entry per element of the first key
+                # expression (reference IsArrayIndex, index.go:187)
+                first = F.explode(keys[0]).alias("key_0")
+                rest = [k.alias(f"key_{i+1}") for i, k in enumerate(keys[1:])]
+                out = df.select(first, *rest, F.col(doc_id_col).alias("doc_id"))
+            else:
+                named = [k.alias(f"key_{i}") for i, k in enumerate(keys)]
+                out = df.select(*named, F.col(doc_id_col).alias("doc_id"))
+        else:
+            out = self._entries_from_function(defn, df, doc_id_col, seq_col)
+
+        if defn.use_collation:
+            out = out.withColumn(
+                "sort_key",
+                _collate_udf(F.array(*[F.to_json(F.col(c)) for c in
+                                       _key_cols(len(out.columns) - 1)])),
+            )
+        return out
+
+    def _entries_from_function(
+        self, defn: IndexDefn, df: DataFrame, doc_id_col: str, seq_col: str | None
+    ) -> DataFrame:
+        """Programmable branch: registered on_map over (meta, doc)."""
+        fn = self.catalog.get_function(defn.func_name).fn
+        n = len(defn.key_types)
+        schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField(f"key_{i}", _parse_type(t), True)
+                    for i, t in enumerate(defn.key_types)
+                ]
+            )
+        )
+
+        def run_map(meta_row, doc_row):
+            # panic-safe evaluation: any error ⇒ no entries
+            # (reference recover(), indexjs.go:77-81)
+            try:
+                emits = fn(meta_row.asDict(), doc_row.asDict())
+                out = []
+                for e in emits or []:
+                    t = list(e) if isinstance(e, (list, tuple)) else [e]
+                    out.append(tuple((t + [None] * n)[:n]))
+                return out
+            except Exception:
+                return []
+
+        udf = F.udf(run_map, schema)
+        # meta projection (M9): the reference's dcpEvent2Meta surface
+        seq = F.col(seq_col) if seq_col else F.col(doc_id_col)
+        meta = F.struct(
+            F.col(doc_id_col).cast("string").alias("id"),
+            seq.cast("long").alias("byseqno"),
+        )
+        doc = F.struct(*[F.col(c) for c in df.columns])
+        exploded = (
+            df.select(F.col(doc_id_col).alias("doc_id"), udf(meta, doc).alias("__emits"))
+            .select("doc_id", F.explode("__emits").alias("__e"))
+        )
+        return exploded.select(
+            *[F.col(f"__e.key_{i}").alias(f"key_{i}") for i in range(n)], "doc_id"
+        )
+
+    def _partitioned(self, defn: IndexDefn, entries: DataFrame) -> DataFrame:
+        """Partition placement (P1/P2). SINGLE stays as-is (a logical table;
+        physically coalescing to 1 would serialize the build)."""
+        pk = list(defn.partition_keys or [c for c in entries.columns if c.startswith("key_")])
+        if defn.partition_scheme in ("KEY", "HASH") and pk:
+            return entries.repartition(defn.num_partitions, *[F.col(c) for c in pk])
+        if defn.partition_scheme == "RANGE" and pk:
+            return entries.repartitionByRange(defn.num_partitions, *[F.col(c) for c in pk])
+        return entries
+
+    # -- incremental maintenance (M6/M7/M8, S7) ----------------------------
+
+    def apply_changes(
+        self,
+        name: str,
+        changes: DataFrame,
+        doc_id_col: str,
+        op_col: str,
+        seq_col: str | None = None,
+        xattr_col: str | None = None,
+        checkpoint: bool = True,
+    ) -> DataFrame:
+        """Apply one CDC micro-batch: ops are ``upsert`` / ``delete`` /
+        ``expiration`` per document (reference opcodes at indexjs.go:123-189).
+
+        MERGE semantics, one shuffle on doc_id:
+          1. last change per doc wins within the batch (seq order);
+          2. every changed doc's old entries are retracted (anti-join) —
+             unless the index is Immutable (indexjs.go:158-160);
+          3. live upserts re-emit entries (WHERE-false upserts emit nothing,
+             which *is* the retraction case AddUpsertDeletion,
+             indexjs.go:158-173; deletes emit nothing, AddDeletion,
+             indexjs.go:175-188).
+
+        ``retain_deleted_xattr`` (M8, indexjs.go:92-99): a delete carrying
+        xattrs is treated as a mutation when the index opts in.
+        """
+        defn = self.catalog.get_index(name)
+        cur = self.index_table(name)
+
+        if seq_col:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(doc_id_col).orderBy(F.desc(seq_col))
+            changes = (
+                changes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        op = F.lower(F.col(op_col))
+        is_delete = op.isin("delete", "expiration")
+        if defn.retain_deleted_xattr and xattr_col:
+            is_delete = is_delete & F.col(xattr_col).isNull()
+        live = changes.filter(~is_delete).drop(op_col)
+
+        new_entries = self._entries(defn, live, doc_id_col, seq_col)
+        new_entries = self._partitioned(defn, new_entries)
+
+        if defn.immutable:
+            merged = cur.unionByName(new_entries)
+        else:
+            changed_ids = changes.select(
+                F.col(doc_id_col).alias("doc_id")
+            ).distinct()
+            merged = (
+                cur.join(changed_ids, "doc_id", "left_anti")
+                .select(*cur.columns)  # keep canonical (key_*, doc_id) order
+                .unionByName(new_entries)
+            )
+        if checkpoint:
+            # keep the iterative lineage shallow; a cluster deployment
+            # writes to a real table (MERGE INTO) instead
+            merged = merged.localCheckpoint(eager=False)
+        self._state[name] = merged
+        return merged
+
+    # -- scan surface (declared contract: index.go:39-43, 137-156) ---------
+
+    def scan(
+        self,
+        name: str,
+        low=None,
+        high=None,
+        inclusion: int = INCL_BOTH,
+        descending: bool | None = None,
+    ) -> DataFrame:
+        """Range scan on the leading key part, ordered per the index's
+        declared Desc flags (index.go:285-296)."""
+        defn = self.catalog.get_index(name)
+        df = self.index_table(name)
+        key0 = F.col("doc_id") if defn.is_primary else F.col("key_0")
+        if low is not None:
+            df = df.filter(key0 >= low if inclusion & INCL_LOW else key0 > low)
+        if high is not None:
+            df = df.filter(key0 <= high if inclusion & INCL_HIGH else key0 < high)
+        if "sort_key" in df.columns:
+            keys = ["sort_key"]
+        else:
+            keys = [c for c in df.columns if c.startswith("key_")] or ["doc_id"]
+        desc_flags = list(defn.desc or (False,) * len(keys))
+        desc_flags += [False] * (len(keys) - len(desc_flags))
+        if descending is not None:
+            desc_flags[0] = descending
+        order = [
+            F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(keys, desc_flags)
+        ]
+        return df.orderBy(*order)
+
+    def stats(self, name: str) -> DataFrame:
+        """Declared scan-side statistics (IndexStatistics, index.go:39-43):
+        Count / MinKey / MaxKey / DistinctCount as one row."""
+        defn = self.catalog.get_index(name)
+        df = self.index_table(name)
+        key0 = "doc_id" if defn.is_primary else "key_0"
+        return df.agg(
+            F.count(F.lit(1)).alias("entry_count"),
+            F.min(key0).alias("min_key"),
+            F.max(key0).alias("max_key"),
+            F.countDistinct(key0).alias("distinct_keys"),
+        )
+
+    def bins(self, name: str, n: int, lo: float, hi: float) -> DataFrame:
+        """Histogram bins over a numeric leading key (Bins(), index.go:43):
+        width_bucket-style, single shuffle."""
+        df = self.index_table(name)
+        bucket = F.least(
+            F.lit(n - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("key_0") - lo) / ((hi - lo) / n)).cast("int"),
+            ),
+        ).alias("bin")
+        return (
+            df.select(bucket)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bin")
+        )
+
+
+def _parse_type(t: str) -> T.DataType:
+    mapping = {
+        "string": T.StringType(),
+        "bigint": T.LongType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+    }
+    if t in mapping:
+        return mapping[t]
+    return T._parse_datatype_string(t)  # full DDL strings
+
+
+def _collate_udf(col: Column) -> Column:
+    """Arrow-batched collation of JSON-encoded key parts → order-preserving
+    binary sort key (engaged only for mixed-type keys; see collation.py).
+    Built lazily: pandas_udf needs an active session."""
+
+    @F.pandas_udf("binary")
+    def _enc_series(parts):  # type: ignore[no-untyped-def]
+        def enc(arr):
+            if arr is None:
+                return collate_key([])
+            vals = [None if p is None else json.loads(p) for p in arr]
+            return collate_key(vals)
+
+        return parts.map(enc)
+
+    return _enc_series(col)

@@ -1,1 +1,265 @@
-"""Map-index query suite — populated in phase 2 (SURVEY §7)."""
+"""Map-index query suite (SURVEY §2.2/§2.3/§2.6 — the reference's core).
+
+Each query builds a real index through :class:`MapIndexEngine` and returns
+its entries/scan/stats as a DataFrame, oracle-checked against plain SQL on
+the same tables. The CDC interpretation of `events` follows FIXTURES.md:
+``user_id`` is the document id, each event is a new version of that
+document, ``event_type='error'`` plays the DCP_DELETION opcode, and
+``event_id`` is the sequence number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.mapindex import INCL_LOW, MapIndexEngine
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+#: expression index over the event "documents": key = (json k, event_type),
+#: WHERE value > 50 — the reference's N1QL-expression branch (M4/M5/D1)
+_EVENTS_KV_IDX = IndexDefn(
+    name="idx_events_kv",
+    bucket="events",
+    sec_exprs=(
+        "CAST(get_json_object(props, '$.k') AS BIGINT)",
+        "event_type",
+    ),
+    where_expr="value > 50",
+)
+
+
+def _engine_with_kv_index(spark: SparkSession, sf_dir: str) -> MapIndexEngine:
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events")
+    eng.create_index(_EVENTS_KV_IDX, events, doc_id_col="event_id", seq_col="event_id")
+    return eng
+
+
+_KV_ORACLE_BASE = """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS key_0,
+           event_type AS key_1,
+           event_id AS doc_id
+    FROM events WHERE value > 50
+"""
+
+
+@query(
+    "mapindex_expr_build",
+    oracle=_KV_ORACLE_BASE,
+    tags=("mapindex", "ddl", "expr"),
+    bench=True,
+)
+def q_mapindex_expr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE INDEX with declarative key expressions + WHERE, backfilled
+    from a snapshot (reference §3.1 lifecycle). The WHERE predicate and the
+    two-column projection reach the parquet scan via Catalyst — the
+    optimization the reference FIXMEs about (indexjs.go:125-127)."""
+    eng = _engine_with_kv_index(spark, sf_dir)
+    return eng.index_table("idx_events_kv")
+
+
+@query(
+    "mapindex_primary_build",
+    oracle="SELECT event_id AS doc_id FROM events",
+    tags=("mapindex", "primary"),
+)
+def q_mapindex_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary index: doc ids only (IsPrimary, index.go:186)."""
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events")
+    eng.create_index(
+        IndexDefn(name="idx_events_primary", bucket="events", is_primary=True),
+        events,
+        doc_id_col="event_id",
+    )
+    return eng.index_table("idx_events_primary")
+
+
+@query(
+    "mapindex_array_build",
+    oracle="""
+    SELECT unnest(string_split(text, ' ')) AS key_0, doc_id
+    FROM documents
+    """,
+    tags=("mapindex", "array"),
+)
+def q_mapindex_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array index: one entry per element of an array-valued key
+    (IsArrayIndex, index.go:187) — the inverted-index pattern; explode is
+    the Spark-native emit-per-element."""
+    eng = MapIndexEngine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    eng.create_index(
+        IndexDefn(
+            name="idx_doc_tokens",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    return eng.index_table("idx_doc_tokens")
+
+
+@query(
+    "mapindex_function_build",
+    oracle="""
+    SELECT k - (k % 10) AS key_0, upper(event_type) AS key_1, event_id AS doc_id
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 event_type, event_id, value
+          FROM events) t
+    WHERE value > 100
+    """,
+    tags=("mapindex", "udf"),
+)
+def q_mapindex_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Programmable index: registered Python on_map(meta, doc) with emit
+    semantics — the reference's JS/V8 branch (M1/M2) as a Python UDF.
+    The function parses the JSON payload itself, exactly like OnMap
+    JSON.parses the document (v8Instance.cpp:167)."""
+    eng = MapIndexEngine(spark)
+
+    def on_map(meta, doc):
+        import json as _json
+
+        if doc["value"] is None or doc["value"] <= 100:
+            return []  # WHERE-false ⇒ emit nothing (indexjs.go:109-111)
+        k = _json.loads(doc["props"])["k"]
+        return [(k - (k % 10), doc["event_type"].upper())]
+
+    eng.register_function("bucketed_kv", on_map, "decade-bucketed k + TYPE")
+    events = load_table(spark, sf_dir, "events")
+    eng.create_index(
+        IndexDefn(
+            name="idx_events_func",
+            bucket="events",
+            func_name="bucketed_kv",
+            key_types=("bigint", "string"),
+        ),
+        events,
+        doc_id_col="event_id",
+        seq_col="event_id",
+    )
+    return eng.index_table("idx_events_func")
+
+
+@query(
+    "mapindex_scan_range",
+    oracle=_KV_ORACLE_BASE + " AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 20"
+    " AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 60",
+    tags=("mapindex", "scan"),
+)
+def q_mapindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan on the leading key with inclusion flags (reference scan
+    contract, index.go:137-156): 20 ≤ key_0 < 60."""
+    eng = _engine_with_kv_index(spark, sf_dir)
+    return eng.scan("idx_events_kv", low=20, high=60, inclusion=INCL_LOW)
+
+
+@query(
+    "mapindex_stats",
+    oracle="""
+    SELECT COUNT(*) AS entry_count,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_key,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_key,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS distinct_keys
+    FROM events WHERE value > 50
+    """,
+    tags=("mapindex", "stats"),
+)
+def q_mapindex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared index statistics Count/MinKey/MaxKey/DistinctCount
+    (IndexStatistics, index.go:39-43)."""
+    eng = _engine_with_kv_index(spark, sf_dir)
+    return eng.stats("idx_events_kv")
+
+
+@query(
+    "mapindex_bins",
+    oracle="""
+    SELECT CAST(least(9, greatest(0, floor(
+             (CAST(json_extract_string(props, '$.k') AS BIGINT) - 0) / 10.0)))
+           AS INTEGER) AS bin,
+           COUNT(*) AS cnt
+    FROM events WHERE value > 50
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("mapindex", "stats", "histogram"),
+)
+def q_mapindex_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bins over the leading key (Bins(), index.go:43)."""
+    eng = _engine_with_kv_index(spark, sf_dir)
+    return eng.bins("idx_events_kv", n=10, lo=0.0, hi=100.0)
+
+
+@query(
+    "mapindex_incremental_cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS key_0,
+           event_type AS key_1,
+           user_id AS doc_id
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("mapindex", "cdc", "incremental"),
+    bench=True,
+)
+def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance over a replayed CDC stream (M6/M7, T1/T2).
+
+    The event log is split into 5 sequential micro-batches by event_id;
+    batch 0 is the INIT_STREAM backfill, batches 1-4 are MAINT_STREAM
+    applies (upsert per event; 'error' events are deletions). The final
+    index state must equal a from-scratch build over the latest live
+    versions — the invariant the reference's whole retraction machinery
+    exists to preserve, checked here against the windowed-SQL oracle.
+    """
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    defn = IndexDefn(
+        name="idx_users_kv",
+        bucket="events",
+        sec_exprs=(
+            "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            "event_type",
+        ),
+    )
+    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    step = (hi + 5) // 5 or 1
+
+    first = events.filter(F.col("event_id") < step)
+    eng.create_index(
+        defn, _latest_live(first, "user_id", "event_id", "op"), doc_id_col="user_id"
+    )
+    for b in range(1, 5):
+        batch = events.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        )
+        eng.apply_changes(
+            defn.name, batch, doc_id_col="user_id", op_col="op", seq_col="event_id"
+        )
+    return eng.index_table(defn.name)
+
+
+def _latest_live(batch: DataFrame, doc_id: str, seq: str, op: str) -> DataFrame:
+    """Last version per doc within a batch, dropping docs whose last op is a
+    delete (used to seed the initial state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_id).orderBy(F.desc(seq))
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.lower(F.col(op)) == "upsert"))
+        .drop("__rn", op)
+    )

@@ -1,0 +1,198 @@
+"""Golden semantics tests for the map-index core (SURVEY §5.2/§5.3):
+emit fan-out, WHERE retraction, delete handling, incremental == rebuild."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import Catalog, IndexDefn
+from mapreduceindex_demo_spark.mapindex import INCL_BOTH, INCL_LOW, MapIndexEngine
+from mapreduceindex_demo_spark.session import load_table
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, payload string, v bigint, op string")
+
+
+KV = IndexDefn(
+    name="kv", bucket="t", sec_exprs=("payload", "v"), where_expr="v > 0"
+)
+
+
+def test_emit_fanout_and_empty_emit(spark):
+    """One doc → N entries via a function index; [] ⇒ no entries; an
+    erroring function is panic-safe (no entries, no crash)."""
+    eng = MapIndexEngine(spark)
+
+    def fanout(meta, doc):
+        if doc["v"] == 13:
+            raise RuntimeError("boom")  # must be swallowed
+        return [(doc["payload"], i) for i in range(doc["v"])]
+
+    eng.register_function("fanout", fanout)
+    df = _docs(
+        spark,
+        [(1, "a", 2, "upsert"), (2, "b", 0, "upsert"), (3, "c", 13, "upsert")],
+    )
+    eng.create_index(
+        IndexDefn(name="f", bucket="t", func_name="fanout",
+                  key_types=("string", "bigint")),
+        df,
+        doc_id_col="doc_id",
+    )
+    rows = {tuple(r) for r in eng.index_table("f").collect()}
+    assert rows == {("a", 0, 1), ("a", 1, 1)}
+
+
+def test_where_filter_and_update_retraction(spark):
+    """A doc updated to a WHERE-false value loses its entries (the
+    reference's AddUpsertDeletion branch, indexjs.go:158-173)."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "upsert"), (2, "b", 7, "upsert")])
+    eng.create_index(KV, df, doc_id_col="doc_id")
+    assert eng.index_table("kv").count() == 2
+
+    changes = _docs(spark, [(1, "a2", -1, "upsert")])  # now fails WHERE
+    eng.apply_changes("kv", changes, doc_id_col="doc_id", op_col="op")
+    rows = {tuple(r) for r in eng.index_table("kv").collect()}
+    assert rows == {("b", 7, 2)}
+
+
+def test_delete_and_last_op_wins(spark):
+    """Deletes retract all entries; within a batch the highest-seq op per
+    doc wins (per-partition seqno ordering, SURVEY §1.1)."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u"), (2, "b", 7, "u")])
+    eng.create_index(
+        IndexDefn(name="kv2", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "x", 9, "upsert", 10),
+            (1, None, None, "delete", 11),  # later: delete wins
+            (2, "c", 8, "delete", 20),
+            (2, "c2", 9, "upsert", 21),  # later: upsert wins
+        ],
+        "doc_id bigint, payload string, v bigint, op string, seq bigint",
+    )
+    eng.apply_changes("kv2", changes, doc_id_col="doc_id", op_col="op", seq_col="seq")
+    rows = {tuple(r) for r in eng.index_table("kv2").collect()}
+    assert rows == {("c2", 9, 2)}
+
+
+def test_immutable_skips_retraction(spark):
+    """Immutable indexes append without the retraction anti-join
+    (indexjs.go:158-160)."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u")])
+    eng.create_index(
+        IndexDefn(name="imm", bucket="t", sec_exprs=("payload",), immutable=True),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.apply_changes(
+        "imm", _docs(spark, [(1, "a2", 6, "upsert")]), doc_id_col="doc_id", op_col="op"
+    )
+    assert eng.index_table("imm").count() == 2  # both versions retained
+
+
+def test_incremental_equals_rebuild_property(spark):
+    """THE invariant (SURVEY §5.3): replaying the events CDC in k batches
+    ends in exactly the state of a from-scratch build on the final live
+    versions — for several batch counts."""
+    events = load_table(spark, SMOKE_SF_DIR, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    hi = events.agg(F.max("event_id")).collect()[0][0]
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    final_live = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "upsert"))
+        .drop("rn")
+    )
+
+    def defn(name):
+        return IndexDefn(
+            name=name,
+            bucket="events",
+            sec_exprs=("CAST(get_json_object(props,'$.k') AS BIGINT)", "event_type"),
+            where_expr="value > 20",
+        )
+
+    eng = MapIndexEngine(spark)
+    eng.create_index(defn("golden"), final_live, doc_id_col="user_id")
+    golden = sorted(tuple(r) for r in eng.index_table("golden").collect())
+
+    for nbatches in (2, 5):
+        name = f"inc{nbatches}"
+        eng2 = MapIndexEngine(spark)
+        eng2.create_index(
+            defn(name), events.limit(0).drop("op"), doc_id_col="user_id"
+        )
+        step = (hi + nbatches) // nbatches
+        for b in range(nbatches):
+            batch = events.filter(
+                (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+            )
+            eng2.apply_changes(
+                name, batch, doc_id_col="user_id", op_col="op", seq_col="event_id"
+            )
+        got = sorted(tuple(r) for r in eng2.index_table(name).collect())
+        assert got == golden, f"incremental({nbatches}) != rebuild"
+
+
+def test_scan_inclusion_and_desc(spark):
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, chr(97 + i), i, "u") for i in range(1, 6)])
+    eng.create_index(
+        IndexDefn(name="s", bucket="t", sec_exprs=("v",), desc=(True,)),
+        df,
+        doc_id_col="doc_id",
+    )
+    got = [r.key_0 for r in eng.scan("s", low=2, high=4, inclusion=INCL_BOTH).collect()]
+    assert got == [4, 3, 2]  # declared DESC ordering
+    got = [r.key_0 for r in eng.scan("s", low=2, high=4, inclusion=INCL_LOW,
+                                     descending=False).collect()]
+    assert got == [2, 3]
+
+
+def test_stats_and_bins(spark):
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, "x", i % 10, "u") for i in range(100)])
+    eng.create_index(
+        IndexDefn(name="st", bucket="t", sec_exprs=("v",)), df, doc_id_col="doc_id"
+    )
+    stats = eng.stats("st").collect()[0]
+    assert stats.entry_count == 100
+    assert stats.min_key == 0 and stats.max_key == 9
+    assert stats.distinct_keys == 10
+    bins = {r.bin: r.cnt for r in eng.bins("st", n=5, lo=0, hi=10).collect()}
+    assert sum(bins.values()) == 100 and len(bins) == 5
+
+
+def test_catalog_guards(spark):
+    cat = Catalog()
+    cat.register_function("f", lambda m, d: [])
+    with pytest.raises(ValueError):
+        cat.register_function("bad", "def not_on_map(): pass")
+    cat.add_index(
+        IndexDefn(name="i1", bucket="b", func_name="f", key_types=("string",))
+    )
+    with pytest.raises(ValueError):  # delete guard: function in use
+        cat.delete_function("f")
+    with pytest.raises(ValueError):  # equivalent-index dedup
+        cat.add_index(
+            IndexDefn(name="i2", bucket="b", func_name="f", key_types=("string",))
+        )
+    cat.drop_index("i1")
+    cat.delete_function("f")  # now allowed
+    # source-text registration with compile check
+    cat.register_function("src", "def on_map(meta, doc):\n    return [(doc['x'],)]")
+    assert cat.get_function("src").fn({}, {"x": 1}) == [(1,)]
