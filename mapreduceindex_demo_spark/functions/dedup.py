@@ -1,0 +1,103 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is a groupBy/join on a *derived small key*
+(hash, band bucket, blocking key) — never an unblocked all-pairs compare.
+- exact: one shuffle on md5(text).
+- MinHash+LSH: shingles → fixed-width signature → band buckets →
+  candidate pairs only where a band collides (the classic
+  Broder/Leskovec-Rajaraman-Ullman construction). All hashing is md5-based
+  and string-ordered so the DuckDB oracle can reproduce it bit-for-bit.
+- SimHash: 16-bit majority signature over token hashes; one explode +
+  groupBy per doc (Charikar's scheme, integer-only arithmetic).
+- n-gram Jaccard: exact verification, blocked by a grouping key (lang
+  here); at 100 TB the block key is the LSH bucket, keeping pair counts
+  near-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash parameters: 8 hash functions, 4 bands × 2 rows
+MINHASH_FUNCS = 8
+MINHASH_BANDS = 4
+
+
+def _ngrams_expr(col: str, n: int) -> Column:
+    """Word n-gram shingles as array<string> (JVM-side; the size guard
+    matters — Spark's sequence(1, k) runs *backwards* when k < 1)."""
+    w = f"split({col}, ' ')"
+    parts = ", ".join(f"element_at({w}, i + {k})" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({w}) < {n} THEN array({col}) "
+        f"ELSE transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def shingles(col: str = "text", n: int = 3) -> Column:
+    return _ngrams_expr(col, n)
+
+
+def minhash_signature(col: str = "text", n: int = 3, funcs: int = MINHASH_FUNCS) -> list[Column]:
+    """MinHash: h_j = min over shingles of md5(j || '|' || shingle).
+
+    Hex md5 strings are fixed-width, so lexicographic MIN == numeric MIN of
+    the 128-bit hash — portable across Spark and DuckDB with zero numeric
+    conversion."""
+    g = shingles(col, n)
+
+    def hasher(j: int):
+        prefix = f"{j}|"
+        # single-arg lambda is required: F.transform passes (element, index)
+        # to two-arg lambdas, which would silently rebind j to the index
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(g, hasher(j))).alias(f"mh_{j}")
+        for j in range(funcs)
+    ]
+
+
+def minhash_bands(sig_cols: list[str], bands: int = MINHASH_BANDS) -> list[Column]:
+    """Band hashes: md5 of the concatenated rows of each band (b rows per
+    band). Equal band hash ⇒ LSH candidate pair."""
+    rows_per_band = len(sig_cols) // bands
+    out = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        out.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+    return out
+
+
+def simhash16(doc_id: str, text_col: str, df: DataFrame) -> DataFrame:
+    """16-bit SimHash per document: per-token value from the first 4 hex
+    nibbles of md5(token); each bit is the sign of the ±1 vote sum.
+    Integer-only arithmetic → bit-identical in any engine."""
+    hexpos = "instr('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1"
+    wv = " + ".join(
+        f"({hexpos.format(p=p + 1)}) * {16 ** (3 - p)}" for p in range(4)
+    )
+    toks = df.select(doc_id, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = toks.withColumn("wv", F.expr(wv).cast("bigint"))
+    votes = [
+        F.sum(
+            F.when((F.col("wv").bitwiseAND(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy(doc_id).agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select(doc_id, sim.cast("bigint").alias("simhash"))
+
+
+def jaccard(a_grams: Column, b_grams: Column) -> Column:
+    """Exact Jaccard over distinct shingle sets, one double divide."""
+    ga, gb = F.array_distinct(a_grams), F.array_distinct(b_grams)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(ga).cast("double") + F.size(gb).cast("double") - inter
+    return F.round(inter / union, 6)

@@ -1,0 +1,54 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- Brute-force cosine top-k: the exact baseline. The reduction is an
+  explicit *left fold in element order* (`F.aggregate` over `zip_with`)
+  so the floating-point sum is bit-identical to DuckDB's `list_reduce`
+  oracle — and deterministic across partitionings, because the fold is
+  per-row, not a distributed aggregation.
+- LSH (random-hyperplane/SimHash-for-vectors) bucketing: the scale path.
+  Plane weights are a fixed integer formula of (plane, component) so any
+  engine reproduces them; bucket = 8 sign bits. ANN = exact re-rank within
+  the query's bucket — at 100 TB the bucket join replaces the full scan,
+  turning top-k into a broadcast-join over ~1/256 of the data per probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: LSH hyperplane count (bucket space = 2^8)
+LSH_PLANES = 8
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] as an in-order left fold (IEEE-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """cos(a,b) rounded; `+ 0.0` normalizes any -0.0 for hashing parity."""
+    cos = dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
+    return F.round(cos, decimals) + F.lit(0.0)
+
+
+def plane_weight_expr(j: int, dim: int = 64) -> str:
+    """Deterministic pseudo-random hyperplane j as a Spark SQL array expr:
+    w[i] = (((i-1)*31 + j*17) % 7) - 3  (i 1-based)."""
+    return (
+        f"transform(sequence(1, {dim}), "
+        f"i -> CAST((((i - 1) * 31 + {j} * 17) % 7) - 3 AS DOUBLE))"
+    )
+
+
+def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:
+    """8-char '0'/'1' bucket signature from hyperplane sign bits."""
+    bits = []
+    for j in range(planes):
+        d = dot_fold(emb, F.expr(plane_weight_expr(j, dim)))
+        bits.append(F.when(d >= 0, "1").otherwise("0"))
+    return F.concat(*bits)

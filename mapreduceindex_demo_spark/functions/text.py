@@ -1,0 +1,67 @@
+"""Text analysis built-ins: tokenization, counting, quality scoring,
+language-ID heuristic, fingerprinting.
+
+All pure Column expressions over `documents.text` — no Python in the hot
+path, so these run at full scan speed on 100 TB of text. Semantics are
+deliberately simple/deterministic so the DuckDB oracles can mirror them
+exactly (see plans/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny English-marker stopword set for the n-gram/stopword language heuristic
+EN_MARKERS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single-space convention of the testdata)."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str = "text") -> Column:
+    return F.length(F.col(col)).cast("bigint")
+
+
+def avg_token_len(col: str = "text") -> Column:
+    """Mean token length = (chars - separators) / tokens, one double divide
+    (deterministic; avoids per-token float accumulation)."""
+    n = token_count(col).cast("double")
+    total = (char_count(col).cast("double") - (n - 1.0))
+    return F.round(total / n, 6)
+
+
+def english_marker_ratio(col: str = "text") -> Column:
+    """Fraction of tokens that are English marker words — the stopword-ratio
+    language-ID heuristic."""
+    marker_list = ", ".join(f"'{w}'" for w in EN_MARKERS)
+    hits = F.expr(
+        f"size(filter(split({col}, ' '), w -> w IN ({marker_list})))"
+    ).cast("double")
+    return F.round(hits / token_count(col).cast("double"), 6)
+
+
+def predicted_lang(col: str = "text", threshold: float = 0.05) -> Column:
+    """'en' when the marker ratio clears the threshold, else 'other'."""
+    return F.when(english_marker_ratio(col) >= threshold, "en").otherwise("other")
+
+
+def fingerprint(col: str = "text", prefix_chars: int = 100) -> Column:
+    """Document fingerprint: md5 over the normalized (lowercased, trimmed)
+    head of the document — the cheap first-pass dedup key."""
+    return F.md5(F.lower(F.trim(F.substring(F.col(col), 1, prefix_chars))))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    """Punctuation density: non-alphanumeric-non-space chars / chars."""
+    stripped = F.length(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", ""))
+    total = F.length(F.col(col))
+    return F.round(
+        (total - stripped).cast("double") / total.cast("double"), 6
+    )

@@ -1,0 +1,54 @@
+"""Unit tests for the LLM-pipeline function library (the non-oracle paths:
+multimodal decode plumbing; sanity of dedup/similarity helpers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.functions import multimodal as MM
+from mapreduceindex_demo_spark.functions import similarity as S
+from mapreduceindex_demo_spark.session import load_table
+from tests.conftest import SMOKE_SF_DIR
+
+
+def test_decode_features_mapinpandas(spark):
+    """Arrow-batched decode: schema, one row per doc, deterministic stub."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    feats = MM.decode_features(docs)
+    assert feats.columns == [
+        "doc_id", "n_bytes", "codec", "feature_0", "feature_1", "feature_2",
+        "feature_3",
+    ]
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = {row.doc_id: row for row in rows}
+    one = docs.select("doc_id", "text").first()
+    assert r[one.doc_id].n_bytes == len(one.text.encode())
+    assert r[one.doc_id].feature_0 == float(len(one.text.encode()))
+    # run twice → identical (determinism)
+    rows2 = MM.decode_features(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_decode_stub_rejects_real_codecs():
+    with pytest.raises(NotImplementedError, match="media libraries"):
+        MM._stub_feature_vec(b"bytes", "jpeg")
+
+
+def test_lsh_bucket_shape(spark):
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("ee")
+    )
+    buckets = emb.select(S.lsh_bucket(F.col("ee")).alias("b")).collect()
+    assert all(len(r.b) == 8 and set(r.b) <= {"0", "1"} for r in buckets)
+    # buckets actually spread the data (not all-identical signatures)
+    assert len({r.b for r in buckets}) > 1
+
+
+def test_cosine_self_is_one(spark):
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("ee")
+    )
+    vals = emb.select(S.cosine(F.col("ee"), F.col("ee")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in vals)
