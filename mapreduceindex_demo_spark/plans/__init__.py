@@ -11,3 +11,4 @@ from mapreduceindex_demo_spark.plans.registry import QUERIES, Query, query  # no
 from mapreduceindex_demo_spark.plans import relational  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import mapindex_queries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import llm  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import streaming_queries  # noqa: F401,E402

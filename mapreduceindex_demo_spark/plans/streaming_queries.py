@@ -1,0 +1,135 @@
+"""Streaming query suite (SURVEY §2.5): windowed aggregations (oracle-
+checked — batch/stream share the same plan) and end-to-end streaming index
+maintenance through a checkpointed file-source CDC replay (oracle-checked
+against the windowed-SQL final state)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.streaming import (
+    materialize_cdc_files,
+    run_streaming_index_maintenance,
+)
+from mapreduceindex_demo_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+#: op-augmented events schema used by the CDC file feed
+CDC_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string, op string"
+)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (F.window). The same plan runs
+    under readStream+watermark — see tests/test_streaming.py."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH k AS (SELECT 0 AS shift UNION ALL SELECT 1),
+    w AS (SELECT to_timestamp((CAST(floor(epoch(ts) / 43200) AS BIGINT)
+                               - shift) * 43200) AS wstart
+          FROM events, k)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM w GROUP BY 1
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day / 12 h): each event lands in 2 overlapping
+    windows; oracle reproduces Spark's epoch-aligned window starts."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  >= INTERVAL 30 MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, COUNT(*) AS cnt
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark session_window vs the
+    gaps-and-islands SQL formulation (an event merges iff ts < prev + gap)."""
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "streaming_index_maintenance",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS key_0,
+           event_type AS key_1,
+           user_id AS doc_id
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "mapindex", "cdc", "foreachBatch"),
+)
+def q_streaming_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming maintenance: events → 5-file CDC feed →
+    readStream(maxFilesPerTrigger=1) → checkpointed foreachBatch MERGE →
+    final index state equals the batch-SQL golden answer. This is the
+    reference's whole projector pipeline (S1→M1-M7→S7) as one streaming
+    query."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    work = tempfile.mkdtemp(prefix=f"mri_stream_{sf_tag}_")
+    cdc_dir = materialize_cdc_files(spark, sf_dir, os.path.join(work, "cdc"))
+    defn = IndexDefn(
+        name="idx_stream_users",
+        bucket="events",
+        sec_exprs=(
+            "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            "event_type",
+        ),
+    )
+    return run_streaming_index_maintenance(
+        spark,
+        cdc_dir,
+        os.path.join(work, "ckpt"),
+        defn,
+        CDC_SCHEMA,
+        doc_id_col="user_id",
+        seq_col="event_id",
+    )

@@ -1,0 +1,125 @@
+"""Streaming index maintenance: the reference's mutation-stream pipeline
+(S1/S3-S6, T1/T2) on Structured Streaming.
+
+Correspondence (SURVEY §2.1/§2.5):
+
+- per-vbucket DCP feed with restart timestamps → file-source micro-batches
+  with a checkpoint dir (offsets = the reference's TsVbuuid vectors);
+- snapshot markers / stream-begin / sync heartbeats → micro-batch
+  boundaries (not user-visible);
+- rollback negotiation (kv_sender.go:270-346) → checkpoint recovery: a
+  restarted query resumes from the last committed batch, and the MERGE in
+  apply_changes is idempotent per batch, so replays converge — this is the
+  exactly-once story (T1);
+- INIT_STREAM backfill → the index's batch build before the stream starts;
+  MAINT_STREAM → the running query.
+
+At 100 TB the file source becomes Kafka/cloud-log CDC and the in-memory
+state a real table (MERGE INTO); nothing else changes shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+from mapreduceindex_demo_spark.session import load_table
+
+
+def materialize_cdc_files(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 5,
+    upto_file: int | None = None,
+) -> str:
+    """Split the events table into ``n_files`` sequential parquet files by
+    event_id range — a deterministic replayable CDC feed for the file
+    source. ``upto_file`` materializes only a prefix (for restart tests).
+
+    Files get strictly increasing mtimes so the file source's
+    (modTime, path) ordering replays them in sequence order.
+    """
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    step = (hi + n_files) // n_files or 1
+    os.makedirs(out_dir, exist_ok=True)
+    limit = n_files if upto_file is None else upto_file
+    for b in range(limit):
+        part_dir = os.path.join(out_dir, f"batch_{b:03d}")
+        if os.path.exists(part_dir):
+            continue
+        batch = events.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(part_dir + ".tmp")
+        files = [
+            f
+            for f in os.listdir(part_dir + ".tmp")
+            if f.endswith(".parquet")
+        ]
+        os.makedirs(part_dir, exist_ok=True)
+        os.rename(
+            os.path.join(part_dir + ".tmp", files[0]),
+            os.path.join(part_dir, "data.parquet"),
+        )
+        shutil.rmtree(part_dir + ".tmp")
+        # deterministic replay order under (modTime, path) sorting
+        os.utime(os.path.join(part_dir, "data.parquet"), (1_700_000_000 + b, 1_700_000_000 + b))
+    return out_dir
+
+
+def run_streaming_index_maintenance(
+    spark: SparkSession,
+    cdc_dir: str,
+    checkpoint_dir: str,
+    defn: IndexDefn,
+    schema,
+    engine: MapIndexEngine | None = None,
+    doc_id_col: str = "user_id",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Run the maintenance stream to exhaustion (Trigger.AvailableNow) with
+    a checkpoint, applying each micro-batch through the engine's MERGE.
+    Returns the final index state. Restart-safe: rerunning with the same
+    checkpoint skips committed batches (rollback ≙ checkpoint recovery)."""
+    eng = engine or MapIndexEngine(spark)
+    if defn.name not in eng.catalog.list_indexes():
+        empty = spark.createDataFrame([], schema)
+        eng.create_index(defn, empty, doc_id_col=doc_id_col)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(cdc_dir, "batch_*"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch ≙ the dataport sink (S7); idempotent MERGE per batch
+        eng.apply_changes(
+            defn.name,
+            batch_df,
+            doc_id_col=doc_id_col,
+            op_col="op",
+            seq_col=seq_col,
+        )
+        # materialize now: exactly-once requires the batch's effect to be
+        # durable before the checkpoint commits the offset
+        eng._state[defn.name] = eng._state[defn.name].localCheckpoint(eager=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.index_table(defn.name)

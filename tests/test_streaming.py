@@ -1,0 +1,139 @@
+"""Streaming semantics tests (SURVEY §5.4): checkpointed exactly-once index
+maintenance incl. kill/restart, and watermark-driven late-data dropping."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.plans.streaming_queries import CDC_SCHEMA
+from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.streaming import (
+    materialize_cdc_files,
+    run_streaming_index_maintenance,
+)
+from mapreduceindex_demo_spark.streaming.windows import tumbling_counts, with_watermark
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _defn(name):
+    return IndexDefn(
+        name=name,
+        bucket="events",
+        sec_exprs=("CAST(get_json_object(props,'$.k') AS BIGINT)", "event_type"),
+    )
+
+
+def _golden(spark):
+    from pyspark.sql import Window
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return sorted(
+        tuple(r)
+        for r in (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select(
+                F.expr("CAST(get_json_object(props,'$.k') AS BIGINT)").alias("key_0"),
+                F.col("event_type").alias("key_1"),
+                F.col("user_id").alias("doc_id"),
+            )
+            .collect()
+        )
+    )
+
+
+def test_streaming_maintenance_kill_restart_exactly_once(spark, tmp_path):
+    """Run the stream over a 3-file prefix, stop, add the remaining 2 files,
+    restart with the SAME checkpoint and engine state: committed batches
+    must not re-apply, new ones must, and the final state equals the batch
+    golden answer (T1 exactly-once; rollback ≙ checkpoint recovery)."""
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5, upto_file=3)
+    eng = MapIndexEngine(spark)
+
+    state1 = run_streaming_index_maintenance(
+        spark, cdc, ckpt, _defn("idx_rs"), CDC_SCHEMA, engine=eng
+    )
+    n1 = state1.count()
+    assert n1 > 0
+
+    # "crash" happened; more CDC arrives; restart from the same checkpoint
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5)
+    assert len(os.listdir(cdc)) == 5
+    state2 = run_streaming_index_maintenance(
+        spark, cdc, ckpt, _defn("idx_rs"), CDC_SCHEMA, engine=eng
+    )
+    assert sorted(tuple(r) for r in state2.collect()) == _golden(spark)
+
+
+def test_streaming_tumbling_with_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark: a row arriving
+    after its window's watermark passes is dropped (T4 late data)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # NB: a late row merging into a window still held in state is accepted
+    # (eviction is end-of-batch); the drop is observable only after the
+    # window was finalized in an EARLIER batch — hence three files.
+    rows1 = [
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}", "upsert"),
+        (2, "2024-01-03 00:00:00", 1, "click", 1.0, "{}", "upsert"),  # advances watermark
+    ]
+    rows2 = [
+        (3, "2024-01-03 00:10:00", 1, "click", 1.0, "{}", "upsert"),  # finalizes 01-01
+    ]
+    rows3 = [
+        (4, "2024-01-01 00:20:00", 2, "click", 1.0, "{}", "upsert"),  # late: window closed
+        (5, "2024-01-03 00:30:00", 2, "click", 1.0, "{}", "upsert"),  # on time
+    ]
+
+    def write_batch(i, rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts string, user_id bigint, event_type string,"
+            " value double, props string, op string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        p = os.path.join(src, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        # the file source orders by FILE mtime — stamp the parquet files,
+        # not the directory, or batches replay out of order
+        for root, _, names in os.walk(p):
+            for nm in names:
+                os.utime(
+                    os.path.join(root, nm),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    write_batch(0, rows1)
+    write_batch(1, rows2)
+    write_batch(2, rows3)
+
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    agg = tumbling_counts(with_watermark(stream, "1 hour"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.cnt)
+        for r in spark.table("late_test").collect()
+    }
+    # the 2024-01-01 window finalized with ONLY the on-time row; the late
+    # row (event 3) was dropped, not added
+    assert ("2024-01-01 00:00:00", 1) in got
+    assert ("2024-01-01 00:00:00", 2) not in got
