@@ -51,10 +51,20 @@ def _key_cols(n: int) -> list[str]:
 class MapIndexEngine:
     """Create/maintain/scan secondary indexes over DataFrames."""
 
+    #: index lifecycle states (reference index.go:66-85, collapsed to the
+    #: states meaningful in-process: INITIAL/CATCHUP are transient inside
+    #: build/apply calls)
+    ST_CREATED, ST_ACTIVE = "CREATED", "ACTIVE"
+
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self.catalog = Catalog()
         self._state: dict[str, DataFrame] = {}
+        self._status: dict[str, str] = {}
+        #: queued CDC batches not yet merged — consumed by session/query
+        #: consistency scans (T3) or an explicit drain
+        self._pending: dict[str, list[tuple[DataFrame, dict]]] = {}
+        self._batches_applied: dict[str, int] = {}
 
     # -- function library --------------------------------------------------
 
@@ -75,6 +85,9 @@ class MapIndexEngine:
         deferred indexes stay CREATED until :meth:`build`)."""
         self.catalog.add_index(defn)
         if defn.deferred:
+            # deferred build (index.go:190): defn registered, state CREATED
+            # until an explicit build() (reference WITH {"defer_build":true})
+            self._status[defn.name] = self.ST_CREATED
             return None
         return self.build(defn.name, source, doc_id_col, seq_col)
 
@@ -90,11 +103,16 @@ class MapIndexEngine:
         entries = self._entries(defn, source, doc_id_col, seq_col)
         entries = self._partitioned(defn, entries)
         self._state[name] = entries
+        self._status[name] = self.ST_ACTIVE
+        self._batches_applied.setdefault(name, 0)
         return entries
 
     def drop_index(self, name: str) -> None:
         self.catalog.drop_index(name)
         self._state.pop(name, None)
+        self._status.pop(name, None)
+        self._pending.pop(name, None)
+        self._batches_applied.pop(name, None)
 
     def index_table(self, name: str) -> DataFrame:
         if name not in self._state:
@@ -265,7 +283,23 @@ class MapIndexEngine:
             # writes to a real table (MERGE INTO) instead
             merged = merged.localCheckpoint(eager=False)
         self._state[name] = merged
+        self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
         return merged
+
+    # -- consistency levels (T3: index.go:137-156) -------------------------
+
+    def enqueue_changes(self, name: str, changes: DataFrame, **apply_kwargs) -> None:
+        """Queue a CDC batch without merging it yet — models the maintenance
+        stream lagging behind the scan."""
+        self.catalog.get_index(name)
+        self._pending.setdefault(name, []).append((changes, apply_kwargs))
+
+    def drain_pending(self, name: str) -> None:
+        for changes, kwargs in self._pending.pop(name, []):
+            self.apply_changes(name, changes, **kwargs)
+
+    def pending_count(self, name: str) -> int:
+        return len(self._pending.get(name, []))
 
     # -- scan surface (declared contract: index.go:39-43, 137-156) ---------
 
@@ -276,9 +310,19 @@ class MapIndexEngine:
         high=None,
         inclusion: int = INCL_BOTH,
         descending: bool | None = None,
+        consistency: str = "any",
     ) -> DataFrame:
         """Range scan on the leading key part, ordered per the index's
-        declared Desc flags (index.go:285-296)."""
+        declared Desc flags (index.go:285-296).
+
+        Consistency (T3, index.go:137-156): ``any`` scans current state;
+        ``session``/``query`` first drain queued CDC batches so the scan
+        observes everything enqueued before it (the stability barrier the
+        reference implements with timestamp-vector waits)."""
+        if consistency not in ("any", "session", "query"):
+            raise ValueError(f"unknown consistency {consistency!r}")
+        if consistency in ("session", "query"):
+            self.drain_pending(name)
         defn = self.catalog.get_index(name)
         df = self.index_table(name)
         key0 = F.col("doc_id") if defn.is_primary else F.col("key_0")
@@ -312,6 +356,21 @@ class MapIndexEngine:
             F.max(key0).alias("max_key"),
             F.countDistinct(key0).alias("distinct_keys"),
         )
+
+    def engine_stats(self, name: str | None = None) -> dict:
+        """Observability (D9, reference statsHandler http_handlers.go:1748-
+        1809): per-index lifecycle status, applied-batch count, pending CDC
+        backlog. Cheap (no jobs); row counts come from :meth:`stats`."""
+        names = [name] if name else self.catalog.list_indexes()
+        return {
+            n: {
+                "status": self._status.get(n, self.ST_CREATED),
+                "batches_applied": self._batches_applied.get(n, 0),
+                "pending_batches": self.pending_count(n),
+                "defn": self.catalog.get_index(n).name,
+            }
+            for n in names
+        }
 
     def bins(self, name: str, n: int, lo: float, hi: float) -> DataFrame:
         """Histogram bins over a numeric leading key (Bins(), index.go:43):

@@ -581,6 +581,67 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "document_array_functions",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      list_contains(string_split(text, ' '), 'the') AS has_the,
+      CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT)
+        AS pos_the,
+      array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array builtins (A10): size / contains / position / sort / slice —
+    JVM-side, no UDFs (the reference forces all of this into user JS)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "the").alias("pos_the"),
+        F.concat_ws(",", F.slice(F.sort_array(toks), 1, 3)).alias("first3_sorted"),
+    )
+
+
+@query(
+    "order_conditional_functions",
+    oracle="""
+    SELECT o_orderkey,
+      CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+           ELSE 'other' END AS status_class,
+      NULLIF(o_orderstatus, 'P') AS status_or_null,
+      GREATEST(o_totalprice, 100000.0) AS floor_100k,
+      LEAST(o_totalprice, 100000.0) AS cap_100k,
+      COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_label
+    FROM orders
+    """,
+    tags=("scalar", "conditional"),
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional builtins (A10): CASE / NULLIF / GREATEST / LEAST /
+    COALESCE."""
+    o = _t(spark, sf_dir, "orders")
+    status = F.col("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        F.when(status == "F", "final")
+        .when(status == "O", "open")
+        .otherwise("other")
+        .alias("status_class"),
+        F.nullif(status, F.lit("P")).alias("status_or_null"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("cap_100k"),
+        F.coalesce(F.nullif(status, F.lit("P")), F.lit("pending")).alias(
+            "status_label"
+        ),
+    )
+
+
+@query(
     "events_json_extract",
     oracle="""
     SELECT event_type,

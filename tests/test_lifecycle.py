@@ -1,0 +1,84 @@
+"""Index lifecycle, consistency levels, xattr retention, observability
+(SURVEY §2.5 T2/T3, §2.2 M8, §2.6 D6/D9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, payload string, v bigint, op string"
+    )
+
+
+def test_deferred_build_lifecycle(spark):
+    """deferred=True → CREATED, unscannable; build() → ACTIVE (T2/D6)."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u")])
+    out = eng.create_index(
+        IndexDefn(name="d", bucket="t", sec_exprs=("payload",), deferred=True),
+        df,
+        doc_id_col="doc_id",
+    )
+    assert out is None
+    assert eng.engine_stats("d")["d"]["status"] == "CREATED"
+    with pytest.raises(KeyError):
+        eng.index_table("d")
+    eng.build("d", df, doc_id_col="doc_id")
+    assert eng.engine_stats("d")["d"]["status"] == "ACTIVE"
+    assert eng.index_table("d").count() == 1
+
+
+def test_consistency_levels(spark):
+    """'any' scans stale state; 'session'/'query' drain queued CDC first
+    (the reference's timestamp-vector stability barrier, T3)."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="c", bucket="t", sec_exprs=("v",)),
+        _docs(spark, [(1, "a", 5, "u")]),
+        doc_id_col="doc_id",
+    )
+    eng.enqueue_changes(
+        "c",
+        _docs(spark, [(2, "b", 9, "upsert")]),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    assert eng.pending_count("c") == 1
+    assert eng.scan("c", consistency="any").count() == 1  # stale ok
+    assert eng.scan("c", consistency="session").count() == 2  # barrier
+    assert eng.pending_count("c") == 0
+    assert eng.engine_stats("c")["c"]["batches_applied"] == 1
+    with pytest.raises(ValueError):
+        eng.scan("c", consistency="bogus")
+
+
+def test_retain_deleted_xattr(spark):
+    """M8 (indexjs.go:92-99): a delete carrying xattrs is treated as a
+    mutation when the index opts in; a bare delete still deletes."""
+    eng = MapIndexEngine(spark)
+    base = _docs(spark, [(1, "a", 5, "u"), (2, "b", 6, "u")])
+    eng.create_index(
+        IndexDefn(
+            name="x", bucket="t", sec_exprs=("payload",), retain_deleted_xattr=True
+        ),
+        base,
+        doc_id_col="doc_id",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a_tomb", 0, "delete", "sync-meta"),  # xattr'd delete → mutation
+            (2, "b_tomb", 0, "delete", None),  # bare delete → delete
+        ],
+        "doc_id bigint, payload string, v bigint, op string, xattrs string",
+    )
+    eng.apply_changes(
+        "x", changes, doc_id_col="doc_id", op_col="op", xattr_col="xattrs"
+    )
+    rows = {tuple(r) for r in eng.index_table("x").collect()}
+    assert rows == {("a_tomb", 1)}
