@@ -157,10 +157,13 @@ class MapIndexEngine:
             out = self._entries_from_function(defn, df, doc_id_col, seq_col)
 
         if defn.use_collation:
+            # mixed-type key contract: each key part is a STRING holding a
+            # JSON value ('1.5', '"abc"', '[1]', '{"a":1}', 'false'); parts
+            # that don't parse as JSON collate as plain strings
+            keycols = [c for c in out.columns if c.startswith("key_")]
             out = out.withColumn(
                 "sort_key",
-                _collate_udf(F.array(*[F.to_json(F.col(c)) for c in
-                                       _key_cols(len(out.columns) - 1)])),
+                _collate_udf(F.array(*[F.col(c).cast("string") for c in keycols])),
             )
         return out
 
@@ -413,11 +416,18 @@ def _collate_udf(col: Column) -> Column:
 
     @F.pandas_udf("binary")
     def _enc_series(parts):  # type: ignore[no-untyped-def]
+        def parse(p):
+            if p is None:
+                return None
+            try:
+                return json.loads(p)
+            except (ValueError, TypeError):
+                return p  # non-JSON text collates as a plain string
+
         def enc(arr):
             if arr is None:
                 return collate_key([])
-            vals = [None if p is None else json.loads(p) for p in arr]
-            return collate_key(vals)
+            return collate_key([parse(p) for p in arr])
 
         return parts.map(enc)
 

@@ -261,6 +261,50 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.index_table(defn.name)
 
 
+@query(
+    "mapindex_collated_scan",
+    oracle=None,  # binary collation keys are engine-internal → rows-only
+    tags=("mapindex", "collation"),
+)
+def q_mapindex_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-type key collation (§1.3, reference CollateIt JSEvaluate.go:
+    56-130): one index whose key takes null / boolean / number / string /
+    array / object JSON values depending on the document; scan order is the
+    cross-type order null < false < number < string < array < object via
+    the order-preserving binary sort key (property-tested in
+    tests/test_collation.py). Rows-only driver check; the rank column makes
+    the produced order part of the result."""
+    from pyspark.sql import Window
+
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events")
+    eng.create_index(
+        IndexDefn(
+            name="idx_mixed",
+            bucket="events",
+            sec_exprs=(
+                """CASE CAST(event_id % 6 AS INT)
+                     WHEN 0 THEN NULL
+                     WHEN 1 THEN 'false'
+                     WHEN 2 THEN CAST(value AS STRING)
+                     WHEN 3 THEN concat('"', event_type, '"')
+                     WHEN 4 THEN concat('[', CAST(user_id AS STRING), ']')
+                     ELSE props END""",
+            ),
+            use_collation=True,
+        ),
+        events,
+        doc_id_col="event_id",
+    )
+    scanned = eng.scan("idx_mixed")
+    w = Window.orderBy("sort_key", "doc_id")
+    return scanned.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("key_0").alias("key_json"),
+        "doc_id",
+    )
+
+
 def _latest_live(batch: DataFrame, doc_id: str, seq: str, op: str) -> DataFrame:
     """Last version per doc within a batch, dropping docs whose last op is a
     delete (used to seed the initial state)."""
