@@ -700,6 +700,88 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_pivot_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type (with an explicit value list, so no
+    extra distinct-discovery pass — the scale-correct form). Oracle uses the
+    equivalent FILTER aggregates."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+@query(
+    "order_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+      CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS price_cume
+    FROM orders
+    """,
+    tags=("window", "distribution"),
+)
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE + CUME_DIST over a total order
+    (cume_dist = rank/n — exact rational values, engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.cume_dist().over(w).alias("price_cume"),
+    )
+
+
+@query(
+    "orders_above_customer_average",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey) AS DOUBLE)
+          / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
+      FROM orders) t
+    WHERE o_totalprice > cust_avg
+    """,
+    tags=("window", "correlated"),
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery classic (orders above their customer's own
+    average) in its scale-correct window form: one shuffle on custkey, no
+    decorrelated re-join; the average uses the exact-decimal convention."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # --------------------------------------------------------------------------
 # A6 non-equi: range join and as-of join
 # --------------------------------------------------------------------------
