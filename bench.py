@@ -26,9 +26,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
-    # Warm the JVM + parquet footer caches once with the cheapest query so
-    # per-query numbers measure the plan, not JVM startup.
-    next(iter(bench_queries.values())).fn(spark, sf_dir).count()
+    # Warm-up: run every bench query once at the small SF so whole-stage
+    # codegen/JIT for each plan shape is compiled before timing. Timed runs
+    # then measure steady-state execution (what a long-running cluster
+    # sees), not one-time JVM compilation.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    for q in bench_queries.values():
+        q.fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

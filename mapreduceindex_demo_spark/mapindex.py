@@ -347,17 +347,25 @@ class MapIndexEngine:
         ]
         return df.orderBy(*order)
 
-    def stats(self, name: str) -> DataFrame:
+    def stats(self, name: str, approx: bool = False) -> DataFrame:
         """Declared scan-side statistics (IndexStatistics, index.go:39-43):
-        Count / MinKey / MaxKey / DistinctCount as one row."""
+        Count / MinKey / MaxKey / DistinctCount as one row.
+
+        ``approx=True`` swaps exact distinct for HyperLogLog
+        approx_count_distinct — the 100 TB default (exact distinct is a
+        full shuffle of the key column; HLL is a fixed-size sketch merged
+        map-side)."""
         defn = self.catalog.get_index(name)
         df = self.index_table(name)
         key0 = "doc_id" if defn.is_primary else "key_0"
+        distinct = (
+            F.approx_count_distinct(key0) if approx else F.countDistinct(key0)
+        )
         return df.agg(
             F.count(F.lit(1)).alias("entry_count"),
             F.min(key0).alias("min_key"),
             F.max(key0).alias("max_key"),
-            F.countDistinct(key0).alias("distinct_keys"),
+            distinct.alias("distinct_keys"),
         )
 
     def engine_stats(self, name: str | None = None) -> dict:

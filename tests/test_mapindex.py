@@ -177,6 +177,52 @@ def test_stats_and_bins(spark):
     assert sum(bins.values()) == 100 and len(bins) == 5
 
 
+def test_partition_schemes(spark):
+    """KEY/HASH/RANGE placement (P1/P2): declared partitioning reaches the
+    physical plan; RANGE co-locates ordered key ranges."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, chr(97 + i % 26), i % 7, "u") for i in range(200)])
+    for scheme in ("HASH", "RANGE"):
+        eng.create_index(
+            IndexDefn(
+                name=f"p_{scheme}",
+                bucket="t",
+                sec_exprs=("v",),
+                partition_scheme=scheme,
+                partition_keys=("key_0",),
+                num_partitions=4,
+            ),
+            df,
+            doc_id_col="doc_id",
+        )
+        idx = eng.index_table(f"p_{scheme}")
+        assert idx.rdd.getNumPartitions() == 4
+        assert idx.count() == 200
+    # RANGE: each key value lands in exactly one partition, and partitions
+    # hold contiguous key ranges
+    parts = (
+        eng.index_table("p_RANGE")
+        .rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, sorted({r["key_0"] for r in it}))]
+        )
+        .collect()
+    )
+    spans = [(p[1][0], p[1][-1]) for p in sorted(parts) if p[1]]
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_stats_approx_mode(spark):
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, "x", i % 10, "u") for i in range(1000)])
+    eng.create_index(
+        IndexDefn(name="ap", bucket="t", sec_exprs=("v",)), df, doc_id_col="doc_id"
+    )
+    row = eng.stats("ap", approx=True).collect()[0]
+    assert row.entry_count == 1000
+    # HLL estimate of 10 distinct values is exact at this cardinality
+    assert 9 <= row.distinct_keys <= 11
+
+
 def test_catalog_guards(spark):
     cat = Catalog()
     cat.register_function("f", lambda m, d: [])
