@@ -65,3 +65,37 @@ def punct_ratio(col: str = "text") -> Column:
     return F.round(
         (total - stripped).cast("double") / total.cast("double"), 6
     )
+
+
+def distinct_token_count(col: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def lexical_diversity(col: str = "text") -> Column:
+    """distinct tokens / tokens — the repetition-penalty quality signal
+    (boilerplate and template spam score low)."""
+    return distinct_token_count(col).cast("double") / token_count(col).cast(
+        "double"
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Document quality = length score × lexical diversity, rounded.
+
+    length score saturates at 100 tokens (LEAST(n/100, 1)); the product
+    form means a long-but-repetitive document still scores low. All double
+    ops are in a fixed order so the DuckDB oracle mirrors bit-exactly.
+    """
+    len_score = F.least(
+        token_count(col).cast("double") / F.lit(100).cast("double"),
+        F.lit(1).cast("double"),
+    )
+    return F.round(len_score * lexical_diversity(col), 6)
+
+
+def quality_bucket(col: str = "text") -> Column:
+    """Coarse keep/review/drop routing bucket over the quality score."""
+    q = quality_score(col)
+    return (
+        F.when(q >= 0.5, "high").when(q >= 0.25, "medium").otherwise("low")
+    )
