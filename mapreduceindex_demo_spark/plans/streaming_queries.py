@@ -93,6 +93,38 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+    SELECT purchase_id, click_id, user_id,
+      strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+      strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      purchase_value
+    FROM c JOIN p USING (user_id)
+    WHERE click_ts <= purchase_ts
+      AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "interval", "asof"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 1 h,
+    same user). Batch run here for the oracle; the identical builder runs
+    as a watermarked stream-stream join in tests/test_streaming.py —
+    watermark + time bound make the join state evictable (T4/T5)."""
+    from mapreduceindex_demo_spark.streaming.joins import (
+        click_attribution_join,
+        split_click_purchase,
+    )
+
+    clicks, purchases = split_click_purchase(load_table(spark, sf_dir, "events"))
+    return click_attribution_join(clicks, purchases)
+
+
+@query(
     "streaming_index_maintenance",
     oracle="""
     WITH latest AS (

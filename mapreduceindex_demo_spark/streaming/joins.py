@@ -1,0 +1,76 @@
+"""Stream-stream interval join (SURVEY §2.5 T4/T5 adjunct; A6's as-of /
+range join family in streaming form).
+
+The reference has no join surface at all (SURVEY §2.4 — its only
+doc↔index correlation is the implicit MERGE); in Structured Streaming a
+stream-stream inner join with an event-time bound is the canonical way to
+correlate two live feeds. The same builder runs in batch (for the DuckDB
+oracle gate) and in streaming (tests feed it through readStream with
+watermarks) — one declaration, both execution modes.
+
+Scale shape: the join keys on user_id (hash shuffle both sides); the
+event-time bound + watermarks let Spark expire buffered state, so steady-
+state memory is O(watermark horizon × arrival rate per key), independent
+of total stream length — the property that matters at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: attribution lookback: a click converts if a purchase follows within this
+ATTRIBUTION_HORIZON = "1 hour"
+#: late-data bound for both streams
+LATENESS = "2 hours"
+
+
+def split_click_purchase(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project the two logical streams out of the events feed."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
+
+
+def click_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Inner interval join: purchase ⋈ clicks by the same user in the
+    `horizon` before the purchase (click_ts ∈ [purchase_ts − horizon,
+    purchase_ts]).
+
+    With `watermark` set (streaming mode) both sides declare lateness
+    bounds, which — combined with the time-range predicate — lets the
+    state store evict expired rows (the unbounded-state fix).
+    """
+    if watermark is not None:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("purchase_id"),
+        F.col("click_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        F.col("purchase_value"),
+    )

@@ -137,3 +137,42 @@ def test_streaming_tumbling_with_watermark_drops_late_rows(spark, tmp_path):
     # row (event 3) was dropped, not added
     assert ("2024-01-01 00:00:00", 1) in got
     assert ("2024-01-01 00:00:00", 2) not in got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The click→purchase attribution join run as a TRUE stream-stream join
+    (two readStreams, watermarks on both sides) produces exactly the batch
+    result — one declaration, both execution modes."""
+    from mapreduceindex_demo_spark.streaming.joins import (
+        click_attribution_join,
+        split_click_purchase,
+    )
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    clicks_b, purchases_b = split_click_purchase(events)
+    expected = sorted(
+        tuple(r) for r in click_attribution_join(clicks_b, purchases_b).collect()
+    )
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.write.parquet(cdir)
+    purchases_b.write.parquet(pdir)
+    clicks_s = spark.readStream.schema(
+        "c_user_id bigint, click_id bigint, click_ts timestamp"
+    ).parquet(cdir)
+    purchases_s = spark.readStream.schema(
+        "p_user_id bigint, purchase_id bigint, purchase_ts timestamp, "
+        "purchase_value double"
+    ).parquet(pdir)
+    q = (
+        click_attribution_join(clicks_s, purchases_s, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.table("attrib").collect())
+    assert got == expected and len(got) > 0
