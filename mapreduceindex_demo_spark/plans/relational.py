@@ -1084,3 +1084,36 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_event_id").alias("asof_click_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# A4 adjunct: exact percentiles / median (ordered-set aggregates)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+      round(quantile_cont(l_discount, 0.25), 6) AS q1_disc,
+      round(quantile_cont(l_discount, 0.75), 6) AS q3_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per return flag (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, verified bit-exact on this
+    data). Exact percentile needs the group's values together — fine for
+    low-cardinality groups; at 100 TB switch to `approx_percentile`
+    (t-digest, mergeable partials, no per-group materialization), which
+    the engine's stats layer already exposes as its approximate mode."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("q1_disc"),
+        F.round(F.expr("percentile(l_discount, 0.75)"), 6).alias("q3_disc"),
+    )
