@@ -60,6 +60,45 @@ def _stub_feature_vec(payload: bytes, codec: str) -> list[float]:
     ]
 
 
+#: frame sampling parameters: k evenly spaced fixed-width byte windows
+FRAME_COUNT = 4
+FRAME_WIDTH = 32
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def frame_sample(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Frame sampling for video-shaped payloads: k=4 evenly spaced 32-byte
+    windows per payload, fingerprinted — the 1→N Arrow-batched fan-out a
+    real frame extractor would do (mapInPandas; bytes never leave the
+    partition, no shuffle, no driver).
+
+    The window arithmetic is pure integer math (stride =
+    max(1, (max(n,32)−32)//3)) so the DuckDB oracle reproduces it on the
+    payload text — this op's Python path is oracle-CHECKED, not rows-only.
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for did, payload in zip(pdf[doc_id], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, (max(n, FRAME_WIDTH) - FRAME_WIDTH) // (FRAME_COUNT - 1))
+                for i in range(FRAME_COUNT):
+                    frame = payload[i * stride : i * stride + FRAME_WIDTH]
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(len(frame))
+                    rows["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    prepared = df.select(F.col(doc_id), binary_payload().alias("payload"))
+    return prepared.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def decode_features(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     """Arrow-batched decode/feature-extract over (doc_id, payload, meta):
     the real 100 TB plumbing — mapInPandas keeps each partition's bytes in
