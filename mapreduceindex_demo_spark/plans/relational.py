@@ -1117,3 +1117,40 @@ def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_discount, 0.25)"), 6).alias("q1_disc"),
         F.round(F.expr("percentile(l_discount, 0.75)"), 6).alias("q3_disc"),
     )
+
+
+# --------------------------------------------------------------------------
+# A10: map-type functions (from_json map, map_concat/keys/element_at)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_map_functions",
+    oracle="""
+    SELECT event_id,
+      CAST(len(json_keys(props)) + 1 AS INTEGER) AS n_keys,
+      array_to_string(list_sort(list_append(json_keys(props), 'type')), ',')
+        AS keys_sorted,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      event_type AS type_val
+    FROM events
+    """,
+    tags=("scalar", "map", "json"),
+)
+def q_events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §1.2 MAPSTART/MAPEND emit tag → MapType):
+    parse props into map<string,string>, extend with map_concat, inspect
+    via map_keys / element_at. All JVM-side; the oracle mirrors the
+    observable behavior through DuckDB's JSON functions."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,string>"),
+        F.create_map(F.lit("type"), F.col("event_type")),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.element_at(m, "type").alias("type_val"),
+    )
