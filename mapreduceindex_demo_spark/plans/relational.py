@@ -1154,3 +1154,41 @@ def q_events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("bigint").alias("k_val"),
         F.element_at(m, "type").alias("type_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# A7: RANGE window frame (time-based sliding aggregate)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_rolling_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: each order's trailing-30-day spend
+    for its customer. rangeBetween over epoch seconds ≡ RANGE INTERVAL in
+    the oracle (UTC, no DST); a RANGE frame includes *peer* rows with the
+    same timestamp in both engines, so ties are not order-sensitive. One
+    shuffle on the partition key; decimal sums keep it exact."""
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
