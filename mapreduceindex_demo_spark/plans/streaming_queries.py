@@ -165,3 +165,70 @@ def q_streaming_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id_col="user_id",
         seq_col="event_id",
     )
+
+
+@query(
+    "stateful_running_counters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS events_seen,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        AS value_sum,
+      MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState (T5): per-user running counters maintained as
+    keyed state across a 3-file micro-batch replay; the final emission per
+    user must equal the batch aggregation (the state-fold ≡ fold-at-once
+    invariant). Integer-cents state arithmetic keeps the sum exact, which
+    is what makes this Python stateful operator oracle-CHECKABLE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.streaming.stateful import (
+        running_user_counters,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    work = tempfile.mkdtemp(prefix=f"mri_state_{sf_tag}_")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    step = (hi + 3) // 3 or 1
+    src = os.path.join(work, "src")
+    for b in range(3):
+        p = os.path.join(src, f"b{b}")
+        events.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _, names in os.walk(p):
+            for nm in names:
+                os.utime(os.path.join(root, nm), (1_700_000_000 + b,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, value double, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    qname = f"counters_{sf_tag.replace('.', '_')}"
+    (
+        running_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_event_id"))
+    return (
+        spark.table(qname)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )

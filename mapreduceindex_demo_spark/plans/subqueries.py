@@ -331,3 +331,48 @@ def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-aware join (operators/skew.py) — driver-checked equivalence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join_volume",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS k,
+             l_quantity
+      FROM lineitem)
+    SELECT s_name,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM skewed JOIN supplier ON s_suppkey = k
+    GROUP BY s_name
+    """,
+    tags=("join", "skew", "salted"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join under a pathological key distribution (half of all
+    lineitems hammer supplier 1 — the celebrity-key case). The salt splits
+    the hot key across 8 sub-tasks; the oracle is the PLAIN join, proving
+    the de-skewed plan is semantics-preserving. Salt values come from
+    rand() but never reach the result."""
+    from mapreduceindex_demo_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "k")
+    return (
+        salted_join(li, sup, on="k", salts=8)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
