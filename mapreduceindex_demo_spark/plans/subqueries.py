@@ -107,6 +107,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     tags=("join", "subquery", "in", "topk"),
+    bench=True,
 )
 def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: customers whose orders exceed 250 total quantity — an IN
