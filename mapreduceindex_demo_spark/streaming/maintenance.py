@@ -123,3 +123,64 @@ def run_streaming_index_maintenance(
     )
     q.awaitTermination()
     return eng.index_table(defn.name)
+
+
+def run_streaming_multi_index_maintenance(
+    spark: SparkSession,
+    cdc_dir: str,
+    checkpoint_dir: str,
+    defns: list[IndexDefn],
+    schema,
+    engine: MapIndexEngine | None = None,
+    doc_id_col: str = "user_id",
+    seq_col: str = "event_id",
+) -> dict[str, DataFrame]:
+    """Maintain MANY indexes from ONE mutation stream — the reference's
+    actual topic shape: ``NewMutationTopicRequest(topic, endpointType,
+    instances)`` carries a *list* of index instances and every DCP event
+    is evaluated against all of them (projector.go:237-247, evaluator map
+    keyed by instance uuid at projector.go:787-813).
+
+    One readStream + one checkpoint; each micro-batch is read once,
+    cached, and MERGEd into every index — the scan/feed cost is amortized
+    across indexes exactly as one DCP feed serves all indexes on a bucket.
+    At 100 TB this is the difference between N CDC consumers and one.
+    """
+    eng = engine or MapIndexEngine(spark)
+    empty = spark.createDataFrame([], schema)
+    for defn in defns:
+        if defn.name not in eng.catalog.list_indexes():
+            eng.create_index(defn, empty, doc_id_col=doc_id_col)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(cdc_dir, "batch_*"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()  # one materialization feeds all indexes
+        try:
+            for defn in defns:
+                eng.apply_changes(
+                    defn.name,
+                    batch_df,
+                    doc_id_col=doc_id_col,
+                    op_col="op",
+                    seq_col=seq_col,
+                )
+                eng._state[defn.name] = eng._state[defn.name].localCheckpoint(
+                    eager=True
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {defn.name: eng.index_table(defn.name) for defn in defns}

@@ -176,3 +176,91 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = sorted(tuple(r) for r in spark.table("attrib").collect())
     assert got == expected and len(got) > 0
+
+
+def test_multi_index_single_stream_maintenance(spark, tmp_path):
+    """One CDC stream maintains TWO differently-shaped indexes (the
+    reference's topic carries a LIST of instances — projector.go:237-247):
+    each micro-batch is read once and MERGEd into both; both final states
+    must equal their batch golden answers."""
+    from mapreduceindex_demo_spark.streaming import (
+        run_streaming_multi_index_maintenance,
+    )
+
+    cdc = str(tmp_path / "cdc")
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=4)
+    d1 = _defn("idx_multi_kv")
+    d2 = IndexDefn(
+        name="idx_multi_purchase_value",
+        bucket="events",
+        sec_exprs=("value",),
+        where_expr="event_type = 'purchase'",
+    )
+    out = run_streaming_multi_index_maintenance(
+        spark, cdc, str(tmp_path / "ckpt"), [d1, d2], CDC_SCHEMA
+    )
+
+    assert sorted(tuple(r) for r in out["idx_multi_kv"].collect()) == _golden(spark)
+
+    from pyspark.sql import Window
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    golden2 = sorted(
+        tuple(r)
+        for r in (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter(
+                (F.col("rn") == 1)
+                & (F.col("event_type") != "error")     # live docs only
+                & (F.col("event_type") == "purchase")  # index WHERE
+            )
+            .select(
+                F.col("value").alias("key_0"),
+                F.col("user_id").alias("doc_id"),
+            )
+            .collect()
+        )
+    )
+    assert sorted(tuple(r) for r in out["idx_multi_purchase_value"].collect()) == golden2
+    assert len(golden2) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-deliveries of the same event_id in
+    later micro-batches (within the watermark horizon) are suppressed —
+    the streaming half of the dedup story."""
+    import os as _os
+
+    events = load_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = str(tmp_path / "src")
+    # batch 0: all events; batch 1: a re-delivered duplicate slice
+    events.coalesce(1).write.parquet(_os.path.join(src, "b0"))
+    events.limit(200).coalesce(1).write.parquet(_os.path.join(src, "b1"))
+    for b in range(2):
+        p = _os.path.join(src, f"b{b}")
+        for root, _, names in _os.walk(p):
+            for nm in names:
+                _os.utime(_os.path.join(root, nm), (1_700_000_000 + b,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(src, "b*"))
+    )
+    q = (
+        stream.withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    assert got.count() == events.count()                  # no duplicates emitted
+    assert got.select("event_id").distinct().count() == events.count()
