@@ -14,3 +14,4 @@ from mapreduceindex_demo_spark.plans import llm  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import streaming_queries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import sql_surface  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402

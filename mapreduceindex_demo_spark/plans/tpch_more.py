@@ -1,0 +1,602 @@
+"""Remaining TPC-H query shapes (Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q19/Q21/Q22),
+adapted to the testdata schema (no partsupp, no commit/receipt dates, no
+phone column — stand-ins documented per query).
+
+The reference has no relational query surface at all (SURVEY §2.4 — its
+scan contract is declared at /root/reference/index.go:39-43 and executed
+in the unmodified upstream indexer), so these exist to complete the
+engine's A5–A10 coverage with the canonical hard shapes: global-scalar
+HAVING (Q11), ratio-of-conditional-aggregates across dimensions (Q8),
+outer-join histogram (Q13), argmax-by-scalar-subquery (Q15), double
+correlated EXISTS/NOT EXISTS on the fact table (Q21), and anti-join over
+a global average (Q22).
+
+Every build is the decorrelated plan Catalyst should reach — aggregate
+once, join back, broadcast the small side — and each carries a note on
+why that plan survives 100 TB. Determinism per registry conventions:
+exact decimal sums surfaced as double, one rounded double division for
+ratios, formatted-string dates, total tiebreak under LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.operators.relational import MONEY, RATE, dec, dsum, r6
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _disc_price():
+    """Exact decimal l_extendedprice * (1 - l_discount)."""
+    one = F.lit(1).cast(RATE)
+    return dec("l_extendedprice") * (one - dec("l_discount", RATE))
+
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region, by order year
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_market_share_yearly",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y') AS order_year,
+      round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                     THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "conditional", "ratio"),
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: NATION_3's share of ECONOMY-part revenue delivered into
+    ASIA-region customers, per order year. Ratio of a conditional decimal
+    sum over the total, folded into ONE aggregation pass.
+
+    Plan: the only big-big edge is lineitem ⋈ orders (hash shuffle on
+    orderkey). part / customer→nation→region / supplier→nation are all
+    dimension chains — pre-joined driver-side into two broadcast maps
+    (partkey-filter, suppkey→nation) plus a customer broadcast pruned by
+    region. The conditional numerator means NO second scan for the share.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    dp = _disc_price()
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", dp).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+        .agg(
+            r6(num.cast("double") / F.sum(dp).cast("double")).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS order_year,
+      CAST(SUM({_DISC_PRICE_SQL}
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%ge%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg", "like"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (discounted revenue minus retail-cost×quantity;
+    p_retailprice stands in for the missing ps_supplycost) per supplier
+    nation per order year, over parts whose name matches a LIKE pattern.
+
+    Plan: lineitem ⋈ orders is the one shuffle; the LIKE-filtered part
+    projection and the supplier→nation chain broadcast. The profit
+    expression is exact decimal arithmetic inside the partial aggregate,
+    so map-side combine ships one decimal per (nation, year) per task.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%ge%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    na = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = _disc_price() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            "nation", F.date_format("o_orderdate", "yyyy").alias("order_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important parts: value share above a global threshold
+# --------------------------------------------------------------------------
+
+
+@query(
+    "important_parts_by_value",
+    oracle="""
+    SELECT l_partkey AS partkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             * CAST(0.0005 AS DOUBLE)
+      FROM lineitem)
+    """,
+    tags=("agg", "subquery", "scalar", "having"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose traded value exceeds 0.05% of the global
+    total — a grouped HAVING against an uncorrelated scalar subquery.
+
+    Plan: ONE shuffle on l_partkey produces the per-part values; the
+    global total is then a second aggregation over that already-small
+    result (|parts| rows, not |lineitem|), broadcast back as a 1-row
+    cross join. The fact table is scanned once. Exact decimal sums on
+    both sides make the threshold comparison engine-stable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(dec("l_extendedprice")).alias("vdec")
+    )
+    total = per_part.agg(
+        (F.sum("vdec").cast("double") * F.lit(0.0005)).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("vdec").cast("double") > F.col("thr"))
+        .select("partkey", F.col("vdec").cast("double").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — late shipments by line status × priority class
+# --------------------------------------------------------------------------
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT l_linestatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: count 1997 lineitems shipped >90 days after their order
+    date (the schema's stand-in for receipt>commit lateness), split into
+    high/low-priority CASE counts per line status.
+
+    Plan: one hash join lineitem ⋈ orders on orderkey (the non-equi
+    lateness predicate rides ON the join as a post-join filter), then a
+    two-counter conditional aggregate — both counts in one pass. The
+    shipdate range prunes the fact scan before the shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — distribution of customers by order count
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg", "histogram"),
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: histogram of customers by number of qualifying orders —
+    LEFT OUTER join so zero-order customers land in the c_count=0 bucket,
+    with the priority filter INSIDE the join condition (filtering after
+    the outer join would wrongly drop those customers).
+
+    Plan: shuffle on custkey for join+count (COUNT(col) skips the outer
+    join's nulls), then a second tiny shuffle on the count value whose
+    input is |customers| rows. Both aggregations partial map-side.
+    """
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue (argmax via scalar subquery)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM({_DISC_PRICE_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+      CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    tags=("join", "subquery", "scalar", "argmax"),
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) achieving maximum Q1-1997 revenue — the
+    classic argmax-by-scalar-subquery over a derived view. Ties keep all
+    suppliers (deterministic without an arbitrary pick); the equality
+    filter is safe because per-supplier revenue is an EXACT decimal sum.
+
+    Plan: one shuffle on l_suppkey over the date-pruned scan builds the
+    revenue view (|suppliers| rows); MAX over it is a 1-row aggregate
+    broadcast back. The view is computed once and reused for both the
+    max and the final filter — the SQL's two references collapse.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("rdec")
+    )
+    mx = rev.agg(F.max("rdec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("rdec") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("rdec").cast("double").alias("total_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier-relationship counts excluding flagged suppliers
+# --------------------------------------------------------------------------
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+      COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 19, 29, 39, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "distinct", "not-in", "anti"),
+)
+def q_supplier_count_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: how many distinct suppliers serve each (brand, type,
+    size) bucket, excluding suppliers in bad standing (negative balance —
+    the schema's stand-in for the complaints LIKE filter). NOT IN over a
+    non-nullable key becomes a LEFT ANTI broadcast join.
+
+    Plan: part filter broadcasts onto the fact scan; the excluded-supplier
+    list (tiny) broadcasts as anti-join; COUNT(DISTINCT) expands to the
+    two-phase distinct aggregate — both shuffles move (group-key, suppkey)
+    pairs already deduplicated map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — bracketed discounted revenue (OR of ANDed predicate brackets)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bracketed_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        AND l_quantity >= 1 AND l_quantity <= 11)
+      OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        AND l_quantity >= 10 AND l_quantity <= 20)
+      OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("join", "agg", "or-predicate"),
+)
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) brackets — the canonical test that a disjunctive
+    join-dependent predicate still evaluates post-join without exploding
+    into a union of three scans.
+
+    Plan: ONE broadcast hash join (part side pre-filtered to the union of
+    bracket-eligible parts, so the broadcast stays small), with the full
+    disjunction as the post-join filter; the fact table is scanned once.
+    Catalyst additionally pushes the derivable quantity envelope
+    (1 <= q <= 30) down to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+            | (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+            | (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+        )
+    ).select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .where(bracket)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers whose line was the last to ship in a shared, late order
+# --------------------------------------------------------------------------
+
+
+@query(
+    "blocking_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "subquery", "exists", "not-exists", "topk"),
+)
+def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who "blocked" finished multi-supplier orders —
+    their late line (shipped >60 days after the order date, the schema's
+    stand-in for receipt>commit) was the LAST to ship (NOT EXISTS a later
+    line) in an order that involved another supplier (EXISTS).
+
+    Decorrelated build: both correlated subqueries collapse into ONE
+    window pass over lineitem keyed by l_orderkey — max(l_shipdate) kills
+    the NOT EXISTS (a line is last iff its shipdate equals the order max)
+    and a distinct-supplier count kills the EXISTS. The fact table is
+    shuffled once on orderkey; the F-status orders prune before their
+    join; supplier names broadcast at the end.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_orderkey")
+    marked = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+    )
+    return (
+        marked.where(
+            (F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1)
+        )
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — idle-customer balance by name-prefix bucket
+# --------------------------------------------------------------------------
+
+
+@query(
+    "idle_customer_balance_by_prefix",
+    oracle="""
+    SELECT substring(c_name, 10, 2) AS cntrycode,
+      COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+        FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+    tags=("subquery", "scalar", "anti", "agg"),
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: wealthy-but-orderless customers bucketed by a name
+    substring (the digits standing in for the missing phone country
+    code): above-global-positive-average balance (uncorrelated scalar
+    subquery → 1-row broadcast) and idle — no orders since 2000 (NOT
+    EXISTS → LEFT ANTI join on the date-pruned, projected orders keys;
+    the testdata has no fully orderless customers, so the date bound
+    keeps the anti-join shape non-degenerate).
+
+    Plan: customer is scanned once; the global average is an aggregate of
+    that same scan broadcast back; the anti-join shuffles only o_custkey
+    (single column). Average = exact decimal sum / count, one double
+    division — engine-stable, so the > comparison agrees with DuckDB.
+    """
+    cu = _t(spark, sf_dir, "customer")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_pos = cu.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        cu.join(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
