@@ -52,6 +52,31 @@ def predicted_lang(col: str = "text", threshold: float = 0.05) -> Column:
     return F.when(english_marker_ratio(col) >= threshold, "en").otherwise("other")
 
 
+def chunks(col: str = "text", size: int = 64, stride: int = 48) -> Column:
+    """Sliding-window document chunking: ``array<string>`` of token windows
+    (``size`` tokens, advancing by ``stride`` — overlap = size - stride),
+    the standard pretraining chunker shape.
+
+    Pure Column expressions (split → sequence → transform/slice/array_join),
+    so the 1→N fan-out happens JVM-side inside the row's partition — zero
+    shuffle, no Python, and the explode downstream scales linearly with
+    output chunks. Chunk count = 1 if n<=size else ceil((n-size)/stride)+1
+    (no trailing window that is a pure suffix of the previous one).
+    """
+    tk = tokens(col)
+    n = F.size(tk)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor(
+            (n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride).cast("double")
+        ).cast("int")
+        + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(tk, i * stride + 1, size), " "),
+    )
+
+
 def fingerprint(col: str = "text", prefix_chars: int = 100) -> Column:
     """Document fingerprint: md5 over the normalized (lowercased, trimmed)
     head of the document — the cheap first-pass dedup key."""
