@@ -69,6 +69,7 @@ _DISC_PRICE_SQL = (
     GROUP BY 1
     """,
     tags=("join", "agg", "conditional", "ratio"),
+    bench=True,
 )
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: NATION_3's share of ECONOMY-part revenue delivered into
@@ -501,6 +502,7 @@ def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "subquery", "exists", "not-exists", "topk"),
+    bench=True,
 )
 def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers who "blocked" finished multi-supplier orders —

@@ -1,0 +1,68 @@
+"""Physical-plan shape regression tests for the scale-critical queries.
+
+Correctness is the oracle-parity suite's job; THESE tests pin the plans —
+the property that actually matters at 100 TB. Each assertion encodes a
+claim from PLANS.md: if a refactor re-introduces a shuffle, a second scan,
+or a duplicated window pass, this fails even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from mapreduceindex_demo_spark.plans import QUERIES
+from tests.conftest import PARITY_SF_DIR
+
+
+def _final_plan(df) -> str:
+    """Executed plan with AQE's '== Initial Plan ==' echo stripped, so node
+    counts refer to the plan that actually ran."""
+    df.collect()  # let AQE finalize stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _n(plan: str, pat: str) -> int:
+    return len(re.findall(pat, plan))
+
+
+def test_blocking_suppliers_single_window_pass(spark):
+    """Q21's two correlated subqueries (EXISTS other supplier / NOT EXISTS
+    later shipment) must collapse into ONE window pass: one Window node fed
+    by one hash exchange on l_orderkey, one more exchange for the final
+    aggregate, and the ORDER BY+LIMIT as TakeOrderedAndProject (no global
+    sort exchange)."""
+    plan = _final_plan(QUERIES["blocking_suppliers"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bWindow\b") == 1, plan
+    assert _n(plan, r"Exchange hashpartitioning") == 2, plan
+    assert _n(plan, r"TakeOrderedAndProject") == 1, plan
+    assert _n(plan, r"Exchange rangepartitioning") == 0, plan
+
+
+def test_important_parts_scans_fact_once(spark):
+    """Q11's global-threshold subquery must REUSE the per-part aggregation
+    exchange, not rescan lineitem: exactly one lineitem scan plus a
+    ReusedExchange in the executed plan."""
+    plan = _final_plan(QUERIES["important_parts_by_value"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"lineitem\.parquet") == 1, plan
+    assert _n(plan, r"ReusedExchange") >= 1, plan
+
+
+def test_text_chunking_is_shuffle_free(spark):
+    """The chunker's 1→N fan-out happens inside the partition — the plan
+    must contain NO exchange of any kind (the 100 TB embarrassingly
+    parallel guarantee)."""
+    plan = _final_plan(QUERIES["text_chunking"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bExchange\b") == 0, plan
+    assert _n(plan, r"BroadcastExchange") == 0, plan
+
+
+def test_bracketed_revenue_single_scan_single_join(spark):
+    """Q19's OR-of-brackets must stay ONE broadcast join over ONE lineitem
+    scan — not a union of three scans."""
+    plan = _final_plan(
+        QUERIES["bracketed_discounted_revenue"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"lineitem\.parquet") == 1, plan
+    assert _n(plan, r"BroadcastHashJoin") == 1, plan
+    assert _n(plan, r"\bUnion\b") == 0, plan
