@@ -17,6 +17,10 @@ from collections.abc import Iterable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 #: output schema of the running counter operator
 COUNTER_SCHEMA = (
@@ -64,5 +68,57 @@ def running_user_counters(events_stream: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+class RunningCounterProcessor(StatefulProcessor):
+    """Same running-counter semantics on Spark 4's arbitrary-stateful API
+    (`transformWithStateInPandas`) — the successor to applyInPandasWithState:
+    named state variables (ValueState/ListState/MapState) with optional TTL
+    and timers instead of one monolithic state tuple. State lives in the
+    state store keyed by user_id, so memory stays O(distinct keys /
+    executors) and the operator is checkpoint-recoverable like any other."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        if self._totals.exists():
+            events, cents, last_id = self._totals.get()
+        else:
+            events, cents, last_id = 0, 0, -1
+        for pdf in rows:
+            events += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            if len(pdf):
+                last_id = max(last_id, int(pdf["event_id"].max()))
+        self._totals.update((events, cents, last_id))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [events],
+                "value_sum": [cents / 100.0],
+                "last_event_id": [last_id],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_counters_tws(events_stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas flavor of :func:`running_user_counters` —
+    must produce identical final state (asserted in tests)."""
+    return (
+        events_stream.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCounterProcessor(),
+            outputStructType=COUNTER_SCHEMA,
+            outputMode="update",
+            timeMode="none",
         )
     )
