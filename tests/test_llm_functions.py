@@ -52,3 +52,47 @@ def test_cosine_self_is_one(spark):
     )
     vals = emb.select(S.cosine(F.col("ee"), F.col("ee")).alias("c")).collect()
     assert all(abs(r.c - 1.0) < 1e-9 for r in vals)
+
+
+def test_connected_components_match_union_find(spark):
+    """The distributed label-propagation clusters must equal a driver-side
+    union-find ground truth over the same LSH pair list."""
+    from mapreduceindex_demo_spark.operators.graph import connected_components
+    from mapreduceindex_demo_spark.plans import QUERIES
+
+    pairs_df = QUERIES["dedup_minhash_lsh_pairs"].fn(spark, SMOKE_SF_DIR)
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    assert len(pairs) > 0
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r.node: r.comp
+        for r in connected_components(pairs_df, "doc_a", "doc_b").collect()
+    }
+    assert got == expected
+
+    sizes = {}
+    for comp in expected.values():
+        sizes[comp] = sizes.get(comp, 0) + 1
+    got_clusters = {
+        (r.canonical_doc, r.cluster_size)
+        for r in QUERIES["dedup_minhash_components"].fn(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got_clusters == set(sizes.items())
