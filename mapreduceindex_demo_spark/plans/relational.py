@@ -1192,3 +1192,90 @@ def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+      COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+      COUNT(DISTINCT o_orderkey) AS n_distinct,
+      CAST(CAST(MIN(o_orderkey) AS DECIMAL(18,2)) AS VARCHAR) AS min_v,
+      CAST(CAST(MAX(o_orderkey) AS DECIMAL(18,2)) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+      COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+      COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+      COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+      COUNT(DISTINCT o_totalprice),
+      CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+      COUNT(*) FILTER (WHERE o_orderdate IS NULL),
+      COUNT(DISTINCT o_orderdate),
+      strftime(MIN(o_orderdate), '%Y-%m-%d'), strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+      COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+      COUNT(DISTINCT o_orderpriority),
+      MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    tags=("profiling", "stats", "agg", "unpivot"),
+)
+def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (the data-quality pass): per column —
+    null count, distinct count, min, max — across int/string/double/
+    timestamp types, rendered engine-neutrally (numerics via DECIMAL(18,2),
+    timestamps as dates).
+
+    Scale design: ONE aggregation pass computes all 20 statistics
+    simultaneously (single scan, partial aggregation map-side), then
+    `stack` unpivots the 1-row result into the per-column report — the
+    oracle's 5 UNION ALL scans collapse into one. This is the engine
+    surface behind the reference's declared IndexStatistics contract
+    (count/min/max/distinct — /root/reference/index.go:39-43) applied to
+    arbitrary tables."""
+    od = _t(spark, sf_dir, "orders")
+
+    specs = {
+        "o_orderkey": (
+            F.min("o_orderkey").cast("decimal(18,2)").cast("string"),
+            F.max("o_orderkey").cast("decimal(18,2)").cast("string"),
+        ),
+        "o_orderstatus": (F.min("o_orderstatus"), F.max("o_orderstatus")),
+        "o_totalprice": (
+            F.min("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("string"),
+        ),
+        "o_orderdate": (
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd"),
+        ),
+        "o_orderpriority": (F.min("o_orderpriority"), F.max("o_orderpriority")),
+    }
+    aggs = []
+    for c, (mn, mx) in specs.items():
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = od.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in specs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )

@@ -61,3 +61,52 @@ def test_validate_sql_does_not_execute_commands(spark):
     assert spark.sql("SELECT count(*) AS c FROM lineitem").collect()[0].c > 0
     r2 = validate_sql(spark, SMOKE_SF_DIR, "INSERT INTO lineitem VALUES (1)")
     assert r2["is_command"]
+
+
+def test_compaction_rebalances_small_files(spark, tmp_path):
+    """64 tiny files → compacted to the planned count, content-identical;
+    sorted variant produces range-clustered files (per-file disjoint
+    key ranges → parquet min/max stats prune row groups)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.sources.compaction import (
+        compact_parquet,
+        plan_file_count,
+    )
+
+    events = load_table(spark, SMOKE_SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    n = events.count()
+    frag = str(tmp_path / "frag")
+    events.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    target = max(1, n // 4)
+    n_files = compact_parquet(spark, frag, dst, target_rows_per_file=target)
+    assert n_files == plan_file_count(n, target)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == n_files
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, events.collect())
+    )
+
+    dst2 = str(tmp_path / "clustered")
+    compact_parquet(
+        spark, frag, dst2, target_rows_per_file=target, sort_cols=["event_id"]
+    )
+    # disjoint per-file event_id ranges = the row-group pruning guarantee
+    ranges = []
+    for f in sorted(glob.glob(f"{dst2}/part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("event_id"), F.max("event_id")
+        ).collect()[0]
+        ranges.append((pdf[0], pdf[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    assert sorted(map(tuple, spark.read.parquet(dst2).collect())) == sorted(
+        map(tuple, events.collect())
+    )
