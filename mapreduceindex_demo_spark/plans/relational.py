@@ -1279,3 +1279,114 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_v, max_v)"
         )
     )
+
+
+@query(
+    "user_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+        epoch_us(ts) AS us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_us
+      FROM events),
+    s AS (
+      SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+                    THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization", "events", "agg"),
+)
+def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (12-hour inactivity gap): the lag →
+    boundary-flag → running-sum window idiom, the batch twin of the
+    streaming `session_window` query. Gap comparison is in exact
+    microseconds (unix_micros ↔ epoch_us) so both engines cut sessions
+    identically.
+
+    Scale: ONE exchange on user_id serves the lag window, the session-id
+    running sum, AND the final (user, session) aggregate — all three are
+    partitioned by the same key, so Catalyst plans a single shuffle with
+    in-partition sorts. State per task is one row of look-back."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 43_200_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        dsum("value", "session_value"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS users_viewed,
+           (SELECT COUNT(*) FROM c) AS users_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS users_purchased_after_click
+    """,
+    tags=("funnel", "events", "join", "agg"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view → first click strictly after
+    it → first purchase strictly after that; one row of per-stage user
+    counts. Each stage is an aggregate-then-join against the (small)
+    per-user frontier from the previous stage — the frontier broadcasts,
+    the events scan re-filters by type, and no per-user sequence is ever
+    materialized (at 100 TB the frontier is |users| rows, not |events|)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users_viewed"))
+        .join(F.broadcast(c.agg(F.count(F.lit(1)).alias("users_clicked_after_view"))))
+        .join(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("users_purchased_after_click"))
+            )
+        )
+    )

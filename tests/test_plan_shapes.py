@@ -66,3 +66,13 @@ def test_bracketed_revenue_single_scan_single_join(spark):
     assert _n(plan, r"lineitem\.parquet") == 1, plan
     assert _n(plan, r"BroadcastHashJoin") == 1, plan
     assert _n(plan, r"\bUnion\b") == 0, plan
+
+
+def test_sessionization_single_shuffle(spark):
+    """Gap-sessionization's lag window, session-id running sum, AND the
+    final (user, session) aggregate must all ride ONE hash exchange on
+    user_id (hashpartitioning(user_id) satisfies every stage's
+    distribution) with one in-partition sort."""
+    plan = _final_plan(QUERIES["user_sessionization"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"Exchange hashpartitioning") == 1, plan
+    assert _n(plan, r"\bSort\b") == 1, plan
