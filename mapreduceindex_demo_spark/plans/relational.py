@@ -1390,3 +1390,41 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+        strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort_week
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id,
+        strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+      FROM events)
+    SELECT cohort_week, active_week, COUNT(*) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY cohort_week, active_week
+    """,
+    tags=("cohort", "retention", "events", "agg", "join"),
+)
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen ISO week ×
+    the weeks they were active — the (cohort, week) → user-count matrix
+    behind every retention curve. ISO Monday-start `date_trunc('week')`
+    agrees between Spark and DuckDB, rendered as date strings.
+
+    Scale: per-user first-seen and per-(user, week) activity are both one
+    aggregation over the same user_id shuffle; the cohort frame
+    (|users| rows) broadcasts onto the activity frame, and the final
+    aggregate moves only (cohort, week) pairs."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    f = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    a = ev.select("user_id", wk(F.col("ts")).alias("active_week")).distinct()
+    return (
+        a.join(F.broadcast(f), "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
