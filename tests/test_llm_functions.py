@@ -96,3 +96,26 @@ def test_connected_components_match_union_find(spark):
         for r in QUERIES["dedup_minhash_components"].fn(spark, SMOKE_SF_DIR).collect()
     }
     assert got_clusters == set(sizes.items())
+
+
+def test_chunking_reconstruction_invariant(spark):
+    """Lossless-coverage property of the chunker: chunk 0's tokens plus
+    each later chunk's tokens after dropping the (size - stride)-token
+    overlap must rebuild every document's exact token sequence — no token
+    lost or duplicated at any window boundary (including the final
+    partial window)."""
+    from mapreduceindex_demo_spark.functions.text import chunks
+
+    size, stride = 16, 12
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").limit(80)
+    rows = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tokens"),
+        chunks("text", size, stride).alias("chs"),
+    ).collect()
+    assert any(len(r.chs) > 1 for r in rows)  # fan-out actually exercised
+    for r in rows:
+        rebuilt = list(r.chs[0].split(" "))
+        for ch in r.chs[1:]:
+            rebuilt.extend(ch.split(" ")[size - stride:])
+        assert rebuilt == list(r.tokens), r.doc_id
