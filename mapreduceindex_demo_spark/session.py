@@ -82,6 +82,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown + column pruning on it for free."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS,false), which Spark rejects
+        # outright unless read as long. The conf is runtime-settable and
+        # idempotent, and must be set HERE (not only in get_spark()) because
+        # callers — including the correctness driver — may hand us a
+        # SparkSession this package did not build.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read: convert epoch-nanos → µs-precision timestamp

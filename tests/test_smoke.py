@@ -27,3 +27,18 @@ def test_all_queries_run_at_smoke_sf(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SMOKE_SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_load_table_events_on_driver_like_session(spark):
+    """r1 regression: the correctness driver passes its OWN SparkSession,
+    without get_spark()'s nanosAsLong conf — load_table must survive the
+    TIMESTAMP(NANOS) events.parquet regardless of who built the session."""
+    from mapreduceindex_demo_spark.session import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, SMOKE_SF_DIR, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
