@@ -76,3 +76,26 @@ def test_sessionization_single_shuffle(spark):
     plan = _final_plan(QUERIES["user_sessionization"].fn(spark, PARITY_SF_DIR))
     assert _n(plan, r"Exchange hashpartitioning") == 1, plan
     assert _n(plan, r"\bSort\b") == 1, plan
+
+
+def test_order_quartiles_no_global_window(spark):
+    """r1 judge finding: NTILE/CUME_DIST over Window.orderBy collapses the
+    whole table into one task. The rewrite must range-partition the data
+    (scale path) and keep at most one SinglePartition exchange — the one
+    feeding the per-partition-counts offsets frame (~#partitions rows),
+    never the data itself."""
+    plan = _final_plan(QUERIES["order_quartiles"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"Exchange rangepartitioning") >= 1, plan
+    assert _n(plan, r"Exchange SinglePartition") <= 1, plan
+    assert _n(plan, r"\bntile\b") == 0, plan
+    # the offsets join must be broadcast, not a shuffle join
+    assert _n(plan, r"BroadcastHashJoin") >= 1, plan
+
+
+def test_collated_scan_no_global_window(spark):
+    """Same property for the collated index scan's rank column."""
+    plan = _final_plan(
+        QUERIES["mapindex_collated_scan"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"Exchange rangepartitioning") >= 1, plan
+    assert _n(plan, r"Exchange SinglePartition") <= 1, plan
