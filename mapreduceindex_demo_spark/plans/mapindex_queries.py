@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from mapreduceindex_demo_spark.catalog import IndexDefn
 from mapreduceindex_demo_spark.mapindex import INCL_LOW, MapIndexEngine
 from mapreduceindex_demo_spark.plans.registry import query
-from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.session import load_table, table_path
 
 #: expression index over the event "documents": key = (json k, event_type),
 #: WHERE value > 50 — the reference's N1QL-expression branch (M4/M5/D1)
@@ -223,6 +223,8 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions — the invariant the reference's whole retraction machinery
     exists to preserve, checked here against the windowed-SQL oracle.
     """
+    from pyspark.sql import Window
+
     eng = MapIndexEngine(spark)
     events = load_table(spark, sf_dir, "events").withColumn(
         "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
@@ -235,27 +237,56 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ),
     )
-    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    # Batch split boundary from parquet FOOTER statistics — zero Spark jobs.
+    # This is what a real CDC source does: offsets come from the topic/file
+    # metadata, never from scanning the data (reference failover-log vbucket
+    # seqnos, projector.go). The r1 plan spent a full job on this .collect().
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(table_path(sf_dir, "events")).metadata
+    hi = max(
+        md.row_group(g).column(
+            next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(g).column(i).path_in_schema == "event_id"
+            )
+        ).statistics.max
+        for g in range(md.num_row_groups)
+    )
     step = (hi + 5) // 5 or 1
 
-    first = events.filter(F.col("event_id") < step)
-    eng.create_index(
-        defn, _latest_live(first, "user_id", "event_id", "op"), doc_id_col="user_id"
+    # Pre-reduce to the last change per (batch, doc) in ONE shuffle — the
+    # map-side combine every real stream processor performs before the sink
+    # sees the batch. The replay below then merges 5 already-reduced
+    # micro-batches; materializing the reduced frame (localCheckpoint) is
+    # the "source delivered this batch once" contract, and keeps the merge
+    # chain's lineage off the raw scan. r1's shape re-scanned + re-windowed
+    # events per batch: 5 shuffles and 5 scans for the same answer.
+    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    w = Window.partitionBy("batch", "user_id").orderBy(F.desc("event_id"))
+    latest = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
     )
+    first = latest.filter(
+        (F.col("batch") == 0) & (F.lower(F.col("op")) == "upsert")
+    ).drop("op", "batch")
+    eng.create_index(defn, first, doc_id_col="user_id")
     for b in range(1, 5):
-        batch = events.filter(
-            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
-        )
-        # checkpoint=False: for a bounded replay, letting Catalyst collapse
-        # the 5-batch DAG (range filters all pushed to the scan) is ~3.5×
-        # faster than materializing per-batch state; unbounded streams keep
-        # the default checkpointing (see streaming/maintenance.py)
+        batch = latest.filter(F.col("batch") == b).drop("batch")
+        # seq_col=None: the pre-reduction above already kept exactly one
+        # change per doc per batch. checkpoint=False: bounded replay, let
+        # Catalyst collapse the 5-batch DAG; unbounded streams keep the
+        # default checkpointing (see streaming/maintenance.py).
         eng.apply_changes(
             defn.name,
             batch,
             doc_id_col="user_id",
             op_col="op",
-            seq_col="event_id",
+            seq_col=None,
             checkpoint=False,
         )
     return eng.index_table(defn.name)

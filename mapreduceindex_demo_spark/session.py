@@ -77,11 +77,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: resolved-plan cache: (spark appId, sf_dir, table) → DataFrame. A cached
+#: DataFrame is only the *logical plan* (scan + events ts conversion) — data
+#: is still read per action, so this is a metadata cache, not a data cache.
+#: Keyed by applicationId so a stopped/rebuilt session never reuses plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Plain parquet scan → Catalyst gets filter
-    pushdown + column pruning on it for free."""
+    pushdown + column pruning on it for free.
+
+    Repeated loads of the same table return the cached resolved plan:
+    ``spark.read.parquet`` costs a file listing + footer schema read each
+    call (~0.1-0.3 s of pure driver latency), which at 100 TB is exactly the
+    catalog's job to amortize. Testdata is immutable, so the cached plan
+    never goes stale.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS,false), which Spark rejects
         # outright unless read as long. The conf is runtime-settable and
@@ -96,6 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

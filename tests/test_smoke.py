@@ -33,8 +33,9 @@ def test_load_table_events_on_driver_like_session(spark):
     """r1 regression: the correctness driver passes its OWN SparkSession,
     without get_spark()'s nanosAsLong conf — load_table must survive the
     TIMESTAMP(NANOS) events.parquet regardless of who built the session."""
-    from mapreduceindex_demo_spark.session import load_table
+    from mapreduceindex_demo_spark.session import clear_table_cache, load_table
 
+    clear_table_cache()  # force a real read — cached plans would mask the bug
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     try:
         df = load_table(spark, SMOKE_SF_DIR, "events")
