@@ -1,0 +1,170 @@
+"""Scale-crossover benchmark: the same headline queries at ~sf1.
+
+Spark's per-query constant (task scheduling, broadcast job launches,
+JVM<->Python round trips) dominates at sf0.1 (~60 MB), where DuckDB's
+fused single-process execution wins on latency. This script demonstrates
+the crossover the engine is designed for: it synthesizes a 10x replica of
+the sf0.1 testdata (each replica a disjoint, self-consistent key universe —
+join selectivities and group cardinalities per replica are preserved),
+then times the headline bench queries on BOTH engines over the same
+parquet files.
+
+The synthesized data is a BENCH-ONLY scale harness written under /tmp —
+correctness always runs against the driver-provided testdata. Generation
+is idempotent (skipped when the output dir already exists).
+
+Usage: python scripts/bench_sf1.py  [--copies 10]
+Appends nothing; prints a markdown table + one JSON line for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapreduceindex_demo_spark.plans import QUERIES  # noqa: E402
+from mapreduceindex_demo_spark.session import (  # noqa: E402
+    TABLE_NAMES,
+    get_spark,
+    load_table,
+    table_path,
+)
+
+SRC = "/root/testdata/sf0.1"
+
+#: integer id columns shifted per replica so each copy is a disjoint,
+#: internally-consistent universe (dims region/nation stay fixed, as in
+#: TPC-H, where they are scale-independent).
+SHIFT_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: per-table shift base: comfortably above the sf0.1 max of every key
+BASE = 10_000_000
+
+
+def generate(spark, out_dir: str, copies: int) -> None:
+    for name in TABLE_NAMES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, SRC, name)
+        if name in SHIFT_COLS:
+            parts = []
+            for i in range(copies):
+                rep = df
+                for c in SHIFT_COLS[name]:
+                    rep = rep.withColumn(c, F.col(c) + F.lit(i * BASE))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # many output files -> real scan parallelism for both engines
+            out = out.repartition(32)
+        else:
+            out = df
+        if name == "events":
+            # write ts back as epoch-nanos long: keeps the nanosAsLong read
+            # path (and load_table's conversion) identical to the testdata
+            out = out.withColumn(
+                "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+            )
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# generated {dst}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="mri-bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+    generate(spark, args.out, args.copies)
+
+    bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
+
+    # DuckDB side: same parquet, oracle SQL, all cores.
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(args.out, name + '.parquet')}/*.parquet')"
+            if os.path.isdir(os.path.join(args.out, name + ".parquet"))
+            else f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(args.out, name + '.parquet')}')"
+        )
+    # events ts arrives as epoch-nanos BIGINT here (same storage the Spark
+    # side reads); expose the same µs-timestamp view load_table produces
+    con.execute("DROP VIEW events")
+    events_glob = os.path.join(args.out, "events.parquet")
+    if os.path.isdir(events_glob):
+        events_glob += "/*.parquet"
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, "
+        "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, "
+        f"user_id, event_type, value, props FROM read_parquet('{events_glob}')"
+    )
+
+    rows = []
+    for name, q in bench.items():
+        # Spark
+        q.fn(spark, args.out).count()  # warm
+        s_runs = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            q.fn(spark, args.out).count()
+            s_runs.append(time.perf_counter() - t0)
+        s_t = sorted(s_runs)[len(s_runs) // 2]
+        # DuckDB
+        con.execute(q.oracle).fetchall()  # warm
+        d_runs = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            con.execute(q.oracle).fetchall()
+            d_runs.append(time.perf_counter() - t0)
+        d_t = sorted(d_runs)[len(d_runs) // 2]
+        rows.append((name, round(s_t, 3), round(d_t, 3)))
+        print(f"# {name}: spark={s_t:.3f}s duckdb={d_t:.3f}s", file=sys.stderr)
+
+    print("| query | spark (s) | duckdb (s) | ratio |")
+    print("|---|---|---|---|")
+    s_tot = d_tot = 0.0
+    for name, s_t, d_t in rows:
+        s_tot += s_t
+        d_tot += d_t
+        print(f"| {name} | {s_t} | {d_t} | {s_t / max(d_t, 1e-9):.2f}x |")
+    print(f"| **total** | {s_tot:.3f} | {d_tot:.3f} | {s_tot / d_tot:.2f}x |")
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_crossover_total",
+                "spark_sec": round(s_tot, 3),
+                "duckdb_sec": round(d_tot, 3),
+                "ratio": round(s_tot / d_tot, 3),
+                "queries": {n: {"spark": s, "duckdb": d} for n, s, d in rows},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

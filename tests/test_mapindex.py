@@ -242,3 +242,57 @@ def test_catalog_guards(spark):
     # source-text registration with compile check
     cat.register_function("src", "def on_map(meta, doc):\n    return [(doc['x'],)]")
     assert cat.get_function("src").fn({}, {"x": 1}) == [(1,)]
+
+
+def test_collated_scan_range_bounds(spark):
+    """ADVICE r1: bounded scans on a collated index must bracket by the
+    SAME order the index advertises — the binary sort_key — not raw key_0
+    text ('10' < '9' lexicographically; cross-type bounds plain wrong).
+    Checked against the spec comparator json_compare for all four
+    inclusion combinations and cross-type bounds."""
+    import json
+
+    from mapreduceindex_demo_spark.collation import json_compare
+    from mapreduceindex_demo_spark.mapindex import INCL_HIGH
+
+    values = [None, False, True, -3, 2, 9, 10, 2.5, "9", "10", "abc", [1], [2, 0], {"a": 1}]
+    rows = [(i, json.dumps(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "doc_id bigint, j string")
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="cr", bucket="t", sec_exprs=("j",), use_collation=True),
+        df,
+        doc_id_col="doc_id",
+    )
+
+    def expect(low, high, incl):
+        out = []
+        for v in values:
+            ok = True
+            if low is not None or low in (None,):
+                pass
+            if low is not None:
+                c = json_compare(v, low)
+                ok &= c > 0 or (c == 0 and bool(incl & INCL_LOW))
+            if high is not None:
+                c = json_compare(v, high)
+                ok &= c < 0 or (c == 0 and bool(incl & INCL_HIGH))
+            if ok:
+                out.append(json.dumps(v))
+        return sorted(out)
+
+    cases = [
+        (2, 10, INCL_BOTH),       # numeric: must include 9 and 10, not "9"/"10"
+        (2, 10, 0),               # exclusive both
+        (2, 10, INCL_LOW),
+        (2, 10, INCL_HIGH),
+        (9, "10", INCL_BOTH),     # cross-type: numbers 9,10 + string "10" yes, "9"? no ("10"<"9")
+        (False, 2.5, INCL_BOTH),  # bool low → includes true and numbers <= 2.5
+        (None, "abc", 0),         # null low exclusive → everything above null, below "abc"
+    ]
+    for low, high, incl in cases:
+        got = sorted(
+            r["key_0"]
+            for r in eng.scan("cr", low=low, high=high, inclusion=incl).collect()
+        )
+        assert got == expect(low, high, incl), (low, high, incl, got)
