@@ -104,6 +104,18 @@ class Catalog:
         self._functions[name] = reg
         return reg
 
+    def register_function_from_file(
+        self, name: str, path: str, description: str = ""
+    ) -> RegisteredFunction:
+        """Load a map function from a source FILE — the reference's
+        iteration-1 path-based registration (``JSPath``,
+        ``Projector/kv_sender.go:1168-1176``: evaluators constructed from a
+        filename; iteration 2 moved to by-name lookup, which
+        :meth:`register_function` models). Same compile-check-on-save."""
+        with open(path, encoding="utf-8") as f:
+            src = f.read()
+        return self.register_function(name, src, description=description)
+
     def get_function(self, name: str) -> RegisteredFunction:
         if name not in self._functions:
             raise KeyError(f"no registered function {name!r}")

@@ -42,9 +42,28 @@ _TAG_ARRAY = b"\x08"
 _TAG_OBJECT = b"\x09"
 _TERM = b"\x00"
 
+class _Missing:
+    """Singleton sentinel that survives pickling (UDF closures ship to
+    executors — a bare ``object()`` would unpickle as a new instance and
+    break ``is`` checks there)."""
+
+    _inst: "_Missing | None" = None
+
+    def __new__(cls) -> "_Missing":
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __reduce__(self):
+        return (_Missing, ())
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging nicety
+        return "MISSING"
+
+
 #: sentinel distinct from None (null): a key expression that evaluated to
 #: "nothing" (the reference's MISSING, i.e. JS undefined / absent field)
-MISSING = object()
+MISSING = _Missing()
 
 
 def _encode_number(v: float) -> bytes:

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mapreduceindex_demo_spark.catalog import Catalog, IndexDefn
-from mapreduceindex_demo_spark.collation import collate_key
+from mapreduceindex_demo_spark.collation import MISSING, collate_key
 
 #: inclusion flags for range scans (reference Inclusion enum, index.go:31-37)
 INCL_NEITHER, INCL_LOW, INCL_HIGH, INCL_BOTH = 0, 1, 2, 3
@@ -70,6 +70,9 @@ class MapIndexEngine:
 
     def register_function(self, name, fn, description: str = ""):
         return self.catalog.register_function(name, fn, description)
+
+    def register_function_from_file(self, name, path, description: str = ""):
+        return self.catalog.register_function_from_file(name, path, description)
 
     # -- DDL (D1) ----------------------------------------------------------
 
@@ -106,6 +109,41 @@ class MapIndexEngine:
         self._status[name] = self.ST_ACTIVE
         self._batches_applied.setdefault(name, 0)
         return entries
+
+    def build_deferred(
+        self,
+        source: DataFrame,
+        doc_id_col: str,
+        seq_col: str | None = None,
+        names: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build every deferred (CREATED) index in ONE pass over the source.
+
+        The reference amortizes deferred builds by opening a single
+        INIT_STREAM for an instance *list* (kv_sender.go:235-347,
+        projector.go:237-260) — N evaluators fed by one scan. Spark twin:
+        materialize the source snapshot once (`localCheckpoint`, the single
+        scan job), then derive each index's entry plan from the
+        materialized snapshot, so no per-index re-scan of the source ever
+        happens (asserted in tests/test_mapindex.py). The streaming path
+        already amortizes the same way (run_streaming_multi_index_maintenance).
+
+        Callers with wide sources should project to the needed columns
+        before calling — the snapshot holds exactly what it is given.
+        """
+        todo = [
+            n
+            for n in (names if names is not None else list(self._status))
+            if self._status.get(n) == self.ST_CREATED
+        ]
+        if names is not None:
+            missing = [n for n in names if self._status.get(n) != self.ST_CREATED]
+            if missing:
+                raise ValueError(f"not deferred/CREATED: {missing}")
+        if not todo:
+            return {}
+        snap = source.localCheckpoint(eager=True)  # the one source scan
+        return {n: self.build(n, snap, doc_id_col, seq_col) for n in todo}
 
     def drop_index(self, name: str) -> None:
         self.catalog.drop_index(name)
@@ -265,6 +303,23 @@ class MapIndexEngine:
         defn = self.catalog.get_index(name)
         cur = self.index_table(name)
 
+        # ADVICE r1: a NULL/typo'd opcode must ERROR, not silently retract
+        # the doc's entries. The check is a plan-embedded raise_error inside
+        # the same pass (zero extra jobs) — it fires on the first bad row.
+        known_ops = ("upsert", "delete", "expiration")
+        changes = changes.withColumn(
+            op_col,
+            F.when(F.lower(F.col(op_col)).isin(*known_ops), F.lower(F.col(op_col)))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"unknown CDC op (expected one of {known_ops}): "),
+                        F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    )
+                )
+            ),
+        )
+
         if seq_col:
             from pyspark.sql import Window
 
@@ -405,6 +460,32 @@ class MapIndexEngine:
             distinct.alias("distinct_keys"),
         )
 
+    def stats_validated(self, name: str, rel_err: float = 0.05) -> DataFrame:
+        """A4 at 100 TB is sketch-based: one pass computing exact count /
+        min / max plus BOTH HyperLogLog and exact distinct, emitting the
+        sketch's relative-error check as a column. The exact distinct
+        exists only to *prove* the sketch's contract distributively — a
+        production deployment drops it and keeps the HLL (stats(approx=True)).
+        """
+        defn = self.catalog.get_index(name)
+        df = self.index_table(name)
+        key0 = "doc_id" if defn.is_primary else "key_0"
+        return df.agg(
+            F.count(F.lit(1)).alias("entry_count"),
+            F.min(key0).alias("min_key"),
+            F.max(key0).alias("max_key"),
+            F.approx_count_distinct(key0).alias("__hll"),
+            F.countDistinct(key0).alias("__exact"),
+        ).select(
+            "entry_count",
+            "min_key",
+            "max_key",
+            (
+                F.abs(F.col("__hll") - F.col("__exact"))
+                <= F.lit(rel_err) * F.col("__exact")
+            ).alias("distinct_ok"),
+        )
+
     def engine_stats(self, name: str | None = None) -> dict:
         """Observability (D9, reference statsHandler http_handlers.go:1748-
         1809): per-index lifecycle status, applied-batch count, pending CDC
@@ -463,7 +544,12 @@ def _collate_udf(col: Column) -> Column:
     def _enc_series(parts):  # type: ignore[no-untyped-def]
         def parse(p):
             if p is None:
-                return None
+                # a key expression that evaluated to SQL NULL means the doc
+                # lacks the field — the reference's MISSING, which collates
+                # BELOW json null (_TAG_MISSING, collation.py). An explicit
+                # json null arrives as the text 'null' and parses to None
+                # below, so the two remain distinct end-to-end (ADVICE r1).
+                return MISSING
             try:
                 return json.loads(p)
             except (ValueError, TypeError):

@@ -39,6 +39,8 @@ PRIORITY_50 = [
     "mapindex_bins",
     "mapindex_incremental_cdc",
     "mapindex_collated_scan",
+    "mapindex_stats_approx",
+    "lineitem_percentiles_approx",
     # --- streaming (T4 windows/watermarks, T5 stateful, S7 sink) ---
     "streaming_tumbling_counts",
     "streaming_session_windows",
@@ -70,7 +72,6 @@ PRIORITY_50 = [
     # --- LLM pipeline: chunking / sampling / curation ---
     "text_chunking",
     "text_hash_sample",
-    "balanced_source_sample",
     "curated_training_set",
     # --- LLM pipeline: multimodal ---
     "multimodal_binary_stats",
@@ -83,7 +84,6 @@ PRIORITY_50 = [
     "events_pivot_daily",
     "events_value_buckets",
     "events_json_extract",
-    "events_map_functions",
     "purchase_last_click_asof",
     "user_sessionization",
     # --- UDAF surface (U2) ---

@@ -198,6 +198,27 @@ def q_mapindex_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mapindex_stats_approx",
+    oracle="""
+    SELECT COUNT(*) AS entry_count,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_key,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_key,
+           TRUE AS distinct_ok
+    FROM events WHERE value > 50
+    """,
+    tags=("mapindex", "stats", "approx", "sketch"),
+)
+def q_mapindex_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based stats path (A4 at scale): HyperLogLog distinct with
+    its relative-error contract VERIFIED in the same pass against exact
+    distinct. The oracle pins count/min/max exactly and expects the
+    sketch check to hold (distinct_ok=TRUE) — if the HLL estimate drifted
+    out of tolerance, the Spark side would emit FALSE and hash-mismatch."""
+    eng = _engine_with_kv_index(spark, sf_dir)
+    return eng.stats_validated("idx_events_kv")
+
+
+@query(
     "mapindex_incremental_cdc",
     oracle="""
     WITH latest AS (

@@ -1131,6 +1131,62 @@ def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_percentiles_approx",
+    oracle="""
+    WITH t AS (
+      SELECT COUNT(*) AS n,
+             quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.95]) AS vs
+      FROM lineitem),
+    v AS (SELECT UNNEST(vs) AS val,
+                 CAST(UNNEST([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS p, n
+          FROM t)
+    SELECT p,
+      CAST(floor(val / 1000) AS BIGINT) AS price_bucket,
+      abs((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= val)
+          - p * n) <= 0.005 * n AS within_rank_bound
+    FROM v
+    """,
+    tags=("agg", "percentile", "approx", "sketch"),
+)
+def q_lineitem_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A4 scale path: Greenwald-Khanna `approx_percentile` (mergeable
+    map-side sketch, no per-group value materialization) with its rank-error
+    contract verified by a second linear pass.
+
+    Sketch values differ between engines by design, so the comparison is
+    BUCKETED (floor(v/1000) — orders of magnitude wider than the observed
+    cross-engine drift) and each engine proves its own value's rank lies
+    within ±0.5% of p·n (`within_rank_bound`). The exact-percentile twin
+    of this query is `lineitem_percentiles`."""
+    ps = [0.25, 0.5, 0.75, 0.95]
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    sk = li.agg(
+        F.percentile_approx("x", F.array(*[F.lit(p) for p in ps]), 100000).alias(
+            "vs"
+        ),
+        F.count("x").alias("n"),
+    )
+    pcts = sk.select(
+        F.posexplode("vs").alias("i", "val"),
+        "n",
+    ).withColumn("p", F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1))
+    # verify pass: one conditional count per percentile, single lineitem scan
+    joined = li.join(F.broadcast(pcts))
+    return (
+        joined.groupBy("p", "val", "n")
+        .agg(F.count(F.when(F.col("x") <= F.col("val"), 1)).alias("le"))
+        .select(
+            "p",
+            F.floor(F.col("val") / 1000).cast("long").alias("price_bucket"),
+            (
+                F.abs(F.col("le") - F.col("p") * F.col("n"))
+                <= 0.005 * F.col("n")
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # A10: map-type functions (from_json map, map_concat/keys/element_at)
 # --------------------------------------------------------------------------

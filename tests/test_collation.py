@@ -96,3 +96,25 @@ def test_non_finite_rejected():
         encode_value(float("nan"))
     with pytest.raises(ValueError):
         encode_value(float("inf"))
+
+
+def test_engine_path_missing_below_null(spark):
+    """ADVICE r1: a key expression evaluating to SQL NULL (field absent ⇒
+    reference MISSING) must collate BELOW an explicit json null — the two
+    are distinct all the way through the engine's scan order."""
+    from mapreduceindex_demo_spark.catalog import IndexDefn
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+    df = spark.createDataFrame(
+        [(1, '"z"'), (2, "null"), (3, None), (4, "0")],
+        "doc_id bigint, j string",
+    )
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="mn", bucket="t", sec_exprs=("j",), use_collation=True),
+        df,
+        doc_id_col="doc_id",
+    )
+    order = [r.doc_id for r in eng.scan("mn").collect()]
+    # MISSING(3) < null(2) < number 0(4) < string "z"(1)
+    assert order == [3, 2, 4, 1]

@@ -82,3 +82,40 @@ def test_retain_deleted_xattr(spark):
     )
     rows = {tuple(r) for r in eng.index_table("x").collect()}
     assert rows == {("a_tomb", 1)}
+
+
+def test_register_function_from_file(spark, tmp_path):
+    """Reference iteration-1 JSPath flow (kv_sender.go:1168-1176): load the
+    map function from a source file, same compile-check, then build an
+    index through it."""
+    from mapreduceindex_demo_spark.catalog import IndexDefn
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+    src = tmp_path / "by_type.py"
+    src.write_text(
+        "def on_map(meta, doc):\n"
+        "    return [(doc['payload'].upper(), doc['v'])]\n"
+    )
+    eng = MapIndexEngine(spark)
+    eng.register_function_from_file("by_type", str(src))
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 7)], "doc_id bigint, payload string, v bigint"
+    )
+    eng.create_index(
+        IndexDefn(
+            name="ff", bucket="t", func_name="by_type",
+            key_types=("string", "bigint"),
+        ),
+        df,
+        doc_id_col="doc_id",
+    )
+    rows = {tuple(r) for r in eng.index_table("ff").collect()}
+    assert rows == {("A", 5, 1), ("B", 7, 2)}
+
+    # compile-check still applies to files
+    bad = tmp_path / "bad.py"
+    bad.write_text("def not_on_map(): pass\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="on_map"):
+        eng.register_function_from_file("bad", str(bad))

@@ -296,3 +296,67 @@ def test_collated_scan_range_bounds(spark):
             for r in eng.scan("cr", low=low, high=high, inclusion=incl).collect()
         )
         assert got == expect(low, high, incl), (low, high, incl, got)
+
+
+def test_build_deferred_single_source_scan(spark):
+    """Deferred indexes build in ONE source pass (reference: one INIT_STREAM
+    per instance LIST, kv_sender.go:235-347): after build_deferred, every
+    index's plan reads the materialized snapshot — zero file re-scans —
+    and results equal individually-built indexes."""
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    eng = MapIndexEngine(spark)
+    defs = [
+        IndexDefn(name="d1", bucket="events", sec_exprs=("event_type",), deferred=True),
+        IndexDefn(name="d2", bucket="events", sec_exprs=("user_id",), deferred=True),
+        IndexDefn(name="d3", bucket="events", sec_exprs=("value", "event_type"), deferred=True),
+    ]
+    for d in defs:
+        assert eng.create_index(d, ev, doc_id_col="event_id") is None
+        assert (
+            eng.engine_stats(d.name)[d.name]["status"] == MapIndexEngine.ST_CREATED
+        )
+    built = eng.build_deferred(ev, doc_id_col="event_id")
+    assert set(built) == {"d1", "d2", "d3"}
+    for n in built:
+        plan = built[n]._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" not in plan.lower(), f"{n} re-scanned the source:\n{plan}"
+
+    # parity with a direct (non-deferred) build
+    eng2 = MapIndexEngine(spark)
+    eng2.create_index(
+        IndexDefn(name="solo", bucket="events", sec_exprs=("event_type",)),
+        ev,
+        doc_id_col="event_id",
+    )
+    a = sorted(map(tuple, built["d1"].collect()))
+    b = sorted(map(tuple, eng2.index_table("solo").collect()))
+    assert a == b
+
+    # build_deferred on explicit names guards non-deferred indexes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.build_deferred(ev, doc_id_col="event_id", names=["d1"])
+
+
+def test_unknown_op_raises_not_silent_delete(spark):
+    """ADVICE r1: a typo'd/NULL opcode must surface an error — r1 silently
+    treated it as a delete and dropped index entries."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 2, "upsert"), (2, "b", 3, "upsert")])
+    eng.create_index(
+        IndexDefn(name="vop", bucket="t", sec_exprs=("payload",)),
+        df,
+        doc_id_col="doc_id",
+    )
+    bad = _docs(spark, [(1, "a", 2, "upsrt")])  # typo
+    # the error may fire at plan time (constant folding over literal rows)
+    # or at execution time — either way it must surface, never silently drop
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="unknown CDC op"):
+        eng.apply_changes("vop", bad, doc_id_col="doc_id", op_col="op").collect()
+    null_op = _docs(spark, [(2, "b", 3, None)])
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="unknown CDC op"):
+        eng.apply_changes("vop", null_op, doc_id_col="doc_id", op_col="op").collect()
