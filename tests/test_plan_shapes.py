@@ -99,3 +99,40 @@ def test_collated_scan_no_global_window(spark):
     )
     assert _n(plan, r"Exchange rangepartitioning") >= 1, plan
     assert _n(plan, r"Exchange SinglePartition") <= 1, plan
+
+
+def test_global_rank_equals_naive_window(spark):
+    """Property: the scale-safe global rank (range partition + broadcast
+    offsets) is value-identical to the naive single-task window for
+    duplicate-free sort keys, including NTILE bucketing for every n mod 4
+    residue."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.operators.relational import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    rng = random.Random(7)
+    for n in (1, 2, 3, 97, 1000, 1001, 1002, 1003):
+        vals = rng.sample(range(n * 10), n)
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id bigint, v bigint"
+        ).repartition(7)
+        got = (
+            with_global_rank(df, ["v", "id"], rank_col="r", total_col="t")
+            .select(
+                "id", "r", ntile_expr("r", "t", 4).alias("q4"),
+            )
+            .collect()
+        )
+        w = Window.orderBy("v", "id")
+        exp = df.select(
+            "id",
+            F.row_number().over(w).alias("r"),
+            F.ntile(4).over(w).alias("q4"),
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp)), f"n={n}"
