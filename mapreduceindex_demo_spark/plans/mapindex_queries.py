@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from mapreduceindex_demo_spark.catalog import IndexDefn
 from mapreduceindex_demo_spark.mapindex import INCL_LOW, MapIndexEngine
 from mapreduceindex_demo_spark.plans.registry import query
-from mapreduceindex_demo_spark.session import load_table, table_path
+from mapreduceindex_demo_spark.session import load_table, parquet_col_max, table_path
 
 #: expression index over the event "documents": key = (json k, event_type),
 #: WHERE value > 50 — the reference's N1QL-expression branch (M4/M5/D1)
@@ -262,7 +262,7 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # This is what a real CDC source does: offsets come from the topic/file
     # metadata, never from scanning the data (reference failover-log vbucket
     # seqnos, projector.go). The r1 plan spent a full job on this .collect().
-    hi = _parquet_col_max(table_path(sf_dir, "events"), "event_id")
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + 5) // 5 or 1
 
     # Pre-reduce to the last change per (batch, doc) in ONE shuffle — the
@@ -341,36 +341,6 @@ def q_mapindex_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned = eng.scan("idx_mixed")
     ranked = with_global_rank(scanned, ["sort_key", "doc_id"], rank_col="rank")
     return ranked.select("rank", F.col("key_0").alias("key_json"), "doc_id")
-
-
-def _parquet_col_max(path: str, col: str):
-    """Max of an integer column from parquet FOOTER statistics only — no
-    Spark job, no data read. Handles both a single file and a
-    directory-of-part-files layout."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    files = (
-        [
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        ]
-        if os.path.isdir(path)
-        else [path]
-    )
-    hi = None
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        idx = next(
-            i for i in range(md.num_columns) if md.schema.column(i).name == col
-        )
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(idx).statistics
-            if st is not None and st.max is not None:
-                hi = st.max if hi is None else max(hi, st.max)
-    return hi or 0
 
 
 def _latest_live(batch: DataFrame, doc_id: str, seq: str, op: str) -> DataFrame:

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduceindex_demo_spark.catalog import IndexDefn
 from mapreduceindex_demo_spark.plans.registry import query
-from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.session import load_table, parquet_col_max, table_path
 from mapreduceindex_demo_spark.streaming import (
     materialize_cdc_files,
     run_streaming_index_maintenance,
@@ -196,7 +196,8 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", "ts"
     )
-    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    # split boundary from parquet footer stats — no Spark job (r1 ADVICE)
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + 3) // 3 or 1
     src = os.path.join(work, "src")
     for b in range(3):

@@ -77,6 +77,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_col_max(path: str, col: str):
+    """Max of a column from parquet FOOTER statistics only — no Spark job,
+    no data read; handles single-file and directory-of-part-files layouts.
+    This is how CDC-style consumers should learn offsets/boundaries: from
+    source metadata, never by scanning the data."""
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == col
+        )
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is not None and st.max is not None:
+                hi = st.max if hi is None else max(hi, st.max)
+    return hi
+
+
 #: resolved-plan cache: (spark appId, sf_dir, table) → DataFrame. A cached
 #: DataFrame is only the *logical plan* (scan + events ts conversion) — data
 #: is still read per action, so this is a metadata cache, not a data cache.

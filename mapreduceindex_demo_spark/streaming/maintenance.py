@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from mapreduceindex_demo_spark.catalog import IndexDefn
 from mapreduceindex_demo_spark.mapindex import MapIndexEngine
-from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.session import load_table, parquet_col_max, table_path
 
 
 def materialize_cdc_files(
@@ -48,7 +48,8 @@ def materialize_cdc_files(
     events = load_table(spark, sf_dir, "events").withColumn(
         "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
     )
-    hi = events.agg(F.max("event_id")).collect()[0][0] or 0
+    # split boundary from parquet footer stats — no Spark job (r1 ADVICE)
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + n_files) // n_files or 1
     os.makedirs(out_dir, exist_ok=True)
     limit = n_files if upto_file is None else upto_file
