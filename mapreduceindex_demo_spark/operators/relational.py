@@ -101,31 +101,74 @@ def asof_join(
     return merged.filter(F.col("__side") == 1).drop("__side", "__ts")
 
 
+def _rank_proxy(df: DataFrame, key: str):
+    """A numeric, order-preserving (non-strict) proxy of ``key`` usable by
+    approxQuantile: numerics pass through; strings/binaries map their first
+    7 bytes (zero-right-padded) to an integer — monotone under the type's
+    native lexicographic order, with prefix collisions collapsing into the
+    same bucket (harmless: bucketing only needs a monotone non-strict map).
+    NULLs map to -inf, matching NULLS FIRST ascending order."""
+    t = dict(df.dtypes)[key]
+    if t == "string":
+        p = F.expr(
+            f"cast(conv(hex(rpad(substring(encode({key}, 'UTF-8'), 1, 7), 7,"
+            f" x'00')), 16, 10) as double)"
+        )
+    elif t == "binary":
+        p = F.expr(
+            f"cast(conv(hex(rpad(substring({key}, 1, 7), 7, x'00')), 16, 10)"
+            " as double)"
+        )
+    elif t in ("date",) or t.startswith("timestamp"):
+        p = F.col(key).cast("timestamp").cast("double")
+    else:
+        p = F.col(key).cast("double")
+    return F.coalesce(p, F.lit(float("-inf")))
+
+
 def with_global_rank(
     df: DataFrame,
     order_by: Sequence[str],
     rank_col: str = "rank",
     total_col: str | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Global 1-based row number over a total order WITHOUT a
     single-partition window (the r1-judge-flagged scale killer).
 
-    Plan: range-partition on the sort keys (pid k holds keys below pid k+1's),
-    rank locally per partition, then add broadcast per-partition offsets —
-    the offsets table has one row per shuffle partition, so the only
+    Plan: freeze approxQuantile boundaries of the leading key into LITERALS
+    (one sampling pass — the same thing Spark's own global sort does), so
+    every row's bucket id is a pure deterministic function of its values;
+    rank locally per bucket (one hash shuffle), then add broadcast
+    per-bucket offsets — a frame with one row per bucket, so the only
     single-partition exchange in the plan touches ~32 rows, never the data.
     ``order_by`` must be a total order (include a tiebreak) for determinism.
+
+    Buckets deliberately do NOT come from ``repartitionByRange`` +
+    ``spark_partition_id``: the rank and offsets subtrees would be two
+    physical instantiations of that exchange, and range-boundary sampling
+    is seeded per RDD instance, so the two sides can disagree on the
+    pid→range mapping (observed at sf0.1 as silently dropped/mis-ranked
+    rows). Value-derived bucket ids are immune to AQE/exchange-instance
+    effects by construction.
 
     With ``total_col`` the overall row count is attached to every row, which
     is what NTILE/CUME_DIST need downstream.
     """
-    ranged = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    spark = df.sparkSession
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key0 = order_by[0]
+    proxied = df.withColumn("__proxy", _rank_proxy(df, key0))
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(set(proxied.approxQuantile("__proxy", qs, 0.0001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("__proxy") > F.lit(b), 1).otherwise(0)
+    ranged = proxied.withColumn("__pid", bucket)
     wlocal = Window.partitionBy("__pid").orderBy(*order_by)
     local = ranged.withColumn("__lrn", F.row_number().over(wlocal))
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    # tiny frame (one row per partition): windows over it are fine at any SF
+    # tiny frame (one row per bucket): windows over it are fine at any SF
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
@@ -139,7 +182,7 @@ def with_global_rank(
     out = local.join(F.broadcast(offsets.select(*keep)), "__pid").withColumn(
         rank_col, (F.col("__off") + F.col("__lrn")).cast("long")
     )
-    return out.drop("__pid", "__lrn", "__off")
+    return out.drop("__pid", "__lrn", "__off", "__proxy")
 
 
 def ntile_expr(rank_col: str, total_col: str, n: int) -> Column:
