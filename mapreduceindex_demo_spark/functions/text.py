@@ -83,12 +83,21 @@ def fingerprint(col: str = "text", prefix_chars: int = 100) -> Column:
     return F.md5(F.lower(F.trim(F.substring(F.col(col), 1, prefix_chars))))
 
 
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
 def punct_ratio(col: str = "text") -> Column:
-    """Punctuation density: non-alphanumeric-non-space chars / chars."""
-    stripped = F.length(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", ""))
+    """Punctuation density: non-alphanumeric-non-space chars / chars.
+
+    Implemented with ``translate`` (constant char-map lookup per char)
+    rather than a regex — identical semantics for the ASCII class
+    ``[^a-zA-Z0-9 ]``, ~several× cheaper per row at scan speed."""
+    stripped = F.length(F.translate(F.col(col), _ALNUM_SPACE, ""))
     total = F.length(F.col(col))
     return F.round(
-        (total - stripped).cast("double") / total.cast("double"), 6
+        stripped.cast("double") / total.cast("double"), 6
     )
 
 
