@@ -244,8 +244,6 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions — the invariant the reference's whole retraction machinery
     exists to preserve, checked here against the windowed-SQL oracle.
     """
-    from pyspark.sql import Window
-
     eng = MapIndexEngine(spark)
     events = load_table(spark, sf_dir, "events").withColumn(
         "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
@@ -273,11 +271,18 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain's lineage off the raw scan. r1's shape re-scanned + re-windowed
     # events per batch: 5 shuffles and 5 scans for the same answer.
     ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
-    w = Window.partitionBy("batch", "user_id").orderBy(F.desc("event_id"))
+    # last-change-per-(batch, doc) as max(struct(seq, ...)): a hash
+    # aggregation with MAP-SIDE partial combine — the wire carries one row
+    # per (batch, doc), where the r1 window form shuffled every event and
+    # sorted it. event_id leads the struct, so max == latest.
     latest = (
-        ev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        ev.groupBy("batch", "user_id")
+        .agg(
+            F.max(
+                F.struct("event_id", "event_type", "value", "props", "op")
+            ).alias("__last")
+        )
+        .select("batch", "user_id", "__last.*")
         .localCheckpoint(eager=True)
     )
     first = latest.filter(
