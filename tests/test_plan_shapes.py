@@ -142,3 +142,23 @@ def test_global_rank_equals_naive_window(spark):
             F.ntile(4).over(w).alias("q4"),
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, exp)), f"n={n}"
+
+
+def test_curated_training_set_single_tiny_window(spark):
+    """The curation pipeline's only Window node is the cumulative sum over
+    the token-count HISTOGRAM (domain-sized); the doc-level dedup is a hash
+    aggregation with map-side partial combine, never a window sort over
+    the corpus."""
+    plan = _final_plan(QUERIES["curated_training_set"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bWindow\b") == 1, plan
+    assert _n(plan, r"Exchange rangepartitioning") == 0, plan
+
+
+def test_incremental_cdc_no_window_in_merge_chain(spark):
+    """After the one-shuffle pre-reduction (materialized), the CDC merge
+    chain is pure join+union — no window sorts, no range exchanges."""
+    plan = _final_plan(
+        QUERIES["mapindex_incremental_cdc"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"\bWindow\b") == 0, plan
+    assert _n(plan, r"Exchange rangepartitioning") == 0, plan
