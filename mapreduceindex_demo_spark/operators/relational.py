@@ -154,6 +154,12 @@ def with_global_rank(
 
     With ``total_col`` the overall row count is attached to every row, which
     is what NTILE/CUME_DIST need downstream.
+
+    Skew caveat: a leading key dominated by one value collapses its rows
+    into one bucket — CORRECTNESS is unaffected (buckets are value-ranges,
+    ranks stay exact), but that bucket's local rank runs on one task, like
+    any sort would on a constant key. Callers ranking near-constant keys
+    should pick a more selective leading key.
     """
     spark = df.sparkSession
     n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
