@@ -284,9 +284,15 @@ class MapIndexEngine:
         seq_col: str | None = None,
         xattr_col: str | None = None,
         checkpoint: bool = True,
+        assume_unique_docs: bool = False,
     ) -> DataFrame:
         """Apply one CDC micro-batch: ops are ``upsert`` / ``delete`` /
         ``expiration`` per document (reference opcodes at indexjs.go:123-189).
+
+        ``assume_unique_docs=True`` skips the changed-ids ``distinct()``
+        shuffle for sources that already deliver one change per doc per
+        batch (e.g. a pre-reduced/log-compacted feed) — the reference's
+        projector likewise dedupes upstream of the sink.
 
         MERGE semantics, one shuffle on doc_id:
           1. last change per doc wins within the batch (seq order);
@@ -342,9 +348,9 @@ class MapIndexEngine:
         if defn.immutable:
             merged = cur.unionByName(new_entries)
         else:
-            changed_ids = changes.select(
-                F.col(doc_id_col).alias("doc_id")
-            ).distinct()
+            changed_ids = changes.select(F.col(doc_id_col).alias("doc_id"))
+            if not assume_unique_docs:
+                changed_ids = changed_ids.distinct()
             merged = (
                 cur.join(changed_ids, "doc_id", "left_anti")
                 .select(*cur.columns)  # keep canonical (key_*, doc_id) order

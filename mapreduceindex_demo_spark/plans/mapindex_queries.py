@@ -302,6 +302,7 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             op_col="op",
             seq_col=None,
             checkpoint=False,
+            assume_unique_docs=True,  # pre-reduction guarantees it
         )
     return eng.index_table(defn.name)
 
