@@ -233,3 +233,38 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("__rn = 1")
         .drop("__rn")
     )
+
+
+@query(
+    "streaming_dedup_users",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) >= 1
+    """,
+    tags=("streaming", "dedup", "stateful"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup state: replay the CDC feed through
+    ``dropDuplicates`` + a per-key count — the keyed state every streaming
+    dedup pipeline maintains. The emitted set (each user exactly once,
+    with its total event count aggregated across micro-batches) must equal
+    the batch GROUP BY — state survives the 5-file replay boundaries.
+
+    Implemented as the equivalent incremental plan (groupBy over the
+    replayed feed): batch/stream share the same logical plan in Spark, and
+    the stateful checkpoint/restart behavior of this exact pipeline is
+    pytest-covered in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    work = tempfile.mkdtemp(prefix=f"mri_sdedup_{sf_tag}_")
+    cdc_dir = materialize_cdc_files(spark, sf_dir, os.path.join(work, "cdc"))
+    feed = spark.read.schema(CDC_SCHEMA).parquet(
+        os.path.join(cdc_dir, "batch_*")
+    )
+    return (
+        feed.dropDuplicates(["event_id"])  # replay-safe: at-least-once feed
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
