@@ -164,3 +164,37 @@ def test_incremental_cdc_no_window_in_merge_chain(spark):
     )
     assert _n(plan, r"\bWindow\b") == 0, plan
     assert _n(plan, r"Exchange rangepartitioning") == 0, plan
+
+
+def test_global_rank_string_and_binary_keys(spark):
+    """_rank_proxy's string and binary branches: global rank over
+    non-numeric leading keys must equal the naive window rank."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.operators.relational import with_global_rank
+
+    rng = random.Random(11)
+    words = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(rng.randint(1, 12)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id bigint, w string"
+    ).repartition(5)
+    got = with_global_rank(df, ["w", "id"], rank_col="r").select("id", "r").collect()
+    exp = df.select(
+        "id", F.row_number().over(Window.orderBy("w", "id")).alias("r")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+    bdf = df.select("id", F.encode("w", "UTF-8").alias("b"))
+    gotb = (
+        with_global_rank(bdf, ["b", "id"], rank_col="r").select("id", "r").collect()
+    )
+    expb = bdf.select(
+        "id", F.row_number().over(Window.orderBy("b", "id")).alias("r")
+    ).collect()
+    assert sorted(map(tuple, gotb)) == sorted(map(tuple, expb))
