@@ -163,3 +163,28 @@ class Catalog:
 
     def list_indexes(self) -> list[str]:
         return sorted(self._indexes)
+
+    def find_index(
+        self, bucket: str, leading_expr: str | None = None
+    ) -> IndexDefn:
+        """Index SELECTION — the reference's query service picks an index
+        for a scan rather than making callers name one (GSI planner over
+        IndexDefn metadata). Matches on bucket + normalized leading key
+        expression; a primary index matches ``leading_expr=None``.
+        Deterministic tie-break: lexicographically first index name."""
+        norm = (leading_expr or "").replace(" ", "").lower()
+        matches = []
+        for d in self._indexes.values():
+            if d.bucket != bucket:
+                continue
+            if leading_expr is None:
+                if d.is_primary:
+                    matches.append(d)
+            elif d.sec_exprs and d.sec_exprs[0].replace(" ", "").lower() == norm:
+                matches.append(d)
+        if not matches:
+            raise KeyError(
+                f"no index on bucket {bucket!r} with leading expr "
+                f"{leading_expr!r}; have {self.list_indexes()}"
+            )
+        return sorted(matches, key=lambda d: d.name)[0]

@@ -445,6 +445,19 @@ class MapIndexEngine:
         ]
         return df.orderBy(*order)
 
+    def scan_by_expr(
+        self,
+        bucket: str,
+        leading_expr: str | None = None,
+        **scan_kwargs,
+    ) -> DataFrame:
+        """Route a scan through index SELECTION (reference query-service
+        planner): find the index on ``bucket`` whose leading key is
+        ``leading_expr`` (primary index when None) and scan it — callers
+        ask for data shapes, not index names."""
+        defn = self.catalog.find_index(bucket, leading_expr)
+        return self.scan(defn.name, **scan_kwargs)
+
     def stats(self, name: str, approx: bool = False) -> DataFrame:
         """Declared scan-side statistics (IndexStatistics, index.go:39-43):
         Count / MinKey / MaxKey / DistinctCount as one row.

@@ -360,3 +360,33 @@ def test_unknown_op_raises_not_silent_delete(spark):
     null_op = _docs(spark, [(2, "b", 3, None)])
     with pytest.raises((Py4JJavaError, SparkRuntimeException), match="unknown CDC op"):
         eng.apply_changes("vop", null_op, doc_id_col="doc_id", op_col="op").collect()
+
+
+def test_scan_routing_by_expression(spark):
+    """Index selection (reference query-service planner): scans route by
+    bucket + leading key expression, not index name; primary routes on
+    None; unknown expressions raise with the available inventory."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, chr(97 + i), i * 10, "u") for i in range(5)])
+    eng.create_index(
+        IndexDefn(name="by_v", bucket="docs", sec_exprs=("v",)), df, doc_id_col="doc_id"
+    )
+    eng.create_index(
+        IndexDefn(name="by_payload", bucket="docs", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_index(
+        IndexDefn(name="pk", bucket="docs", is_primary=True), df, doc_id_col="doc_id"
+    )
+
+    routed = eng.scan_by_expr("docs", "v", low=10, high=30).collect()
+    direct = eng.scan("by_v", low=10, high=30).collect()
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, direct))
+    assert [r.key_0 for r in routed] == [10, 20, 30]
+
+    assert eng.scan_by_expr("docs", " V ").count() == 5  # normalized match
+    assert eng.scan_by_expr("docs", None).count() == 5  # primary route
+
+    with pytest.raises(KeyError, match="no index on bucket"):
+        eng.scan_by_expr("docs", "no_such_col")
