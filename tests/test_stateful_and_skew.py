@@ -176,3 +176,50 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_runtime_bloom_filter_semi_join_pushdown(spark):
+    """Runtime row-level filtering (Spark's runtime bloom filter) is ON in
+    the engine session: for a selective shuffle join it builds a bloom
+    filter from the filtered side and applies might_contain at the fact
+    scan — semi-join pushdown that prunes shuffle input at 100 TB. The
+    default thresholds (creation side <=10MB, application side >=10GB) are
+    the correct at-scale gates; this test lowers the application-side gate
+    to simulate the big-fact condition at test SF."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.session import load_table
+    from tests.conftest import PARITY_SF_DIR
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, PARITY_SF_DIR, "lineitem")
+        od = load_table(spark, PARITY_SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert re.search("bloom", plan, re.I), plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
