@@ -58,3 +58,31 @@ def write_sink(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).format(fmt).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingest via Spark's built-in ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content) — the ingest
+    edge of the multimodal pipeline (images/audio/video land as opaque
+    ``binary`` + typed metadata, then flow through the mapInPandas
+    decode/feature stages in functions/multimodal.py).
+
+    ``max_bytes`` filters oversized files VIA THE SOURCE (pushed length
+    predicate), so giant assets are skipped at listing time, not after
+    reading bytes. At 100 TB this source parallelizes by file; pack small
+    assets into parquet binary columns (write_sink) for scan efficiency.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

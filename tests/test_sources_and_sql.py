@@ -110,3 +110,34 @@ def test_compaction_rebalances_small_files(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(dst2).collect())) == sorted(
         map(tuple, events.collect())
     )
+
+
+def test_binary_file_ingest(spark, tmp_path):
+    """Multimodal ingest edge: binaryFile source reads raw assets as
+    (path, modificationTime, length, content), glob-filtered and
+    size-gated; bytes round-trip exactly and flow into the parquet
+    binary-column layout the multimodal stages consume."""
+    from mapreduceindex_demo_spark.sources.readers import (
+        read_binary_files,
+        write_sink,
+    )
+
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == payloads
+    assert dict(df.dtypes)["content"] == "binary"
+
+    small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=12)
+    assert small.count() == 3  # 10, 11, 12 byte files pass the gate
+
+    # ingest → parquet binary-column layout (what the pipeline scans)
+    out = str(tmp_path / "packed")
+    write_sink(df.select("path", "length", "content"), out)
+    packed = spark.read.parquet(out)
+    assert packed.count() == 5
+    assert dict(packed.dtypes)["content"] == "binary"
