@@ -390,8 +390,13 @@ class MapIndexEngine:
         descending: bool | None = None,
         consistency: str = "any",
     ) -> DataFrame:
-        """Range scan on the leading key part, ordered per the index's
-        declared Desc flags (index.go:285-296).
+        """Range scan, ordered per the index's declared Desc flags
+        (index.go:285-296). ``low``/``high`` are either a single leading-key
+        value or a list/tuple of leading key-part values — the reference's
+        composite Low/High scan keys (index.go:137-156). A bound given as a
+        PREFIX of the key brackets every entry sharing that prefix:
+        exclusive excludes the whole prefix range, inclusive includes it
+        (LSM/SSTable bracket semantics).
 
         Consistency (T3, index.go:137-156): ``any`` scans current state;
         ``session``/``query`` first drain queued CDC batches so the scan
@@ -403,37 +408,70 @@ class MapIndexEngine:
             self.drain_pending(name)
         defn = self.catalog.get_index(name)
         df = self.index_table(name)
+
+        def as_parts(v):
+            return list(v) if isinstance(v, (list, tuple)) else [v]
+
         if "sort_key" in df.columns:
             # Collated index: bounds are JSON values, encoded through the
             # SAME order-preserving encoding the scan orders by — filtering
             # raw key_0 text would use a different order than the collation
             # advertises ('10' < '9' lexicographically; cross-type bounds
             # plain wrong). Bound encoding exploits the composite-key array
-            # framing: b"\x08"+enc(v) is a strict prefix of every entry
-            # whose leading part equals v, and \xff is strictly above any
-            # continuation byte (tags <= 0x09, terminator 0x00), so the
-            # four inclusive/exclusive cases are pure byte-range predicates
-            # — exactly how an LSM/SSTable range scan brackets a prefix.
+            # framing: b"\x08"+enc(v0)+enc(v1)... is a strict prefix of
+            # every entry whose leading parts equal those values, and \xff
+            # is strictly above any continuation byte (tags <= 0x09,
+            # terminator 0x00), so the four inclusive/exclusive cases are
+            # pure byte-range predicates — exactly how an LSM/SSTable range
+            # scan brackets a prefix.
             from mapreduceindex_demo_spark.collation import encode_value
 
             sk = F.col("sort_key")
             if low is not None:
-                p = b"\x08" + encode_value(low)
+                p = b"\x08" + b"".join(encode_value(v) for v in as_parts(low))
                 df = df.filter(
                     sk >= F.lit(p) if inclusion & INCL_LOW else sk >= F.lit(p + b"\xff")
                 )
             if high is not None:
-                p = b"\x08" + encode_value(high)
+                p = b"\x08" + b"".join(encode_value(v) for v in as_parts(high))
                 df = df.filter(
                     sk <= F.lit(p + b"\xff") if inclusion & INCL_HIGH else sk < F.lit(p)
                 )
             keys = ["sort_key"]
         else:
-            key0 = F.col("doc_id") if defn.is_primary else F.col("key_0")
+            def bound_pair(vals):
+                # composite bounds compare field-wise via struct ordering —
+                # Spark's struct comparison is exactly the lexicographic
+                # multi-part key order the index declares
+                names = (
+                    ["doc_id"]
+                    if defn.is_primary
+                    else [f"key_{i}" for i in range(len(vals))]
+                )
+                if len(vals) == 1:
+                    return F.col(names[0]), F.lit(vals[0])
+                # struct comparison requires matching field names AND types
+                return (
+                    F.struct(
+                        *[
+                            F.col(n).cast(dict(df.dtypes)[n]).alias(n)
+                            for n in names
+                        ]
+                    ),
+                    F.struct(
+                        *[
+                            F.lit(v).cast(dict(df.dtypes)[n]).alias(n)
+                            for n, v in zip(names, vals)
+                        ]
+                    ),
+                )
+
             if low is not None:
-                df = df.filter(key0 >= low if inclusion & INCL_LOW else key0 > low)
+                c, v = bound_pair(as_parts(low))
+                df = df.filter(c >= v if inclusion & INCL_LOW else c > v)
             if high is not None:
-                df = df.filter(key0 <= high if inclusion & INCL_HIGH else key0 < high)
+                c, v = bound_pair(as_parts(high))
+                df = df.filter(c <= v if inclusion & INCL_HIGH else c < v)
             keys = [c for c in df.columns if c.startswith("key_")] or ["doc_id"]
         desc_flags = list(defn.desc or (False,) * len(keys))
         desc_flags += [False] * (len(keys) - len(desc_flags))

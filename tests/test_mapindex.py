@@ -390,3 +390,60 @@ def test_scan_routing_by_expression(spark):
 
     with pytest.raises(KeyError, match="no index on bucket"):
         eng.scan_by_expr("docs", "no_such_col")
+
+
+def test_composite_scan_bounds(spark):
+    """Reference scans take COMPOSITE Low/High keys (index.go:137-156):
+    multi-part bounds compare field-wise (struct order on plain indexes,
+    encoded-prefix brackets on collated ones)."""
+    import json
+
+    eng = MapIndexEngine(spark)
+    rows = [(i, chr(97 + i % 3), i % 4, "u") for i in range(12)]
+    df = _docs(spark, rows)
+    eng.create_index(
+        IndexDefn(name="comp", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    got = {
+        (r.key_0, r.key_1)
+        for r in eng.scan(
+            "comp", low=("a", 1), high=("b", 2), inclusion=INCL_BOTH
+        ).collect()
+    }
+    expect = {
+        (p, v)
+        for (_, p, v, _) in rows
+        if ("a", 1) <= (p, v) <= ("b", 2)
+    }
+    assert got == expect and got  # non-empty
+
+    # exclusive composite bounds
+    got_ex = {
+        (r.key_0, r.key_1)
+        for r in eng.scan("comp", low=("a", 1), high=("b", 2), inclusion=0).collect()
+    }
+    assert got_ex == {(p, v) for (_, p, v, _) in rows if ("a", 1) < (p, v) < ("b", 2)}
+
+    # collated composite: mixed-type two-part keys
+    vals = [(1, [10, "x"]), (2, [10, 2]), (3, ["9", "x"]), (4, [2, None])]
+    cdf = spark.createDataFrame(
+        [(i, json.dumps(a), json.dumps(b)) for i, (a, b) in vals],
+        "doc_id bigint, j0 string, j1 string",
+    )
+    eng.create_index(
+        IndexDefn(name="ccomp", bucket="t", sec_exprs=("j0", "j1"), use_collation=True),
+        cdf,
+        doc_id_col="doc_id",
+    )
+    # bracket [ [10,2] .. [10,"x"] ] inclusive: numbers < strings, so both
+    # 10-leading entries qualify; ["9",...] (string 9) and [2,None] don't
+    got_c = sorted(
+        r.doc_id
+        for r in eng.scan("ccomp", low=[10, 2], high=[10, "x"], inclusion=INCL_BOTH).collect()
+    )
+    assert got_c == [1, 2]
+    # prefix bound: everything with leading part 10, exclusive-high on [10]
+    got_p = sorted(r.doc_id for r in eng.scan("ccomp", high=[10], inclusion=0).collect())
+    assert got_p == [4]  # only number 2 sorts below 10 (string "9" is above all numbers)
