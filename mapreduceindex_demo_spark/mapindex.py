@@ -389,6 +389,8 @@ class MapIndexEngine:
         inclusion: int = INCL_BOTH,
         descending: bool | None = None,
         consistency: str = "any",
+        limit: int | None = None,
+        projection: list[str] | None = None,
     ) -> DataFrame:
         """Range scan, ordered per the index's declared Desc flags
         (index.go:285-296). ``low``/``high`` are either a single leading-key
@@ -397,6 +399,13 @@ class MapIndexEngine:
         PREFIX of the key brackets every entry sharing that prefix:
         exclusive excludes the whole prefix range, inclusive includes it
         (LSM/SSTable bracket semantics).
+
+        ``limit`` (reference scan Limit, index.go:137-156) plans as
+        TakeOrdered — per-partition top-k heaps merged at the driver, no
+        global sort. Keyset pagination falls out of composite bounds: pass
+        the last key seen as an EXCLUSIVE ``low`` to fetch the next page.
+        ``projection`` trims returned columns (the reference's scan-side
+        field selection) and reaches the source scan via column pruning.
 
         Consistency (T3, index.go:137-156): ``any`` scans current state;
         ``session``/``query`` first drain queued CDC batches so the scan
@@ -481,7 +490,15 @@ class MapIndexEngine:
             F.col(c).desc() if d else F.col(c).asc()
             for c, d in zip(keys, desc_flags)
         ]
-        return df.orderBy(*order)
+        out = df.orderBy(*order)
+        if limit is not None:
+            out = out.limit(limit)
+        if projection is not None:
+            missing = [c for c in projection if c not in out.columns]
+            if missing:
+                raise KeyError(f"projection columns not in index: {missing}")
+            out = out.select(*projection)
+        return out
 
     def scan_by_expr(
         self,

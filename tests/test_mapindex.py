@@ -447,3 +447,28 @@ def test_composite_scan_bounds(spark):
     # prefix bound: everything with leading part 10, exclusive-high on [10]
     got_p = sorted(r.doc_id for r in eng.scan("ccomp", high=[10], inclusion=0).collect())
     assert got_p == [4]  # only number 2 sorts below 10 (string "9" is above all numbers)
+
+
+def test_scan_limit_projection_and_pagination(spark):
+    """Scan Limit (TakeOrdered plan — no global sort exchange), scan-side
+    projection, and keyset pagination via exclusive composite low bounds."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(i, chr(97 + i % 5), i, "u") for i in range(50)])
+    eng.create_index(
+        IndexDefn(name="pg", bucket="t", sec_exprs=("v",)), df, doc_id_col="doc_id"
+    )
+
+    page1 = eng.scan("pg", limit=10).collect()
+    assert [r.key_0 for r in page1] == list(range(10))
+    # keyset pagination: next page starts strictly after the last key seen
+    from mapreduceindex_demo_spark.mapindex import INCL_HIGH
+    page2 = eng.scan("pg", low=page1[-1].key_0, inclusion=INCL_HIGH, limit=10).collect()
+    assert [r.key_0 for r in page2] == list(range(10, 20))
+
+    plan = eng.scan("pg", limit=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    proj = eng.scan("pg", limit=3, projection=["doc_id"])
+    assert proj.columns == ["doc_id"]
+    with pytest.raises(KeyError, match="projection"):
+        eng.scan("pg", projection=["nope"])
