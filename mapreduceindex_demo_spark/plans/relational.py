@@ -1359,10 +1359,11 @@ def q_orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS prev_us
       FROM events),
     s AS (
-      SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 43200000000
+      SELECT *, CAST(SUM(CASE WHEN prev_us IS NULL
+                              OR us - prev_us > 43200000000
                     THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS UNBOUNDED PRECEDING) AS session_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM e)
     SELECT user_id, session_id, COUNT(*) AS n_events,
       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

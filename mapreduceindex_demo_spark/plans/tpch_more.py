@@ -229,10 +229,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_priority_counts",
     oracle="""
     SELECT l_linestatus,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-          THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-          THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01'

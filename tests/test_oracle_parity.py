@@ -40,6 +40,33 @@ def _rows_to_sorted(rows, colnames):
     return sorted(out, key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
 
 
+#: DuckDB types with no Spark/Arrow equivalent: the driver's value hasher
+#: encodes them differently from the Spark column even when every value is
+#: equal (r03 postmortem: SUM over int/window promotes to HUGEINT=int128
+#: while Spark emits BIGINT — rows bit-identical, hash red). Python ints
+#: erase the distinction, so value comparison alone can't catch it; the
+#: oracle's *declared* schema must be clean.
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_schema_has_no_unhashable_types(duck, name):
+    """Cheap schema-only check (DESCRIBE doesn't execute the query): no
+    oracle may project a HUGEINT/UHUGEINT/DECIMAL column — cast aggregates
+    to BIGINT/DOUBLE per the suite convention (plans/registry.py)."""
+    q = QUERIES[name]
+    rows = duck.execute(f"DESCRIBE ({q.oracle})").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if any(t in typ.upper() for t in FORBIDDEN_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle projects driver-unhashable DuckDB types {bad}; "
+        f"wrap the expression in CAST(... AS BIGINT/DOUBLE)"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     q = QUERIES[name]
