@@ -5,24 +5,36 @@ The pattern for image/audio/video at 100 TB: store the raw bytes as a
 resize / frame-sample run as Arrow-batched `mapInPandas` stages so bytes
 never round-trip through Python row-by-row.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this environment, so
-`decode_features` is a deterministic stub behind the real Spark plumbing —
-schema, batching, and partition behavior are genuine and tested; swap
-`_stub_feature_vec` for a real decoder to productionize (it raises
-NotImplementedError for non-'fake' codecs to make the boundary explicit).
+The heavy media codecs (PIL/ffmpeg/torchaudio) are NOT in this environment,
+so the engine ships its own deterministic raster container ("gray8"): a
+binary header (magic, codec id, width, pixel count) followed by row-major
+1-byte pixels. Containers are ASSEMBLED JVM-side (`media_container` —
+concat/hex/unhex, whole-stage codegen, scan-speed at 100 TB) and PARSED by
+a real pure-Python binary decoder (`decode_media` — struct.unpack, magic /
+codec / length validation, raises ValueError on corruption) inside the
+Arrow-batched mapInPandas stage. A production image decoder slots into
+`decode_media` without touching the Spark plumbing.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: gray8 container: 4-byte magic, 1-byte codec id, 2-byte big-endian width,
+#: 4-byte big-endian pixel count, then pixels (last row may be partial).
+MEDIA_MAGIC = b"MRI1"
+CODEC_IDS = {"gray8": 1}
+MEDIA_WIDTH = 16
+_HEADER = struct.Struct(">4sBHI")
+
 #: schema of the extracted-feature output of decode_features
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, codec string, feature_0 double, "
-    "feature_1 double, feature_2 double, feature_3 double"
+    "doc_id bigint, codec string, width int, height int, n_pixels int, "
+    "byte_sum bigint, min_byte int, max_byte int, mean_byte double"
 )
 
 
@@ -41,23 +53,49 @@ def media_meta(codec: str = "fake") -> Column:
     )
 
 
-def _stub_feature_vec(payload: bytes, codec: str) -> list[float]:
-    """Deterministic fake 'decoder': 4 features from byte statistics.
-    Real decoders (image resize, audio frame-sample, …) slot in here."""
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r}: media libraries not available in this "
-            "environment — plug a real decoder into _stub_feature_vec"
+def media_container(
+    text_col: str = "text", width: int = MEDIA_WIDTH
+) -> Column:
+    """Assemble a gray8 container column entirely JVM-side: header ints are
+    rendered big-endian via hex → lpad → unhex so the ingest path stays in
+    whole-stage codegen (no Python in the 100 TB write path)."""
+
+    def be(col: Column, nbytes: int) -> Column:
+        return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+    payload = binary_payload(text_col)
+    return F.concat(
+        F.lit(MEDIA_MAGIC),
+        be(F.lit(CODEC_IDS["gray8"]), 1),
+        be(F.lit(width), 2),
+        be(F.octet_length(payload), 4),
+        payload,
+    )
+
+
+def decode_media(blob: bytes) -> tuple[str, int, memoryview]:
+    """Parse and validate a gray8 container; returns (codec, width,
+    pixels). Raises ValueError on any corruption — truncated header, bad
+    magic, unknown codec id, or pixel payload shorter/longer than the
+    declared count. This is the seam where a real image/audio parser goes;
+    the Spark plumbing around it is codec-agnostic."""
+    if len(blob) < _HEADER.size:
+        raise ValueError(
+            f"media container truncated: {len(blob)} bytes < "
+            f"{_HEADER.size}-byte header"
         )
-    n = len(payload)
-    if n == 0:
-        return [0.0, 0.0, 0.0, 0.0]
-    return [
-        float(n),
-        float(sum(payload) % 997),
-        float(payload[0]),
-        float(payload[-1]),
-    ]
+    magic, codec_id, width, n_pixels = _HEADER.unpack_from(blob, 0)
+    if magic != MEDIA_MAGIC:
+        raise ValueError(f"bad media magic {magic!r}")
+    codec = next((k for k, v in CODEC_IDS.items() if v == codec_id), None)
+    if codec is None:
+        raise ValueError(f"unknown codec id {codec_id}")
+    pixels = memoryview(blob)[_HEADER.size :]
+    if len(pixels) != n_pixels:
+        raise ValueError(
+            f"pixel payload {len(pixels)} != declared {n_pixels}"
+        )
+    return codec, width, pixels
 
 
 #: frame sampling parameters: k evenly spaced fixed-width byte windows
@@ -100,32 +138,43 @@ def frame_sample(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
 
 
 def decode_features(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
-    """Arrow-batched decode/feature-extract over (doc_id, payload, meta):
-    the real 100 TB plumbing — mapInPandas keeps each partition's bytes in
-    a few Arrow batches, no shuffle, no driver involvement."""
+    """Arrow-batched decode/feature-extract over (doc_id, media container):
+    the real 100 TB plumbing — container assembly is JVM-side, mapInPandas
+    keeps each partition's bytes in a few Arrow batches (no shuffle, no
+    driver), and `decode_media` does real binary parsing per blob.
+
+    mean_byte uses explicit integer half-up rounding to 6 decimals
+    ((2·sum·10⁶ + n) // (2n), then ÷10⁶) so Spark and the DuckDB oracle
+    agree bit-exactly regardless of engine round() tie conventions."""
 
     def extract(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                _stub_feature_vec(p, c)
-                for p, c in zip(pdf["payload"], pdf["codec"])
-            ]
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf[doc_id],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "codec": pdf["codec"],
-                }
-            )
-            for i in range(4):
-                out[f"feature_{i}"] = [f[i] for f in feats]
-            yield out
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "codec", "width", "height", "n_pixels",
+                    "byte_sum", "min_byte", "max_byte", "mean_byte",
+                )
+            }
+            for did, blob in zip(pdf[doc_id], pdf["media"]):
+                codec, width, px = decode_media(blob)
+                arr = np.frombuffer(px, dtype=np.uint8)
+                n = arr.size
+                s = int(arr.sum()) if n else 0
+                rows["doc_id"].append(did)
+                rows["codec"].append(codec)
+                rows["width"].append(width)
+                rows["height"].append(-(-n // width))
+                rows["n_pixels"].append(n)
+                rows["byte_sum"].append(s)
+                rows["min_byte"].append(int(arr.min()) if n else 0)
+                rows["max_byte"].append(int(arr.max()) if n else 0)
+                micro = (2 * s * 1_000_000 + n) // (2 * n) if n else 0
+                rows["mean_byte"].append(micro / 1_000_000.0)
+            yield pd.DataFrame(rows)
 
-    prepared = df.select(
-        F.col(doc_id),
-        binary_payload().alias("payload"),
-        F.lit("fake").alias("codec"),
-    )
+    prepared = df.select(F.col(doc_id), media_container().alias("media"))
     return prepared.mapInPandas(extract, FEATURE_SCHEMA)

@@ -13,27 +13,51 @@ from tests.conftest import SMOKE_SF_DIR
 
 
 def test_decode_features_mapinpandas(spark):
-    """Arrow-batched decode: schema, one row per doc, deterministic stub."""
+    """Arrow-batched decode: schema, one row per doc, stats match the
+    source bytes, deterministic across runs."""
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
     feats = MM.decode_features(docs)
     assert feats.columns == [
-        "doc_id", "n_bytes", "codec", "feature_0", "feature_1", "feature_2",
-        "feature_3",
+        "doc_id", "codec", "width", "height", "n_pixels", "byte_sum",
+        "min_byte", "max_byte", "mean_byte",
     ]
     rows = feats.collect()
     assert len(rows) == docs.count()
     r = {row.doc_id: row for row in rows}
     one = docs.select("doc_id", "text").first()
-    assert r[one.doc_id].n_bytes == len(one.text.encode())
-    assert r[one.doc_id].feature_0 == float(len(one.text.encode()))
+    raw = one.text.encode()
+    got = r[one.doc_id]
+    assert got.codec == "gray8"
+    assert got.n_pixels == len(raw)
+    assert got.byte_sum == sum(raw)
+    assert got.min_byte == min(raw) and got.max_byte == max(raw)
+    assert got.height == -(-len(raw) // MM.MEDIA_WIDTH)
     # run twice → identical (determinism)
     rows2 = MM.decode_features(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
-def test_decode_stub_rejects_real_codecs():
-    with pytest.raises(NotImplementedError, match="media libraries"):
-        MM._stub_feature_vec(b"bytes", "jpeg")
+def test_media_container_roundtrip(spark):
+    """JVM-side container assembly parses back exactly with the Python
+    decoder: header fields and pixel bytes survive the round trip."""
+    df = spark.createDataFrame([(1, "Héllo wörld")], "doc_id long, text string")
+    blob = df.select(MM.media_container().alias("m")).first().m
+    codec, width, px = MM.decode_media(bytes(blob))
+    assert codec == "gray8" and width == MM.MEDIA_WIDTH
+    assert bytes(px) == "Héllo wörld".encode()
+
+
+def test_decode_media_rejects_corrupt_containers():
+    good = MM._HEADER.pack(MM.MEDIA_MAGIC, 1, 16, 3) + b"abc"
+    assert bytes(MM.decode_media(good)[2]) == b"abc"
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_media(good[:5])
+    with pytest.raises(ValueError, match="bad media magic"):
+        MM.decode_media(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="unknown codec id"):
+        MM.decode_media(MM._HEADER.pack(MM.MEDIA_MAGIC, 9, 16, 3) + b"abc")
+    with pytest.raises(ValueError, match="!= declared"):
+        MM.decode_media(MM._HEADER.pack(MM.MEDIA_MAGIC, 1, 16, 5) + b"abc")
 
 
 def test_lsh_bucket_shape(spark):
