@@ -364,6 +364,65 @@ class MapIndexEngine:
         self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
         return merged
 
+    def apply_backlog(
+        self,
+        name: str,
+        changes: DataFrame,
+        doc_id_col: str,
+        op_col: str,
+        seq_col: str | None = None,
+        batch_col: str | None = None,
+        checkpoint: bool = True,
+        n_batches: int | None = None,
+    ) -> DataFrame:
+        """Catch-up merge — the reference's CATCHUP stream phase (T2,
+        index.go:340-349): apply an ordered BACKLOG of CDC micro-batches in
+        ONE merge instead of replaying them one by one.
+
+        Equivalent by construction to folding :meth:`apply_changes` over
+        the batches in ``(batch, seq)`` order: under sequential replay each
+        later batch retracts everything an earlier batch wrote for the same
+        doc, so only the per-doc FINAL change ever survives — which is
+        exactly what the single ``row_number`` reduction here keeps
+        (equivalence is asserted against the literal fold in
+        tests/test_mapindex_backlog.py). The wire cost is one shuffle on
+        doc_id + one anti-join REGARDLESS of backlog depth, where the fold
+        pays an anti-join per batch — the difference between O(1) and
+        O(batches) plan depth when an index re-attaches after falling far
+        behind (the scenario the reference handles with a dedicated
+        CATCHUP stream).
+        """
+        order_cols = [c for c in (batch_col, seq_col) if c]
+        if order_cols:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(doc_id_col).orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            changes = (
+                changes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", *([batch_col] if batch_col else []))
+                # the merge reads the reduced backlog TWICE (retraction ids
+                # + fresh entries); a lazy local checkpoint materializes it
+                # once at action time instead of replaying scan+agg+window
+                # per consumer (observed as two identical Window subtrees
+                # in the physical plan)
+                .localCheckpoint(eager=False)
+            )
+        out = self.apply_changes(
+            name,
+            changes,
+            doc_id_col,
+            op_col,
+            seq_col=None,  # reduced above, across batches
+            checkpoint=checkpoint,
+            assume_unique_docs=True,
+        )
+        if n_batches and n_batches > 1:
+            self._batches_applied[name] += n_batches - 1
+        return out
+
     # -- consistency levels (T3: index.go:137-156) -------------------------
 
     def enqueue_changes(self, name: str, changes: DataFrame, **apply_kwargs) -> None:
