@@ -25,11 +25,18 @@ from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
-#: One entry per operator family first; families with several distinct
-#: sub-operators (the 9 mapindex ops, the LLM dedup/ANN suite) keep each
-#: sub-operator inside the window because each is a separate SURVEY §2 row.
+#: ROTATED each round (r4 policy): queries whose green driver row already
+#: exists in a CORRECTNESS_r{N}.json rotate OUT in favor of registered
+#: queries never externally checked, so external verification accumulates
+#: over the whole suite. Hard constraints that always hold: every mapindex
+#: sub-operator stays in (each is its own SURVEY §2 row), every operator
+#: family keeps ≥1 representative (tests/test_coverage_integrity.py), and
+#: any query whose implementation or oracle changed this round stays in
+#: for re-verification.
 PRIORITY_50 = [
-    # --- map-index subsystem (SURVEY M1-M9, P1, A1-A4, A8, D3, D9, S1) ---
+    # --- map-index subsystem (SURVEY M1-M9, P1, A1-A4, A8, D3, D9, S1);
+    # incremental_cdc (new catch-up merge) + collated_scan (new oracle)
+    # changed this round ---
     "mapindex_expr_build",
     "mapindex_primary_build",
     "mapindex_array_build",
@@ -40,56 +47,51 @@ PRIORITY_50 = [
     "mapindex_incremental_cdc",
     "mapindex_collated_scan",
     "mapindex_stats_approx",
-    "lineitem_percentiles_approx",
-    # --- streaming (T4 windows/watermarks, T5 stateful, S7 sink) ---
+    # --- fixed (HUGEINT oracle cast) / new oracle this round ---
+    "user_sessionization",
+    "embedding_int8_quantization",
+    "multimodal_feature_extract",
+    # --- never externally checked: streaming tail ---
+    "streaming_sliding_counts",
+    "streaming_dedup_users",
+    # --- never externally checked: LLM tail ---
+    "similarity_lsh_buckets",
+    "multimodal_frame_sample",
+    "balanced_source_sample",
+    "frequent_bigrams_per_lang",
+    "training_sequence_packing",
+    "dedup_apply_neardup_free",
+    # --- never externally checked: TPC-H / subquery / scalar tail ---
+    "small_qty_revenue_by_brand",
+    "large_volume_customers",
+    "min_offer_supplier_per_part",
+    "suppliers_above_nation_avg",
+    "churned_customer_segments",
+    "promo_revenue_share_monthly",
+    "product_profit_by_nation_year",
+    "important_parts_by_value",
+    "late_shipment_priority_counts",
+    "customer_order_count_distribution",
+    "top_revenue_supplier",
+    "supplier_count_by_part_attrs",
+    "bracketed_discounted_revenue",
+    "blocking_suppliers",
+    "idle_customer_balance_by_prefix",
+    # --- family-guard representatives (already green in r01/r03) ---
     "streaming_tumbling_counts",
-    "streaming_session_windows",
     "streaming_interval_join",
     "streaming_index_maintenance",
     "stateful_running_counters",
-    # --- SQL surface (D8 parse endpoint, A5 grouping sets) ---
     "sql_grouping_sets",
-    # --- LLM pipeline: text analysis ---
     "text_token_stats",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_bpe_token_stats",
-    # --- LLM pipeline: dedup family ---
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_components",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_top20",
-    "dedup_embedding_neardup_top20",
-    "dedup_cross_source_contamination",
-    # --- LLM pipeline: similarity search ---
-    "similarity_topk_cosine",
-    "similarity_lsh_ann",
-    "similarity_ivf_ann",
-    "embedding_int8_quantization",
-    # --- LLM pipeline: chunking / sampling / curation ---
-    "text_chunking",
-    "text_hash_sample",
-    "curated_training_set",
-    # --- LLM pipeline: multimodal ---
-    "multimodal_binary_stats",
-    "multimodal_doc_embedding_join",
-    "multimodal_feature_extract",
-    # --- the namesake map/reduce demo ---
     "mapreduce_wordcount",
-    # --- eventstream relational shapes (all err'd in r1 via events-read bug) ---
     "events_daily_rollup",
-    "events_pivot_daily",
-    "events_value_buckets",
-    "events_json_extract",
     "purchase_last_click_asof",
-    "user_sessionization",
-    # --- UDAF surface (U2) ---
     "udaf_weighted_avg_pandas",
-    # --- subquery + TPC-H join shapes (A6) ---
-    "skew_salted_join_volume",
+    # --- bench headliners: keep the BENCH set externally re-verified ---
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
     "nation_market_share_yearly",
 ]
 
