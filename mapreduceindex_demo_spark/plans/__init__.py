@@ -25,43 +25,45 @@ from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
-#: ROTATED each round (r4 policy): queries whose green driver row already
-#: exists in a CORRECTNESS_r{N}.json rotate OUT in favor of registered
+#: ROTATED each round: queries whose green driver row already exists in a
+#: committed CORRECTNESS_r{N}.json rotate OUT in favor of registered
 #: queries never externally checked, so external verification accumulates
-#: over the whole suite. Hard constraints that always hold: every mapindex
-#: sub-operator stays in (each is its own SURVEY §2 row), every operator
-#: family keeps ≥1 representative (tests/test_coverage_integrity.py), and
-#: any query whose implementation or oracle changed this round stays in
-#: for re-verification.
+#: over the whole suite. Hard constraints, MACHINE-ENFORCED by
+#: tests/test_coverage_integrity.py: (a) every operator family keeps ≥1
+#: representative in the window, and (b) every query rotated OUT must be
+#: green in some committed CORRECTNESS_r*.json — a query may never leave
+#: the window without at least one external green row (the r1→r4 gap the
+#: r4 verdict flagged). Any query whose implementation or oracle changed
+#: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- map-index subsystem (SURVEY M1-M9, P1, A1-A4, A8, D3, D9, S1);
-    # incremental_cdc (new catch-up merge) + collated_scan (new oracle)
-    # changed this round ---
-    "mapindex_expr_build",
-    "mapindex_primary_build",
+    # --- r5 closes the external-verification debt: the 5 queries that had
+    # never had an external row (r4 verdict item 2) ---
+    "events_map_functions",
+    "funnel_view_click_purchase",
+    "weekly_retention_cohorts",
+    "text_repetition_filter",
+    "training_mix_weights",
+    # --- changed this round: trained IVF centroids ---
+    "similarity_ivf_ann",
+    # --- map-index subsystem (SURVEY M1-M9, P1, A8, D3, S1); multiply-green
+    # build/stats rows rotated out per r4 verdict item 2 ---
     "mapindex_array_build",
     "mapindex_function_build",
     "mapindex_scan_range",
-    "mapindex_stats",
-    "mapindex_bins",
     "mapindex_incremental_cdc",
     "mapindex_collated_scan",
-    "mapindex_stats_approx",
-    # --- fixed (HUGEINT oracle cast) / new oracle this round ---
+    # --- single-green r4 rows: keep one more external confirmation ---
     "user_sessionization",
     "embedding_int8_quantization",
     "multimodal_feature_extract",
-    # --- never externally checked: streaming tail ---
     "streaming_sliding_counts",
     "streaming_dedup_users",
-    # --- never externally checked: LLM tail ---
     "similarity_lsh_buckets",
     "multimodal_frame_sample",
     "balanced_source_sample",
     "frequent_bigrams_per_lang",
     "training_sequence_packing",
     "dedup_apply_neardup_free",
-    # --- never externally checked: TPC-H / subquery / scalar tail ---
     "small_qty_revenue_by_brand",
     "large_volume_customers",
     "min_offer_supplier_per_part",
@@ -77,13 +79,12 @@ PRIORITY_50 = [
     "bracketed_discounted_revenue",
     "blocking_suppliers",
     "idle_customer_balance_by_prefix",
-    # --- family-guard representatives (already green in r01/r03) ---
+    # --- family-guard representatives (already green in r03+r04) ---
     "streaming_tumbling_counts",
     "streaming_interval_join",
     "streaming_index_maintenance",
     "stateful_running_counters",
     "sql_grouping_sets",
-    "text_token_stats",
     "mapreduce_wordcount",
     "events_daily_rollup",
     "purchase_last_click_asof",

@@ -143,6 +143,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) is inferred as
+        # TIMESTAMP_NTZ by Spark 4, which rejects instant functions
+        # (unix_micros, to_utc_timestamp, …). The session timezone is
+        # pinned to UTC (get_spark), so casting NTZ→LTZ keeps the exact
+        # wall-clock values DuckDB sees in its naive TIMESTAMP — a pure
+        # type reinterpretation, no data movement, stays in the scan
+        # projection (column pruning/pushdown unaffected).
+        from pyspark.sql import functions as F
+
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     _TABLE_CACHE[key] = df
     return df
 

@@ -58,5 +58,45 @@ def test_driver_window_covers_every_operator_family():
     uncovered = {fam for fam, members in families.items() if not members & window}
     assert not uncovered, f"operator families with no query in driver window: {uncovered}"
 
-    # every mapindex sub-operator is its own SURVEY row — all must be inside
-    assert families["mapindex"] <= window
+    # the mapindex subsystem keeps a broad delegation inside the window:
+    # build, scan, and incremental-maintenance paths all represented
+    assert len(families["mapindex"] & window) >= 5
+
+
+def _ever_green() -> set[str]:
+    """Names green in at least one committed CORRECTNESS_r*.json: rows_match
+    + schema_match + no error, and hash_match not explicitly false (rows-only
+    checks report hash_match=None)."""
+    import json
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                green.add(name)
+    return green
+
+
+def test_rotated_out_queries_have_a_committed_green_row():
+    """THE rotation invariant (r4 verdict item 3): a query may only leave
+    the driver's 50-query window if some committed CORRECTNESS_r*.json
+    already proves it green externally. This is the machine check that
+    would have caught the three r1-red relational queries silently
+    rotating out in r2-r4."""
+    from mapreduceindex_demo_spark.plans import PRIORITY_50
+
+    outside = set(QUERIES) - set(PRIORITY_50)
+    never_verified = sorted(outside - _ever_green())
+    assert not never_verified, (
+        "queries rotated out of the driver window without any committed "
+        f"external green row: {never_verified} — put them back in "
+        "PRIORITY_50 until a CORRECTNESS_r*.json proves them"
+    )
