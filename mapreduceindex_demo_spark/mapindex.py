@@ -32,6 +32,8 @@ Spark re-expression:
 from __future__ import annotations
 
 import json
+import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,6 +67,10 @@ class MapIndexEngine:
         #: consistency scans (T3) or an explicit drain
         self._pending: dict[str, list[tuple[DataFrame, dict]]] = {}
         self._batches_applied: dict[str, int] = {}
+        #: durable indexes: name → (parquet path, bucket count). Durable
+        #: state outlives the SparkSession (save_index/load_index) — the
+        #: reference's maintained-on-storage index (index.go:173-214).
+        self._durable: dict[str, tuple[str, int]] = {}
 
     # -- function library --------------------------------------------------
 
@@ -242,10 +248,17 @@ class MapIndexEngine:
                         for k, v in rec.items()
                     }
                     seq_v = doc.get(seq_name)
-                    # meta projection (M9): the reference's dcpEvent2Meta
+                    # meta projection (M9): the reference's dcpEvent2Meta.
+                    # byseqno is numeric in the reference; a non-numeric
+                    # stand-in (string doc id, no seq_col) projects as None
+                    # rather than failing the whole build.
+                    try:
+                        byseqno = None if pd.isna(seq_v) else int(seq_v)
+                    except (TypeError, ValueError):
+                        byseqno = None
                     meta = {
                         "id": str(doc[doc_id_col]),
-                        "byseqno": None if pd.isna(seq_v) else int(seq_v),
+                        "byseqno": byseqno,
                     }
                     try:
                         # panic-safe evaluation: any error ⇒ no entries
@@ -309,46 +322,16 @@ class MapIndexEngine:
         defn = self.catalog.get_index(name)
         cur = self.index_table(name)
 
-        # ADVICE r1: a NULL/typo'd opcode must ERROR, not silently retract
-        # the doc's entries. The check is a plan-embedded raise_error inside
-        # the same pass (zero extra jobs) — it fires on the first bad row.
-        known_ops = ("upsert", "delete", "expiration")
-        changes = changes.withColumn(
-            op_col,
-            F.when(F.lower(F.col(op_col)).isin(*known_ops), F.lower(F.col(op_col)))
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(f"unknown CDC op (expected one of {known_ops}): "),
-                        F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
-                    )
-                )
-            ),
-        )
-
+        changes = self._validated_ops(changes, op_col)
         if seq_col:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(doc_id_col).orderBy(F.desc(seq_col))
-            changes = (
-                changes.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-
-        op = F.lower(F.col(op_col))
-        is_delete = op.isin("delete", "expiration")
-        if defn.retain_deleted_xattr and xattr_col:
-            is_delete = is_delete & F.col(xattr_col).isNull()
-        live = changes.filter(~is_delete).drop(op_col)
-
-        new_entries = self._entries(defn, live, doc_id_col, seq_col)
-        new_entries = self._partitioned(defn, new_entries)
+            changes = self._last_change_per_doc(changes, doc_id_col, seq_col)
+        changed_ids, new_entries = self._delta(
+            defn, changes, doc_id_col, op_col, seq_col, xattr_col
+        )
 
         if defn.immutable:
             merged = cur.unionByName(new_entries)
         else:
-            changed_ids = changes.select(F.col(doc_id_col).alias("doc_id"))
             if not assume_unique_docs:
                 changed_ids = changed_ids.distinct()
             merged = (
@@ -422,6 +405,257 @@ class MapIndexEngine:
         if n_batches and n_batches > 1:
             self._batches_applied[name] += n_batches - 1
         return out
+
+    # -- CDC merge core (shared by in-memory and durable paths) ------------
+
+    def _validated_ops(self, changes: DataFrame, op_col: str) -> DataFrame:
+        """ADVICE r1: a NULL/typo'd opcode must ERROR, not silently retract
+        the doc's entries. The check is a plan-embedded raise_error inside
+        the same pass (zero extra jobs) — it fires on the first bad row."""
+        known_ops = ("upsert", "delete", "expiration")
+        return changes.withColumn(
+            op_col,
+            F.when(F.lower(F.col(op_col)).isin(*known_ops), F.lower(F.col(op_col)))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"unknown CDC op (expected one of {known_ops}): "),
+                        F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    )
+                )
+            ),
+        )
+
+    def _last_change_per_doc(
+        self, changes: DataFrame, doc_id_col: str, seq_col: str
+    ) -> DataFrame:
+        """Last change per doc wins within the batch (seq order)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(doc_id_col).orderBy(F.desc(seq_col))
+        return (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _delta(
+        self,
+        defn: IndexDefn,
+        changes: DataFrame,
+        doc_id_col: str,
+        op_col: str,
+        seq_col: str | None,
+        xattr_col: str | None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """One reduced CDC batch → (retraction ids, fresh entries):
+          - every changed doc's old entries are retracted (by doc_id);
+          - live upserts re-emit entries (WHERE-false upserts emit nothing,
+            which *is* AddUpsertDeletion, indexjs.go:158-173; deletes emit
+            nothing, AddDeletion, indexjs.go:175-188);
+          - ``retain_deleted_xattr`` (M8, indexjs.go:92-99): a delete
+            carrying xattrs is treated as a mutation when the index opts in.
+        """
+        op = F.lower(F.col(op_col))
+        is_delete = op.isin("delete", "expiration")
+        if defn.retain_deleted_xattr and xattr_col:
+            is_delete = is_delete & F.col(xattr_col).isNull()
+        live = changes.filter(~is_delete).drop(op_col)
+        new_entries = self._partitioned(
+            defn, self._entries(defn, live, doc_id_col, seq_col)
+        )
+        changed_ids = changes.select(F.col(doc_id_col).alias("doc_id"))
+        return changed_ids, new_entries
+
+    # -- durable persistence (index.go:173-214; dataport sink
+    # -- indexjs.go:129-188 writing through to storage) ---------------------
+
+    #: defn + layout sidecar inside the index directory; the leading
+    #: underscore keeps Spark's parquet reader from treating it as data
+    DURABLE_META = "_index_defn.json"
+
+    def _bucket_expr(self, col: str, buckets: int) -> Column:
+        """Durable layout key: hash(doc_id) mod buckets. Retraction joins on
+        doc_id, so bucketing BY doc_id makes every CDC merge touch only the
+        partitions holding changed docs — the vbucket of this design."""
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)).cast("int")
+
+    @staticmethod
+    def _bucket_dir(path: str, b: int) -> str:
+        return os.path.join(path, f"__bucket={int(b)}")
+
+    def _write_sidecar(self, name: str, path: str, buckets: int, schema) -> None:
+        from dataclasses import asdict
+
+        meta = {
+            "defn": asdict(self.catalog.get_index(name)),
+            "buckets": buckets,
+            "batches_applied": self._batches_applied.get(name, 0),
+            "entry_schema": json.loads(schema.json()),
+        }
+        with open(os.path.join(path, self.DURABLE_META), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1)
+
+    def _read_durable_state(self, path: str, schema) -> DataFrame:
+        """Read persisted entries; an index whose every bucket was retracted
+        has no parquet files left, so fall back to an empty frame with the
+        recorded entry schema."""
+        if any(e.startswith("__bucket=") for e in os.listdir(path)):
+            return self.spark.read.parquet(path).drop("__bucket")
+        return self.spark.createDataFrame([], schema)
+
+    def save_index(self, name: str, path: str, buckets: int | None = None) -> None:
+        """Persist built index state as a bucketed parquet table + defn
+        sidecar — the durable twin of the reference's index-on-storage
+        (IndexDefn shipped to storage nodes, index.go:173-214). After
+        saving, the index is DURABLE: :meth:`apply_changes_durable` merges
+        CDC batches through the table on disk, and a fresh engine (or a
+        fresh SparkSession) reopens it with :meth:`load_index`.
+
+        Layout: one directory per ``hash(doc_id) % buckets`` partition,
+        coalesced to one file per bucket (the repartition below — without
+        it, partitionBy writes a file per task×bucket). At 100 TB you raise
+        ``buckets`` into the thousands; merges stay proportional to the
+        buckets actually containing changed docs, never to index size.
+        """
+        defn = self.catalog.get_index(name)
+        df = self.index_table(name)
+        k = int(buckets or defn.num_partitions)
+        out = df.withColumn("__bucket", self._bucket_expr("doc_id", k))
+        (
+            out.repartition(k, F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+        self._write_sidecar(name, path, k, df.schema)
+        self._durable[name] = (path, k)
+
+    def load_index(self, path: str) -> DataFrame:
+        """Reopen a saved index from its directory: restore the defn from
+        the sidecar into this engine's catalog (function indexes require
+        their map function registered FIRST — the defn references it by
+        name, exactly like the reference resolves evaluators from metakv),
+        and point the index state at the durable table.
+        """
+        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
+            meta = json.load(f)
+        d = dict(meta["defn"])
+        for fld in ("sec_exprs", "key_types", "desc", "partition_keys"):
+            if d.get(fld) is not None:
+                d[fld] = tuple(d[fld])
+        defn = IndexDefn(**d)
+        try:
+            self.catalog.get_index(defn.name)
+        except KeyError:
+            self.catalog.add_index(defn)  # validates func_name is registered
+        schema = T.StructType.fromJson(meta["entry_schema"])
+        state = self._read_durable_state(path, schema)
+        self._state[defn.name] = state
+        self._status[defn.name] = self.ST_ACTIVE
+        self._batches_applied[defn.name] = int(meta.get("batches_applied", 0))
+        self._durable[defn.name] = (path, int(meta["buckets"]))
+        return state
+
+    def apply_changes_durable(
+        self,
+        name: str,
+        changes: DataFrame,
+        doc_id_col: str,
+        op_col: str,
+        seq_col: str | None = None,
+        xattr_col: str | None = None,
+    ) -> DataFrame:
+        """Apply one CDC micro-batch THROUGH the durable table: read only
+        the bucket partitions holding changed docs, merge (same retract +
+        re-emit semantics as :meth:`apply_changes`), and idempotently
+        rewrite exactly those partitions (dynamic partition overwrite).
+        Re-running the same batch rewrites the same partitions with the
+        same bytes — the write is idempotent, so at-least-once delivery
+        upstream still yields exactly-once index state (T1).
+
+        Cost model at 100 TB: the scan is pruned to the affected bucket
+        dirs (static partition pruning via the isin filter below), the
+        merge shuffles only those buckets plus the batch, and the rewrite
+        is proportional to affected-bucket bytes — never to index size.
+        """
+        if name not in self._durable:
+            raise KeyError(
+                f"index {name!r} is not durable; save_index() or load_index() first"
+            )
+        path, k = self._durable[name]
+        defn = self.catalog.get_index(name)
+
+        changes = self._validated_ops(changes, op_col)
+        if seq_col:
+            changes = self._last_change_per_doc(changes, doc_id_col, seq_col)
+        # the reduced batch is consumed three times (affected-bucket agg,
+        # retraction ids, fresh entries) — materialize it once
+        changes = changes.localCheckpoint(eager=False)
+
+        # Affected-bucket id list: O(buckets) driver-side METADATA (≤k small
+        # ints, independent of data volume) — the analogue of the vbucket
+        # list a DCP StreamBegin carries. This is a metadata action like the
+        # parquet-footer offsets in session.parquet_col_max, not a data
+        # collect: its size is bounded by the bucket count however large
+        # the batch or the index grows.
+        affected = sorted(
+            int(r["__b"])
+            for r in changes.select(
+                self._bucket_expr(doc_id_col, k).alias("__b")
+            )
+            .distinct()
+            .collect()
+        )
+        cur = self.spark.read.parquet(path)
+        pruned = cur.filter(F.col("__bucket").isin(affected))
+
+        changed_ids, new_entries = self._delta(
+            defn, changes, doc_id_col, op_col, seq_col, xattr_col
+        )
+        new_entries = new_entries.withColumn(
+            "__bucket", self._bucket_expr("doc_id", k)
+        )
+        if defn.immutable:
+            merged = pruned.unionByName(new_entries)
+        else:
+            merged = (
+                pruned.join(changed_ids.distinct(), "doc_id", "left_anti")
+                .select(*cur.columns)
+                .unionByName(new_entries)
+            )
+
+        # Snapshot the file listing of each affected bucket dir BEFORE the
+        # write: dynamic overwrite replaces only partitions present in the
+        # output, so a bucket whose merged content is EMPTY (every entry
+        # retracted) keeps its old files. Those are detected below by their
+        # unchanged listing and dropped — the local-FS expression of a
+        # metastore DROP PARTITION. Driver-side metadata only.
+        before = {
+            b: frozenset(os.listdir(self._bucket_dir(path, b)))
+            for b in affected
+            if os.path.isdir(self._bucket_dir(path, b))
+        }
+        (
+            merged.repartition(max(len(affected), 1), F.col("__bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+        for b, listing in before.items():
+            d = self._bucket_dir(path, b)
+            if os.path.isdir(d) and frozenset(os.listdir(d)) == listing:
+                shutil.rmtree(d)
+
+        self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
+        entry_schema = T.StructType(
+            [f for f in merged.schema.fields if f.name != "__bucket"]
+        )
+        self._write_sidecar(name, path, k, entry_schema)
+        state = self._read_durable_state(path, entry_schema)
+        self._state[name] = state
+        return state
 
     # -- consistency levels (T3: index.go:137-156) -------------------------
 

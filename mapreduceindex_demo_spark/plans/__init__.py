@@ -52,6 +52,8 @@ PRIORITY_50 = [
     "mapindex_scan_range",
     "mapindex_incremental_cdc",
     "mapindex_collated_scan",
+    # --- new this round: durable persistence (r4 verdict item 4) ---
+    "mapindex_durable_cdc",
     # --- single-green r4 rows: keep one more external confirmation ---
     "user_sessionization",
     "embedding_int8_quantization",
@@ -86,7 +88,6 @@ PRIORITY_50 = [
     "stateful_running_counters",
     "sql_grouping_sets",
     "mapreduce_wordcount",
-    "events_daily_rollup",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- bench headliners: keep the BENCH set externally re-verified ---

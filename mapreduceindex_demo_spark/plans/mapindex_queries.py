@@ -384,6 +384,87 @@ def q_mapindex_collated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("rank", F.col("key_0").alias("key_json"), "doc_id")
 
 
+@query(
+    "mapindex_durable_cdc",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, props, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS key_0,
+           event_type AS key_1,
+           user_id AS doc_id
+    FROM latest WHERE rn = 1 AND event_type <> 'error' AND value > 25
+    """,
+    tags=("mapindex", "cdc", "durable", "persistence"),
+)
+def q_mapindex_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable index persistence (reference: IndexDefn shipped to and
+    maintained ON storage, index.go:173-214; dataport→storage writes,
+    indexjs.go:129-188). The index state must outlive the engine that
+    built it:
+
+      1. build a WHERE-filtered expression index from batches 0-3 of the
+         event CDC log and :meth:`save_index` it — bucketed parquet by
+         hash(doc_id) + defn sidecar;
+      2. a FRESH engine (no shared in-memory state) reopens it with
+         :meth:`load_index`, restoring the defn into its own catalog;
+      3. batch 4 is merged THROUGH the durable table with
+         :meth:`apply_changes_durable` — scan pruned to affected bucket
+         partitions, idempotent dynamic-partition-overwrite rewrite.
+
+    The returned frame READS THE PARQUET ON DISK, so the oracle (the
+    windowed-SQL rebuild over the full log) value-checks the whole
+    save → load → merge → rewrite path, not a lineage that never left
+    memory. WHERE-false upserts crossing the durable path retract
+    correctly: a doc whose batch-4 value drops to ≤25 leaves the index.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    # batch split from parquet footer stats — zero Spark jobs (see
+    # mapindex_incremental_cdc)
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+
+    defn = IndexDefn(
+        name="idx_users_kv_durable",
+        bucket="events",
+        sec_exprs=(
+            "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            "event_type",
+        ),
+        where_expr="value > 25",
+    )
+    seed = _latest_live(ev.filter(F.col("batch") <= 3), "user_id", "event_id", "op")
+    eng.create_index(defn, seed, doc_id_col="user_id")
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "mrix_durable_cdc_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+    )
+    eng.save_index(defn.name, path, buckets=16)
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    fresh.apply_changes_durable(
+        defn.name,
+        ev.filter(F.col("batch") >= 4).drop("batch"),
+        doc_id_col="user_id",
+        op_col="op",
+        seq_col="event_id",
+    )
+    return fresh.index_table(defn.name)
+
+
 def _latest_live(batch: DataFrame, doc_id: str, seq: str, op: str) -> DataFrame:
     """Last version per doc within a batch, dropping docs whose last op is a
     delete (used to seed the initial state)."""

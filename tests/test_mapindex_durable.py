@@ -1,0 +1,217 @@
+"""Durable index persistence (r4 verdict item 4).
+
+The reference's index is a MAINTAINED table on storage (IndexDefn shipped to
+storage nodes, index.go:173-214; dataport sink writing through,
+indexjs.go:129-188) — it survives process death. These tests prove the Spark
+twin: save_index/load_index roundtrip, a CDC batch applied THROUGH the
+durable table equals the windowed rebuild, the rewrite touches ONLY affected
+bucket partitions, re-applying a batch is idempotent, and a bucket whose
+every entry is retracted is dropped from disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, grp bigint, val double")
+
+
+def _defn(name="idx_durable", **kw):
+    kw.setdefault("bucket", "docs")
+    kw.setdefault("sec_exprs", ("grp", "val"))
+    return IndexDefn(name=name, **kw)
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    eng = MapIndexEngine(spark)
+    src = _docs(
+        spark,
+        [(f"d{i}", i % 4, float(i)) for i in range(40)],
+    )
+    eng.create_index(_defn(), src, doc_id_col="doc_id")
+    path = str(tmp_path / "idx")
+    eng.save_index("idx_durable", path, buckets=8)
+    return eng, src, path
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_save_load_roundtrip_fresh_engine(spark, built):
+    eng, src, path = built
+    fresh = MapIndexEngine(spark)  # no shared state with `eng`
+    state = fresh.load_index(path)
+    assert _sorted_rows(state) == _sorted_rows(eng.index_table("idx_durable"))
+    # defn restored into the fresh catalog, field-for-field
+    assert fresh.catalog.get_index("idx_durable") == eng.catalog.get_index(
+        "idx_durable"
+    )
+    assert fresh.engine_stats("idx_durable")["idx_durable"]["status"] == "ACTIVE"
+
+
+def test_save_load_roundtrip_fresh_session(spark, built):
+    """The state must outlive the SparkSession that built it: reopen via a
+    NEW session (separate SQL conf/temp-view namespace on the shared
+    context) and an engine bound to it."""
+    _, _, path = built
+    s2 = spark.newSession()
+    fresh = MapIndexEngine(s2)
+    state = fresh.load_index(path)
+    assert state.count() == 40
+    # scans work against the reopened index
+    got = fresh.scan("idx_durable", low=2, high=2).select("doc_id")
+    assert got.count() == 10  # grp==2: i in {2,6,...,38}
+
+
+def test_durable_merge_equals_rebuild(spark, built):
+    eng, src, path = built
+    # batch: d1/d5 upsert new values, d2 deleted, d100 inserted
+    changes = spark.createDataFrame(
+        [
+            ("d1", 99, 1.5, "upsert", 1),
+            ("d5", 99, 5.5, "upsert", 2),
+            ("d2", 0, 0.0, "delete", 3),
+            ("d100", 7, 100.0, "upsert", 4),
+        ],
+        "doc_id string, grp bigint, val double, op string, seq bigint",
+    )
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    merged = fresh.apply_changes_durable(
+        "idx_durable", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+    )
+    # oracle: rebuild from the post-change snapshot
+    final = (
+        src.filter(~F.col("doc_id").isin("d1", "d5", "d2", "d100"))
+        .unionByName(
+            spark.createDataFrame(
+                [("d1", 99, 1.5), ("d5", 99, 5.5), ("d100", 7, 100.0)],
+                "doc_id string, grp bigint, val double",
+            )
+        )
+    )
+    ref = MapIndexEngine(spark)
+    ref.create_index(_defn(), final, doc_id_col="doc_id")
+    assert _sorted_rows(merged) == _sorted_rows(ref.index_table("idx_durable"))
+    # batches_applied persisted in the sidecar: a third engine sees it
+    third = MapIndexEngine(spark)
+    third.load_index(path)
+    assert third.engine_stats("idx_durable")["idx_durable"]["batches_applied"] == 1
+
+
+def test_merge_rewrites_only_affected_buckets(spark, built):
+    """The 100 TB contract: a small CDC batch must NOT rewrite the whole
+    index — only the bucket partitions holding changed docs."""
+    _, _, path = built
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    listing_before = {
+        d: frozenset(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    changes = spark.createDataFrame(
+        [("d1", 50, -1.0, "upsert", 1)],
+        "doc_id string, grp bigint, val double, op string, seq bigint",
+    )
+    fresh.apply_changes_durable(
+        "idx_durable", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+    )
+    listing_after = {
+        d: frozenset(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    changed = [d for d in listing_before if listing_before[d] != listing_after.get(d)]
+    assert len(changed) == 1  # exactly d1's bucket was rewritten
+    untouched = [d for d in listing_before if listing_before[d] == listing_after.get(d)]
+    assert len(untouched) == len(listing_before) - 1
+
+
+def test_durable_merge_is_idempotent(spark, built):
+    """At-least-once delivery upstream ⇒ exactly-once index state: applying
+    the SAME batch twice leaves identical entries (T1 through storage)."""
+    _, _, path = built
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    changes = spark.createDataFrame(
+        [("d3", 77, 3.3, "upsert", 1), ("d4", 0, 0.0, "delete", 2)],
+        "doc_id string, grp bigint, val double, op string, seq bigint",
+    )
+    once = _sorted_rows(
+        fresh.apply_changes_durable(
+            "idx_durable", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+        )
+    )
+    twice = _sorted_rows(
+        fresh.apply_changes_durable(
+            "idx_durable", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+        )
+    )
+    assert once == twice
+
+
+def test_emptied_bucket_is_dropped_from_disk(spark, tmp_path):
+    """Retracting EVERY entry of a bucket must remove its partition from
+    disk (dynamic overwrite alone would leave the stale files): with
+    buckets=1 and all docs deleted, the index reads back empty."""
+    eng = MapIndexEngine(spark)
+    src = _docs(spark, [("a", 1, 1.0), ("b", 2, 2.0)])
+    eng.create_index(_defn(name="idx_tiny"), src, doc_id_col="doc_id")
+    path = str(tmp_path / "tiny")
+    eng.save_index("idx_tiny", path, buckets=1)
+    changes = spark.createDataFrame(
+        [("a", 0, 0.0, "delete", 1), ("b", 0, 0.0, "delete", 2)],
+        "doc_id string, grp bigint, val double, op string, seq bigint",
+    )
+    state = eng.apply_changes_durable(
+        "idx_tiny", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+    )
+    assert state.count() == 0
+    assert not any(d.startswith("__bucket=") for d in os.listdir(path))
+    # and it still reopens (empty, schema intact)
+    fresh = MapIndexEngine(spark)
+    reopened = fresh.load_index(path)
+    assert reopened.count() == 0
+    assert reopened.columns == ["key_0", "key_1", "doc_id"]
+
+
+def test_function_index_requires_registered_function(spark, tmp_path):
+    """A durable FUNCTION index references its map function by name (the
+    reference resolves evaluators from metakv) — loading without
+    registering it first must fail loudly, and succeed after."""
+    eng = MapIndexEngine(spark)
+
+    def on_map(meta, doc):
+        return [(doc["grp"],)]
+
+    eng.register_function("grp_of", on_map)
+    src = _docs(spark, [("a", 1, 1.0), ("b", 2, 2.0)])
+    eng.create_index(
+        _defn(
+            name="idx_fn",
+            sec_exprs=None,
+            func_name="grp_of",
+            key_types=("bigint",),
+        ),
+        src,
+        doc_id_col="doc_id",
+    )
+    path = str(tmp_path / "fn")
+    eng.save_index("idx_fn", path, buckets=2)
+
+    fresh = MapIndexEngine(spark)
+    with pytest.raises(KeyError, match="grp_of"):
+        fresh.load_index(path)
+    fresh.register_function("grp_of", on_map)
+    assert fresh.load_index(path).count() == 2
