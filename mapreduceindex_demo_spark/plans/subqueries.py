@@ -116,14 +116,20 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decorrelated build computes per-order quantity ONCE (one shuffle on
     l_orderkey) and reuses it both as the IN filter and as the output
     aggregate — the SQL's second lineitem scan disappears. The surviving
-    orders (~1% of the table) then join customer; at 100 TB that filtered
-    side broadcasts.
+    per-order sums (the selective HAVING keeps ~1% of orders) are the
+    EXPLICIT broadcast side: Catalyst's static file-size stats undercount
+    the orders scan and would otherwise pick ORDERS as the build side — a
+    hashed relation that grows linearly with the fact table (measured
+    512 MiB at ~sf3, and the whole query going super-linear, 3.5 s → 8.9 s
+    for 3× data). With the filtered agg broadcast, orders STREAMS through
+    the join (never shuffled, never hashed), which is the shape that
+    survives a 100× scale-up.
     """
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
     qty = li.groupBy("l_orderkey").agg(F.sum(dec("l_quantity")).alias("qdec"))
-    big = qty.where(F.col("qdec") > F.lit(250).cast(MONEY))
+    big = F.broadcast(qty.where(F.col("qdec") > F.lit(250).cast(MONEY)))
     return (
         od.join(big, od.o_orderkey == big.l_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
