@@ -45,6 +45,8 @@ PRIORITY_50 = [
     "training_mix_weights",
     # --- changed this round: trained IVF centroids ---
     "similarity_ivf_ann",
+    # --- new this round: PII detection/redaction ---
+    "text_pii_redaction",
     # --- map-index subsystem (SURVEY M1-M9, P1, A8, D3, S1); multiply-green
     # build/stats rows rotated out per r4 verdict item 2 ---
     "mapindex_array_build",
@@ -91,7 +93,6 @@ PRIORITY_50 = [
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- bench headliners: keep the BENCH set externally re-verified ---
-    "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
     "nation_market_share_yearly",
