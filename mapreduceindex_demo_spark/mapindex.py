@@ -523,13 +523,26 @@ class MapIndexEngine:
         k = int(buckets or defn.num_partitions)
         out = df.withColumn("__bucket", self._bucket_expr("doc_id", k))
         (
-            out.repartition(k, F.col("__bucket"))
+            self._key_sorted(out.repartition(k, F.col("__bucket")))
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(path)
         )
         self._write_sidecar(name, path, k, df.schema)
         self._durable[name] = (path, k)
+
+    @staticmethod
+    def _key_sorted(out: DataFrame) -> DataFrame:
+        """Sort rows by index key WITHIN each bucket task before writing:
+        the parquet row-group/page min-max stats then bracket disjoint key
+        ranges, so a key-range scan over the durable index prunes row
+        groups inside every bucket file (the LSM/SSTable layout, for free
+        from the format). Task-local sort — no exchange."""
+        if "sort_key" in out.columns:  # collated index scans order by it
+            keys = ["sort_key"]
+        else:
+            keys = [c for c in out.columns if c.startswith("key_")] or ["doc_id"]
+        return out.sortWithinPartitions("__bucket", *keys)
 
     def load_index(self, path: str) -> DataFrame:
         """Reopen a saved index from its directory: restore the defn from
@@ -607,7 +620,16 @@ class MapIndexEngine:
             .distinct()
             .collect()
         )
-        cur = self.spark.read.parquet(path)
+        # explicit schema from the sidecar: a bootstrapped-empty index has
+        # no parquet files yet, so inference would fail; partition-column
+        # type pinned so the isin prune below stays a static partition
+        # filter
+        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
+            side = json.load(f)
+        full_schema = T.StructType.fromJson(side["entry_schema"]).add(
+            "__bucket", T.IntegerType()
+        )
+        cur = self.spark.read.schema(full_schema).parquet(path)
         pruned = cur.filter(F.col("__bucket").isin(affected))
 
         changed_ids, new_entries = self._delta(
@@ -637,7 +659,9 @@ class MapIndexEngine:
             if os.path.isdir(self._bucket_dir(path, b))
         }
         (
-            merged.repartition(max(len(affected), 1), F.col("__bucket"))
+            self._key_sorted(
+                merged.repartition(max(len(affected), 1), F.col("__bucket"))
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")

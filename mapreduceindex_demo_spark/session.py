@@ -56,8 +56,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Star-schema dims stay broadcast even when generously sized.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy, split by estimate quality: the STATIC threshold
+        # (compressed-FILE-size estimates, systematically low) stays at
+        # Spark's conservative default — the r1 setting of 64 MB was
+        # measured this round broadcasting the ORDERS fact table in four
+        # TPC-H shapes at ~sf3, a hashed relation growing linearly with
+        # data (the anti-plan at 100 TB, where only region/nation and
+        # filtered/aggregated smalls are broadcastable). The ADAPTIVE
+        # threshold is the generous one: AQE decides from ACCURATE
+        # post-shuffle byte counts, so a 64 MB allowance there recovers
+        # every small-at-runtime broadcast without ever hashing a fact
+        # table on a bad guess. Measured at ~sf3: 2-3× faster on the
+        # misestimated shapes, same plans at 100× because runtime sizes
+        # grow past the gate exactly when broadcasting stops being safe.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # Deterministic timestamp semantics (match DuckDB's naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas_udf / toPandas path.

@@ -126,6 +126,69 @@ def run_streaming_index_maintenance(
     return eng.index_table(defn.name)
 
 
+def run_streaming_durable_maintenance(
+    spark: SparkSession,
+    cdc_dir: str,
+    checkpoint_dir: str,
+    defn: IndexDefn,
+    schema,
+    index_path: str,
+    engine: MapIndexEngine | None = None,
+    doc_id_col: str = "user_id",
+    seq_col: str = "event_id",
+    buckets: int = 8,
+) -> DataFrame:
+    """Maintenance stream writing through the DURABLE index table — the
+    complete reference pipeline: DCP feed → projector → index ON STORAGE
+    (dataport sink indexjs.go:129-188 persisting via index.go:173-214).
+
+    Exactly-once (T1), the storage-backed version: each micro-batch is
+    merged with :meth:`MapIndexEngine.apply_changes_durable`, whose
+    dynamic-partition-overwrite rewrite is IDEMPOTENT — a crash after the
+    write but before the checkpoint commits the offset replays the batch
+    into identical bytes on restart. No in-memory state to pin; the
+    parquet table is the state, and it survives engine AND session death
+    (resume with a fresh engine pointing at the same index_path +
+    checkpoint_dir).
+
+    First call bootstraps: an empty index is created and saved at
+    ``index_path``; later calls (including restarts) reopen it from the
+    sidecar.
+    """
+    eng = engine or MapIndexEngine(spark)
+    if os.path.exists(os.path.join(index_path, MapIndexEngine.DURABLE_META)):
+        eng.load_index(index_path)
+    else:
+        empty = spark.createDataFrame([], schema)
+        eng.create_index(defn, empty, doc_id_col=doc_id_col)
+        eng.save_index(defn.name, index_path, buckets=buckets)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(cdc_dir, "batch_*"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        eng.apply_changes_durable(
+            defn.name,
+            batch_df,
+            doc_id_col=doc_id_col,
+            op_col="op",
+            seq_col=seq_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return eng.index_table(defn.name)
+
+
 def run_streaming_multi_index_maintenance(
     spark: SparkSession,
     cdc_dir: str,

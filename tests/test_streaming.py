@@ -12,6 +12,7 @@ from mapreduceindex_demo_spark.plans.streaming_queries import CDC_SCHEMA
 from mapreduceindex_demo_spark.session import load_table
 from mapreduceindex_demo_spark.streaming import (
     materialize_cdc_files,
+    run_streaming_durable_maintenance,
     run_streaming_index_maintenance,
 )
 from mapreduceindex_demo_spark.streaming.windows import tumbling_counts, with_watermark
@@ -71,6 +72,43 @@ def test_streaming_maintenance_kill_restart_exactly_once(spark, tmp_path):
         spark, cdc, ckpt, _defn("idx_rs"), CDC_SCHEMA, engine=eng
     )
     assert sorted(tuple(r) for r in state2.collect()) == _golden(spark)
+
+
+def test_streaming_durable_maintenance_survives_engine_death(spark, tmp_path):
+    """The full reference pipeline: stream → durable index ON DISK. Run a
+    3-file prefix, then throw the engine away entirely ("process death"),
+    and resume on a NEW session + NEW engine from the same index_path and
+    checkpoint: committed batches must not re-apply (their partition
+    rewrites are idempotent anyway), new ones must, and the final ON-DISK
+    state equals the batch golden answer."""
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5, upto_file=3)
+
+    state1 = run_streaming_durable_maintenance(
+        spark, cdc, ckpt, _defn("idx_dur_rs"), CDC_SCHEMA, index_path=idx
+    )
+    assert state1.count() > 0  # engine from phase 1 is now dropped
+
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5)
+    s2 = spark.newSession()
+    state2 = run_streaming_durable_maintenance(
+        s2, cdc, ckpt, _defn("idx_dur_rs"), CDC_SCHEMA, index_path=idx
+    )
+    assert sorted(tuple(r) for r in state2.collect()) == _golden(spark)
+
+    # the durable layout holds the LSM/SSTable contract: rows inside each
+    # bucket file are sorted by the index key (row-group stats prune scans)
+    import pyarrow.parquet as pq
+
+    bucket_dirs = [d for d in os.listdir(idx) if d.startswith("__bucket=")]
+    assert bucket_dirs
+    some = os.path.join(idx, sorted(bucket_dirs)[0])
+    f = [x for x in os.listdir(some) if x.endswith(".parquet")][0]
+    t = pq.read_table(os.path.join(some, f), columns=["key_0"]).to_pydict()
+    k = [x for x in t["key_0"] if x is not None]
+    assert k == sorted(k)
 
 
 def test_streaming_tumbling_with_watermark_drops_late_rows(spark, tmp_path):
