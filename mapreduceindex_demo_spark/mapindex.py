@@ -570,6 +570,29 @@ class MapIndexEngine:
         self._durable[defn.name] = (path, int(meta["buckets"]))
         return state
 
+    def rebucket_index(self, name: str, buckets: int) -> None:
+        """Change a durable index's bucket count — the Spark twin of the
+        reference's REBALANCE (index partitions redistributed across
+        storage nodes as the cluster grows). Bucket count is a layout
+        choice frozen at save time; as the index grows, merges touch
+        ever-larger partitions until a rescale. One full read + one full
+        bucketed write (exactly what a rebalance costs), atomically
+        swapping the sidecar afterwards; in-flight readers of the old
+        lineage are unaffected (parquet files are immutable — the rewrite
+        replaces the directory contents, not bytes under a reader)."""
+        if name not in self._durable:
+            raise KeyError(f"index {name!r} is not durable")
+        path, _ = self._durable[name]
+        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
+            meta = json.load(f)
+        schema = T.StructType.fromJson(meta["entry_schema"])
+        # materialize current entries off the directory we are about to
+        # replace (localCheckpoint: the one full read)
+        cur = self._read_durable_state(path, schema).localCheckpoint(eager=True)
+        self._state[name] = cur
+        self.save_index(name, path, buckets=buckets)
+        self._state[name] = self._read_durable_state(path, schema)
+
     def apply_changes_durable(
         self,
         name: str,
@@ -888,6 +911,11 @@ class MapIndexEngine:
                 "batches_applied": self._batches_applied.get(n, 0),
                 "pending_batches": self.pending_count(n),
                 "defn": self.catalog.get_index(n).name,
+                "durable": (
+                    {"path": self._durable[n][0], "buckets": self._durable[n][1]}
+                    if n in self._durable
+                    else None
+                ),
             }
             for n in names
         }

@@ -186,6 +186,48 @@ def test_emptied_bucket_is_dropped_from_disk(spark, tmp_path):
     assert reopened.columns == ["key_0", "key_1", "doc_id"]
 
 
+def test_rebucket_preserves_entries_and_changes_layout(spark, built):
+    """Rebalance twin: changing the bucket count must preserve every entry
+    and produce the new directory layout; merges keep working after."""
+    _, src, path = built
+    fresh = MapIndexEngine(spark)
+    before = _sorted_rows(fresh.load_index(path))
+    fresh.rebucket_index("idx_durable", buckets=3)
+    dirs = [d for d in os.listdir(path) if d.startswith("__bucket=")]
+    assert len(dirs) <= 3
+    after = _sorted_rows(fresh.index_table("idx_durable"))
+    assert after == before
+    stats = fresh.engine_stats("idx_durable")["idx_durable"]
+    assert stats["durable"] == {"path": path, "buckets": 3}
+    # and a reopened engine sees the rebucketed layout via the sidecar
+    again = MapIndexEngine(spark)
+    assert _sorted_rows(again.load_index(path)) == before
+    changes = spark.createDataFrame(
+        [("d0", 9, 9.0, "upsert", 1)],
+        "doc_id string, grp bigint, val double, op string, seq bigint",
+    )
+    merged = again.apply_changes_durable(
+        "idx_durable", changes, doc_id_col="doc_id", op_col="op", seq_col="seq"
+    )
+    assert merged.filter("doc_id = 'd0'").collect()[0]["key_0"] == 9
+
+
+def test_range_scan_over_durable_index_pushes_filters(spark, built):
+    """The persistence layout must SERVE scans, not just survive them: a
+    leading-key range scan over a reopened index reaches the parquet scan
+    as pushed filters (min/max row-group pruning; files are key-sorted
+    within buckets so the stats bracket disjoint ranges)."""
+    _, _, path = built
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    scanned = fresh.scan("idx_durable", low=1, high=2)
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(key_0,1)" in plan
+    assert "LessThanOrEqual(key_0,2)" in plan
+    assert scanned.count() == 20  # grp in {1,2}: 10 docs each
+
+
 def test_function_index_requires_registered_function(spark, tmp_path):
     """A durable FUNCTION index references its map function by name (the
     reference resolves evaluators from metakv) — loading without
