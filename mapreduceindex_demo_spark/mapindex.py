@@ -570,6 +570,47 @@ class MapIndexEngine:
         self._durable[defn.name] = (path, int(meta["buckets"]))
         return state
 
+    def apply_backlog_durable(
+        self,
+        name: str,
+        changes: DataFrame,
+        doc_id_col: str,
+        op_col: str,
+        seq_col: str | None = None,
+        batch_col: str | None = None,
+        n_batches: int | None = None,
+    ) -> DataFrame:
+        """Catch-up merge THROUGH the durable table (reference CATCHUP
+        stream, index.go:340-349, against index-on-storage): reduce an
+        ordered backlog of CDC batches to the per-doc final change —
+        equivalent by construction to replaying them one by one, as in
+        :meth:`apply_backlog` — then apply it as ONE bucket-pruned
+        idempotent partition rewrite. The storage cost of re-attaching a
+        far-behind index is one merge regardless of backlog depth."""
+        order_cols = [c for c in (batch_col, seq_col) if c]
+        if order_cols:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(doc_id_col).orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            changes = (
+                changes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", *([batch_col] if batch_col else []))
+            )
+        out = self.apply_changes_durable(
+            name, changes, doc_id_col, op_col, seq_col=None
+        )
+        if n_batches and n_batches > 1:
+            self._batches_applied[name] += n_batches - 1
+            path, k = self._durable[name]
+            entry_schema = T.StructType(
+                [f for f in out.schema.fields if f.name != "__bucket"]
+            )
+            self._write_sidecar(name, path, k, entry_schema)
+        return out
+
     def rebucket_index(self, name: str, buckets: int) -> None:
         """Change a durable index's bucket count — the Spark twin of the
         reference's REBALANCE (index partitions redistributed across

@@ -186,6 +186,50 @@ def test_emptied_bucket_is_dropped_from_disk(spark, tmp_path):
     assert reopened.columns == ["key_0", "key_1", "doc_id"]
 
 
+def test_durable_backlog_equals_sequential_durable_merges(spark, built):
+    """Catch-up through storage: one apply_backlog_durable over an ordered
+    3-batch backlog must land the same on-disk state as three sequential
+    apply_changes_durable calls (the fold it replaces)."""
+    _, _, path = built
+    rows = [
+        ("d1", 10, 1.0, "upsert", 1, 0),
+        ("d2", 20, 2.0, "upsert", 2, 0),
+        ("d1", 11, 1.1, "upsert", 3, 1),
+        ("d3", 30, 3.0, "upsert", 4, 1),
+        ("d2", 0, 0.0, "delete", 5, 2),
+        ("d1", 12, 1.2, "upsert", 6, 2),
+    ]
+    sch = "doc_id string, grp bigint, val double, op string, seq bigint, b int"
+    backlog = spark.createDataFrame(rows, sch)
+
+    import shutil as _sh
+
+    seq_path = str(path) + "_seq"
+    _sh.copytree(path, seq_path)
+
+    one = MapIndexEngine(spark)
+    one.load_index(path)
+    one.apply_backlog_durable(
+        "idx_durable", backlog, doc_id_col="doc_id", op_col="op",
+        seq_col="seq", batch_col="b", n_batches=3,
+    )
+    fold = MapIndexEngine(spark)
+    fold.load_index(seq_path)
+    for b in range(3):
+        fold.apply_changes_durable(
+            "idx_durable",
+            spark.createDataFrame([r for r in rows if r[5] == b], sch).drop("b"),
+            doc_id_col="doc_id", op_col="op", seq_col="seq",
+        )
+    assert _sorted_rows(one.index_table("idx_durable")) == _sorted_rows(
+        fold.index_table("idx_durable")
+    )
+    assert (
+        one.engine_stats("idx_durable")["idx_durable"]["batches_applied"]
+        == fold.engine_stats("idx_durable")["idx_durable"]["batches_applied"]
+    )
+
+
 def test_rebucket_preserves_entries_and_changes_layout(spark, built):
     """Rebalance twin: changing the bucket count must preserve every entry
     and produce the new directory layout; merges keep working after."""
