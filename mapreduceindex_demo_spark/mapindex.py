@@ -559,7 +559,13 @@ class MapIndexEngine:
                 d[fld] = tuple(d[fld])
         defn = IndexDefn(**d)
         try:
-            self.catalog.get_index(defn.name)
+            existing = self.catalog.get_index(defn.name)
+            if existing != defn:
+                raise ValueError(
+                    f"index {defn.name!r} already registered with a DIFFERENT "
+                    "definition than the sidecar at "
+                    f"{path!r} — drop it first or load into a fresh engine"
+                )
         except KeyError:
             self.catalog.add_index(defn)  # validates func_name is registered
         schema = T.StructType.fromJson(meta["entry_schema"])

@@ -272,6 +272,19 @@ def test_range_scan_over_durable_index_pushes_filters(spark, built):
     assert scanned.count() == 20  # grp in {1,2}: 10 docs each
 
 
+def test_load_rejects_conflicting_registered_defn(spark, built):
+    """Reopening a saved index into an engine that already has a DIFFERENT
+    index under the same name must fail loudly, not silently scan with the
+    wrong definition."""
+    _, src, path = built
+    other = MapIndexEngine(spark)
+    other.create_index(
+        _defn(sec_exprs=("val", "grp")), src, doc_id_col="doc_id"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        other.load_index(path)
+
+
 def test_function_index_requires_registered_function(spark, tmp_path):
     """A durable FUNCTION index references its map function by name (the
     reference resolves evaluators from metakv) — loading without
