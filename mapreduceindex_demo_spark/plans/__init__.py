@@ -45,9 +45,10 @@ PRIORITY_50 = [
     "training_mix_weights",
     # --- changed this round: trained IVF centroids ---
     "similarity_ivf_ann",
-    # --- new this round: PII detection/redaction, TF-IDF ---
+    # --- new this round: PII redaction, TF-IDF, unigram-LM quality ---
     "text_pii_redaction",
     "text_tfidf_top_terms",
+    "text_unigram_logprob",
     # --- map-index subsystem (SURVEY M1-M9, P1, A8, D3, S1); multiply-green
     # build/stats rows rotated out per r4 verdict item 2 ---
     "mapindex_array_build",
@@ -94,7 +95,6 @@ PRIORITY_50 = [
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- bench headliners: keep the BENCH set externally re-verified ---
-    "shipping_priority",
     "nation_market_share_yearly",
 ]
 
