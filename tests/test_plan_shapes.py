@@ -198,3 +198,20 @@ def test_global_rank_string_and_binary_keys(spark):
         "id", F.row_number().over(Window.orderBy("b", "id")).alias("r")
     ).collect()
     assert sorted(map(tuple, gotb)) == sorted(map(tuple, expb))
+
+
+def test_ivf_recenter_is_order_free_avg(spark):
+    """The IVF quantizer's re-center must be the map-side-combinable
+    posexplode + groupBy(cid, pos).avg — NEVER a per-cell collect_list of
+    the member vectors (a cell holds ~n/k vectors; at 100 TB that single
+    task OOMs). The only collect_list allowed is the dim-bounded
+    re-assembly of the k x dim per-dimension means into arrays."""
+    plan = _final_plan(QUERIES["similarity_ivf_ann"].fn(spark, PARITY_SF_DIR))
+    # one Generate(posexplode) per Lloyd's iteration
+    assert _n(plan, r"posexplode") >= 2, plan
+    # member-vector folds are banned: no collect_list over vec_id/ee structs
+    assert _n(plan, r"collect_list\(struct\(vec_id") == 0, plan
+    assert _n(plan, r"collect_list\([^)]*\bee\b") == 0, plan
+    # every collect_list that remains is the (pos, cv) mean re-assembly
+    for m in re.finditer(r"(?:partial_)?collect_list\(struct\((\w+)", plan):
+        assert m.group(1) == "pos", plan
