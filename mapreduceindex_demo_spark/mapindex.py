@@ -163,6 +163,20 @@ class MapIndexEngine:
             raise KeyError(f"index {name!r} has no built state")
         return self._state[name]
 
+    def checkpoint_state(self, name: str) -> DataFrame:
+        """Eagerly materialize index `name`'s state via localCheckpoint and
+        swap the truncated lineage in as the new state.
+
+        This is the engine-owned commit point the streaming sinks (S7) call
+        after each applied batch: exactly-once requires the batch's effect
+        to be durable (computed, not a lazy plan over the batch DataFrame)
+        before the stream checkpoint commits the offset — and it keeps the
+        lineage from growing one MERGE deeper per batch."""
+        if name not in self._state:
+            raise KeyError(f"index {name!r} has no built state")
+        self._state[name] = self._state[name].localCheckpoint(eager=True)
+        return self._state[name]
+
     # -- the map pipeline (M1-M9) ------------------------------------------
 
     def _entries(
@@ -386,12 +400,14 @@ class MapIndexEngine:
                 changes.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", *([batch_col] if batch_col else []))
-                # the merge reads the reduced backlog TWICE (retraction ids
-                # + fresh entries); a lazy local checkpoint materializes it
-                # once at action time instead of replaying scan+agg+window
-                # per consumer (observed as two identical Window subtrees
-                # in the physical plan)
-                .localCheckpoint(eager=False)
+                # the merge reads the reduced backlog twice (retraction ids
+                # + fresh entries); both consumers share the window's
+                # Exchange, so ReuseExchange materializes that shuffle once
+                # and only the cheap pipelined window re-runs per consumer.
+                # (A lazy localCheckpoint here would dedup the window too,
+                # but costs an eager physical-planning round-trip at
+                # construction plus an extra scheduler job — measured
+                # slower end-to-end than the recompute it saves.)
             )
         out = self.apply_changes(
             name,

@@ -114,7 +114,7 @@ def run_streaming_index_maintenance(
         )
         # materialize now: exactly-once requires the batch's effect to be
         # durable before the checkpoint commits the offset
-        eng._state[defn.name] = eng._state[defn.name].localCheckpoint(eager=True)
+        eng.checkpoint_state(defn.name)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -234,9 +234,7 @@ def run_streaming_multi_index_maintenance(
                     op_col="op",
                     seq_col=seq_col,
                 )
-                eng._state[defn.name] = eng._state[defn.name].localCheckpoint(
-                    eager=True
-                )
+                eng.checkpoint_state(defn.name)
         finally:
             batch_df.unpersist()
 
