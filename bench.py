@@ -15,6 +15,26 @@ import time
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.session import get_spark
 
+# Contention sentinel: median probe time on a QUIET machine, committed as
+# the reference. The probe is a fixed scheduling-bound job (range.count is
+# ~pure task-launch cost — exactly the constant that co-running workloads
+# pollute). A bench run whose probe exceeds the reference by >50% is
+# stamped "noisy": true so a polluted artifact can never masquerade as a
+# regression — or an improvement. Re-calibrate only on hardware changes.
+_PROBE_REF_SEC = 0.13  # calibrated: quiet-machine medians 0.09-0.145s
+
+
+def _probe(spark, reps: int = 5) -> float:
+    """Median wall time of a fixed scheduling-bound no-op job."""
+    runs = []
+    for _ in range(2):  # un-timed scheduler/JIT warm-up
+        spark.range(1_000_000, numPartitions=32).count()
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).count()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[len(runs) // 2], 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,6 +46,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    probe_before = _probe(spark)
     # Warm-up: run every bench query once AT THE TARGET SF so whole-stage
     # codegen/JIT is compiled, table schemas are resolved (plan cache), and
     # the OS page cache holds the parquet files before timing. Timed runs
@@ -50,6 +71,19 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    probe_after = _probe(spark)
+    # min of the two: a co-running workload (the r4/r5 contamination mode)
+    # is sustained and elevates BOTH probes; the suite's own GC pressure
+    # only inflates the after-probe, which must not self-flag.
+    probe = min(probe_before, probe_after)
+    noisy = probe > 1.5 * _PROBE_REF_SEC
+    if noisy:
+        print(
+            f"# WARNING: contention sentinel tripped — probe {probe:.3f}s vs "
+            f"quiet-machine reference {_PROBE_REF_SEC:.3f}s; timings below "
+            "include co-running-workload noise",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -59,6 +93,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "probe_sec": probe,
+                "probe_before_sec": probe_before,
+                "probe_after_sec": probe_after,
+                "probe_ref_sec": _PROBE_REF_SEC,
+                "noisy": noisy,
             }
         )
     )
