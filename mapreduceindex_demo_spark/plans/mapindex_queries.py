@@ -293,10 +293,17 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        # lazy: materialized once when the final action runs — both the
-        # backfill and the catch-up merge read the same partitions, and
-        # the checkpoint preserves the user_id distribution for them
-        .localCheckpoint(eager=False)
+        # persist, not localCheckpoint: both make the three consumers
+        # (backfill, retraction ids, fresh entries) share ONE shuffle —
+        # without a barrier Catalyst pushes each consumer's batch filter
+        # below the window and splits the subtree into three separate
+        # exchanges. persist is a construction-time no-op, while
+        # localCheckpoint forces a full physical-planning JVM round-trip
+        # eagerly (~0.3 s) plus a dedicated materialization job at action
+        # time; the cache fills inside the first consuming stage instead.
+        # The cached frame keeps the user_id hash distribution, so every
+        # downstream doc-keyed operator still plans exchange-free.
+        .persist()
     )
     first = latest.filter(
         (F.col("batch") == 0) & (F.lower(F.col("op")) == "upsert")

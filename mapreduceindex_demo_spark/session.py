@@ -73,6 +73,13 @@ def get_spark(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(64 * 1024 * 1024),
         )
+        # Let AQE (partition coalescing, runtime sizing) apply INSIDE
+        # cached plans too — off, a .persist() freezes its subtree at the
+        # static shuffle.partitions fan-out, inflating task counts for the
+        # domain-sized grids the curation/CDC paths cache.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         # Deterministic timestamp semantics (match DuckDB's naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas_udf / toPandas path.

@@ -157,13 +157,20 @@ def test_curated_training_set_single_tiny_window(spark):
 
 
 def test_incremental_cdc_no_window_in_merge_chain(spark):
-    """After the one-shuffle pre-reduction (materialized), the CDC merge
-    chain is pure join+union — no window sorts, no range exchanges."""
+    """The CDC replay is ONE exchange end-to-end: the per-(doc, batch)
+    pre-reduction window sits on the single user_id repartition inside the
+    persisted subtree (visible here because the cache's final plan prints
+    before the first Initial-Plan echo), and the merge chain consuming the
+    cache is pure join+union — no further window, no further hash or range
+    exchange, one events scan."""
     plan = _final_plan(
         QUERIES["mapindex_incremental_cdc"].fn(spark, PARITY_SF_DIR)
     )
-    assert _n(plan, r"\bWindow\b") == 0, plan
+    assert _n(plan, r"\bWindow\b") <= 1, plan
+    assert _n(plan, r"Exchange hashpartitioning") <= 1, plan
     assert _n(plan, r"Exchange rangepartitioning") == 0, plan
+    assert _n(plan, r"InMemoryTableScan") >= 1, plan
+    assert _n(plan, r"events\.parquet") <= 1, plan
 
 
 def test_global_rank_string_and_binary_keys(spark):
