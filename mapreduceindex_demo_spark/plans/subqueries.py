@@ -115,21 +115,24 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The decorrelated build computes per-order quantity ONCE (one shuffle on
     l_orderkey) and reuses it both as the IN filter and as the output
-    aggregate — the SQL's second lineitem scan disappears. The surviving
-    per-order sums (the selective HAVING keeps ~1% of orders) are the
-    EXPLICIT broadcast side: Catalyst's static file-size stats undercount
-    the orders scan and would otherwise pick ORDERS as the build side — a
-    hashed relation that grows linearly with the fact table (measured
-    512 MiB at ~sf3, and the whole query going super-linear, 3.5 s → 8.9 s
-    for 3× data). With the filtered agg broadcast, orders STREAMS through
-    the join (never shuffled, never hashed), which is the shape that
-    survives a 100× scale-up.
+    aggregate — the SQL's second lineitem scan disappears. The build side
+    (the selective HAVING keeps ~1% of orders) carries NO explicit
+    broadcast hint: a hint can never be demoted, and that side still grows
+    linearly with scale factor, so forcing it trades the static
+    misestimate (Catalyst's file-size stats undercounting orders and
+    hashing the fact table — measured 512 MiB at ~sf3, 3.5 s → 8.9 s for
+    3× data) for a guaranteed OOM further out. Instead the session's
+    split thresholds decide: the conservative static threshold keeps both
+    sides off the broadcast path at planning time, then AQE's 64 MB
+    adaptive threshold broadcasts the filtered agg from its MEASURED
+    runtime bytes — and degrades to a shuffle join exactly when the build
+    side outgrows the gate. That is the shape that survives any scale-up.
     """
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     cu = _t(spark, sf_dir, "customer")
     qty = li.groupBy("l_orderkey").agg(F.sum(dec("l_quantity")).alias("qdec"))
-    big = F.broadcast(qty.where(F.col("qdec") > F.lit(250).cast(MONEY)))
+    big = qty.where(F.col("qdec") > F.lit(250).cast(MONEY))
     return (
         od.join(big, od.o_orderkey == big.l_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
