@@ -32,8 +32,6 @@ Spark re-expression:
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +39,7 @@ from pyspark.sql import types as T
 
 from mapreduceindex_demo_spark.catalog import Catalog, IndexDefn
 from mapreduceindex_demo_spark.collation import MISSING, collate_key
+from mapreduceindex_demo_spark.sources import hadoopfs
 
 #: inclusion flags for range scans (reference Inclusion enum, index.go:31-37)
 INCL_NEITHER, INCL_LOW, INCL_HIGH, INCL_BOTH = 0, 1, 2, 3
@@ -498,7 +497,19 @@ class MapIndexEngine:
 
     @staticmethod
     def _bucket_dir(path: str, b: int) -> str:
-        return os.path.join(path, f"__bucket={int(b)}")
+        return hadoopfs.join(path, f"__bucket={int(b)}")
+
+    def _hfs(self, path: str) -> hadoopfs.HadoopFS:
+        """Hadoop FileSystem bound to `path`'s scheme — all durable-layout
+        metadata IO goes through it so the same code addresses file:/,
+        hdfs:// or s3a:// paths (see sources/hadoopfs.py for the
+        object-store rename caveat)."""
+        return hadoopfs.HadoopFS(self.spark, path)
+
+    def _read_sidecar(self, path: str) -> dict:
+        return json.loads(
+            self._hfs(path).read_text(hadoopfs.join(path, self.DURABLE_META))
+        )
 
     def _write_sidecar(self, name: str, path: str, buckets: int, schema) -> None:
         from dataclasses import asdict
@@ -509,14 +520,17 @@ class MapIndexEngine:
             "batches_applied": self._batches_applied.get(name, 0),
             "entry_schema": json.loads(schema.json()),
         }
-        with open(os.path.join(path, self.DURABLE_META), "w", encoding="utf-8") as f:
-            json.dump(meta, f, indent=1)
+        self._hfs(path).write_text(
+            hadoopfs.join(path, self.DURABLE_META), json.dumps(meta, indent=1)
+        )
 
     def _read_durable_state(self, path: str, schema) -> DataFrame:
         """Read persisted entries; an index whose every bucket was retracted
         has no parquet files left, so fall back to an empty frame with the
         recorded entry schema."""
-        if any(e.startswith("__bucket=") for e in os.listdir(path)):
+        if any(
+            e.startswith("__bucket=") for e in self._hfs(path).list_names(path)
+        ):
             return self.spark.read.parquet(path).drop("__bucket")
         return self.spark.createDataFrame([], schema)
 
@@ -567,8 +581,7 @@ class MapIndexEngine:
         name, exactly like the reference resolves evaluators from metakv),
         and point the index state at the durable table.
         """
-        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
-            meta = json.load(f)
+        meta = self._read_sidecar(path)
         d = dict(meta["defn"])
         for fld in ("sec_exprs", "key_types", "desc", "partition_keys"):
             if d.get(fld) is not None:
@@ -639,21 +652,35 @@ class MapIndexEngine:
         storage nodes as the cluster grows). Bucket count is a layout
         choice frozen at save time; as the index grows, merges touch
         ever-larger partitions until a rescale. One full read + one full
-        bucketed write (exactly what a rebalance costs), atomically
-        swapping the sidecar afterwards; in-flight readers of the old
-        lineage are unaffected (parquet files are immutable — the rewrite
-        replaces the directory contents, not bytes under a reader)."""
+        bucketed write (exactly what a rebalance costs), committed by a
+        STAGING-directory swap: the new layout is written complete to a
+        sibling directory, then swapped in via two renames — the old
+        layout stays intact (and in-flight readers of its immutable
+        parquet files unaffected) until the new one is fully durable, so
+        a crash mid-rebucket leaves either the old or the new index,
+        never neither. On HDFS/POSIX the renames are atomic; an
+        object-store deployment (S3A rename = non-atomic copy) should
+        commit the swap through a metastore/manifest pointer instead —
+        see sources/hadoopfs.py."""
         if name not in self._durable:
             raise KeyError(f"index {name!r} is not durable")
         path, _ = self._durable[name]
-        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
-            meta = json.load(f)
+        fs = self._hfs(path)
+        meta = self._read_sidecar(path)
         schema = T.StructType.fromJson(meta["entry_schema"])
         # materialize current entries off the directory we are about to
         # replace (localCheckpoint: the one full read)
         cur = self._read_durable_state(path, schema).localCheckpoint(eager=True)
         self._state[name] = cur
-        self.save_index(name, path, buckets=buckets)
+        staging = path.rstrip("/") + ".__rebucket_staging"
+        old = path.rstrip("/") + ".__rebucket_old"
+        fs.delete(staging)  # clear a dead staging dir from a prior crash
+        fs.delete(old)
+        self.save_index(name, staging, buckets=buckets)
+        fs.rename(path, old)
+        fs.rename(staging, path)
+        fs.delete(old)
+        self._durable[name] = (path, int(buckets))
         self._state[name] = self._read_durable_state(path, schema)
 
     def apply_changes_durable(
@@ -710,8 +737,7 @@ class MapIndexEngine:
         # no parquet files yet, so inference would fail; partition-column
         # type pinned so the isin prune below stays a static partition
         # filter
-        with open(os.path.join(path, self.DURABLE_META), encoding="utf-8") as f:
-            side = json.load(f)
+        side = self._read_sidecar(path)
         full_schema = T.StructType.fromJson(side["entry_schema"]).add(
             "__bucket", T.IntegerType()
         )
@@ -737,12 +763,14 @@ class MapIndexEngine:
         # write: dynamic overwrite replaces only partitions present in the
         # output, so a bucket whose merged content is EMPTY (every entry
         # retracted) keeps its old files. Those are detected below by their
-        # unchanged listing and dropped — the local-FS expression of a
-        # metastore DROP PARTITION. Driver-side metadata only.
+        # unchanged listing and dropped — the filesystem expression of a
+        # metastore DROP PARTITION. Driver-side metadata only, through the
+        # Hadoop FS API so the layout lives on hdfs://s3a:// unchanged.
+        fs = self._hfs(path)
         before = {
-            b: frozenset(os.listdir(self._bucket_dir(path, b)))
+            b: frozenset(fs.list_names(self._bucket_dir(path, b)))
             for b in affected
-            if os.path.isdir(self._bucket_dir(path, b))
+            if fs.is_dir(self._bucket_dir(path, b))
         }
         (
             self._key_sorted(
@@ -755,8 +783,8 @@ class MapIndexEngine:
         )
         for b, listing in before.items():
             d = self._bucket_dir(path, b)
-            if os.path.isdir(d) and frozenset(os.listdir(d)) == listing:
-                shutil.rmtree(d)
+            if fs.is_dir(d) and frozenset(fs.list_names(d)) == listing:
+                fs.delete(d)
 
         self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
         entry_schema = T.StructType(

@@ -433,8 +433,8 @@ def q_mapindex_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory. WHERE-false upserts crossing the durable path retract
     correctly: a doc whose batch-4 value drops to ≤25 leaves the index.
     """
-    import hashlib
-    import os
+    import atexit
+    import shutil
     import tempfile
 
     eng = MapIndexEngine(spark)
@@ -459,11 +459,12 @@ def q_mapindex_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = _latest_live(ev.filter(F.col("batch") <= 3), "user_id", "event_id", "op")
     eng.create_index(defn, seed, doc_id_col="user_id")
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "mrix_durable_cdc_"
-        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
-    )
+    # per-RUN unique directory (mkdtemp): two concurrent runs against the
+    # same dataset must not race one shared layout (one engine's overwrite
+    # under another's load/merge); cleaned up at interpreter exit — after
+    # the returned frame, which reads these files lazily, is consumed
+    path = tempfile.mkdtemp(prefix="mrix_durable_cdc_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     eng.save_index(defn.name, path, buckets=16)
 
     fresh = MapIndexEngine(spark)

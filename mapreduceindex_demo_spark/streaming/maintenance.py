@@ -20,15 +20,13 @@ state a real table (MERGE INTO); nothing else changes shape.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduceindex_demo_spark.catalog import IndexDefn
 from mapreduceindex_demo_spark.mapindex import MapIndexEngine
 from mapreduceindex_demo_spark.session import load_table, parquet_col_max, table_path
+from mapreduceindex_demo_spark.sources import hadoopfs
 
 
 def materialize_cdc_files(
@@ -51,11 +49,14 @@ def materialize_cdc_files(
     # split boundary from parquet footer stats — no Spark job (r1 ADVICE)
     hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + n_files) // n_files or 1
-    os.makedirs(out_dir, exist_ok=True)
+    # all fixture-file metadata ops through the Hadoop FS API — the CDC
+    # staging dir can live on hdfs://s3a:// like the index layout
+    fs = hadoopfs.HadoopFS(spark, out_dir)
+    fs.mkdirs(out_dir)
     limit = n_files if upto_file is None else upto_file
     for b in range(limit):
-        part_dir = os.path.join(out_dir, f"batch_{b:03d}")
-        if os.path.exists(part_dir):
+        part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
+        if fs.exists(part_dir):
             continue
         batch = events.filter(
             (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
@@ -63,17 +64,19 @@ def materialize_cdc_files(
         batch.coalesce(1).write.mode("overwrite").parquet(part_dir + ".tmp")
         files = [
             f
-            for f in os.listdir(part_dir + ".tmp")
+            for f in fs.list_names(part_dir + ".tmp")
             if f.endswith(".parquet")
         ]
-        os.makedirs(part_dir, exist_ok=True)
-        os.rename(
-            os.path.join(part_dir + ".tmp", files[0]),
-            os.path.join(part_dir, "data.parquet"),
+        fs.mkdirs(part_dir)
+        fs.rename(
+            hadoopfs.join(part_dir + ".tmp", files[0]),
+            hadoopfs.join(part_dir, "data.parquet"),
         )
-        shutil.rmtree(part_dir + ".tmp")
+        fs.delete(part_dir + ".tmp")
         # deterministic replay order under (modTime, path) sorting
-        os.utime(os.path.join(part_dir, "data.parquet"), (1_700_000_000 + b, 1_700_000_000 + b))
+        fs.set_times(
+            hadoopfs.join(part_dir, "data.parquet"), (1_700_000_000 + b) * 1000
+        )
     return out_dir
 
 
@@ -100,7 +103,7 @@ def run_streaming_index_maintenance(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(os.path.join(cdc_dir, "batch_*"))
+        .parquet(hadoopfs.join(cdc_dir, "batch_*"))
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -156,7 +159,9 @@ def run_streaming_durable_maintenance(
     sidecar.
     """
     eng = engine or MapIndexEngine(spark)
-    if os.path.exists(os.path.join(index_path, MapIndexEngine.DURABLE_META)):
+    if hadoopfs.HadoopFS(spark, index_path).exists(
+        hadoopfs.join(index_path, MapIndexEngine.DURABLE_META)
+    ):
         eng.load_index(index_path)
     else:
         empty = spark.createDataFrame([], schema)
@@ -167,7 +172,7 @@ def run_streaming_durable_maintenance(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(os.path.join(cdc_dir, "batch_*"))
+        .parquet(hadoopfs.join(cdc_dir, "batch_*"))
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -220,7 +225,7 @@ def run_streaming_multi_index_maintenance(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(os.path.join(cdc_dir, "batch_*"))
+        .parquet(hadoopfs.join(cdc_dir, "batch_*"))
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

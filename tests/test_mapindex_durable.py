@@ -314,3 +314,42 @@ def test_function_index_requires_registered_function(spark, tmp_path):
         fresh.load_index(path)
     fresh.register_function("grp_of", on_map)
     assert fresh.load_index(path).count() == 2
+
+
+def test_durable_layout_works_through_file_uri(spark, tmp_path):
+    """The durable layout's metadata ops (sidecar read/write, bucket
+    listings, emptied-bucket drop, rebucket swap) go through the Hadoop
+    FileSystem API, so a scheme-qualified path must work end-to-end. A
+    `file:/` URI is the local proof: raw os.listdir/open on the URI string
+    would fail immediately, so everything passing here passed through
+    Hadoop FS — the same calls address hdfs:// or s3a:// unchanged."""
+    eng = MapIndexEngine(spark)
+    src = _docs(spark, [(f"d{i}", i % 3, float(i)) for i in range(24)])
+    eng.create_index(_defn("idx_uri"), src, doc_id_col="doc_id")
+    path = "file://" + str(tmp_path / "idx_uri")
+    eng.save_index("idx_uri", path, buckets=4)
+
+    fresh = MapIndexEngine(spark)
+    state = fresh.load_index(path)
+    before = _sorted_rows(state)
+    assert before == _sorted_rows(eng.index_table("idx_uri"))
+
+    # merge THROUGH the durable table on the URI path (delete one doc,
+    # change another), then verify against the in-memory twin
+    changes = spark.createDataFrame(
+        [("d0", 0, 0.0, "delete"), ("d1", 2, 99.0, "upsert")],
+        "doc_id string, grp bigint, val double, op string",
+    )
+    fresh.apply_changes_durable("idx_uri", changes, "doc_id", "op")
+    eng.apply_changes("idx_uri", changes, doc_id_col="doc_id", op_col="op")
+    assert _sorted_rows(fresh.index_table("idx_uri")) == _sorted_rows(
+        eng.index_table("idx_uri")
+    )
+
+    # rebucket (staging + rename swap) on the URI path
+    fresh.rebucket_index("idx_uri", 2)
+    assert _sorted_rows(fresh.index_table("idx_uri")) == _sorted_rows(
+        eng.index_table("idx_uri")
+    )
+    assert not (tmp_path / "idx_uri.__rebucket_staging").exists()
+    assert not (tmp_path / "idx_uri.__rebucket_old").exists()
