@@ -251,3 +251,77 @@ def run_streaming_multi_index_maintenance(
     )
     q.awaitTermination()
     return {defn.name: eng.index_table(defn.name) for defn in defns}
+
+
+def run_streaming_multi_index_durable_maintenance(
+    spark: SparkSession,
+    cdc_dir: str,
+    checkpoint_dir: str,
+    defns: list[IndexDefn],
+    schema,
+    index_paths: dict[str, str],
+    engine: MapIndexEngine | None = None,
+    doc_id_col: str = "user_id",
+    seq_col: str = "event_id",
+    buckets: int = 8,
+) -> dict[str, DataFrame]:
+    """ONE mutation stream maintaining MANY indexes ON STORAGE — the full
+    reference topology: a topic's single DCP feed serves every index on
+    the bucket (projector.go:237-247), and each index instance persists
+    through its dataport sink to the storage nodes (indexjs.go:129-188,
+    index.go:173-214). One readStream + ONE checkpoint; each micro-batch
+    is read once, cached, and merged THROUGH each index's durable table
+    via the idempotent dynamic-partition-overwrite rewrite.
+
+    Exactly-once across N sinks from one offset log: a crash after some
+    (but not all) indexes committed their rewrite replays the batch into
+    ALL of them on restart — the already-written indexes rewrite the same
+    partitions with the same bytes (idempotent), the missed ones catch
+    up, and the offset only commits once every sink has applied. Survives
+    engine AND session death: resume with a fresh engine pointing at the
+    same index paths + checkpoint dir.
+
+    First call bootstraps each index (empty build + save); restarts
+    reopen every index from its sidecar.
+    """
+    eng = engine or MapIndexEngine(spark)
+    empty = spark.createDataFrame([], schema)
+    for defn in defns:
+        path = index_paths[defn.name]
+        if hadoopfs.HadoopFS(spark, path).exists(
+            hadoopfs.join(path, MapIndexEngine.DURABLE_META)
+        ):
+            eng.load_index(path)
+        else:
+            eng.create_index(defn, empty, doc_id_col=doc_id_col)
+            eng.save_index(defn.name, path, buckets=buckets)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(hadoopfs.join(cdc_dir, "batch_*"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()  # one materialization feeds all sinks
+        try:
+            for defn in defns:
+                eng.apply_changes_durable(
+                    defn.name,
+                    batch_df,
+                    doc_id_col=doc_id_col,
+                    op_col="op",
+                    seq_col=seq_col,
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {defn.name: eng.index_table(defn.name) for defn in defns}

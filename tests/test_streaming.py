@@ -302,3 +302,70 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.table("dedup_stream")
     assert got.count() == events.count()                  # no duplicates emitted
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_multi_index_durable_one_checkpoint_survives_engine_death(spark, tmp_path):
+    """The reference's full topic topology, durable: ONE mutation stream +
+    ONE checkpoint maintaining TWO indexes on storage. Run a 3-file
+    prefix, throw the engine away ("process death"), add the remaining
+    CDC files, and resume on a NEW session + NEW engine from the same
+    index paths and checkpoint. Both on-disk indexes must equal their
+    windowed-SQL rebuilds over the full log."""
+    from mapreduceindex_demo_spark.streaming import (
+        run_streaming_multi_index_durable_maintenance,
+    )
+
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    defn_a = _defn("idx_multi_dur_a")
+    defn_b = IndexDefn(
+        name="idx_multi_dur_b",
+        bucket="events",
+        sec_exprs=("event_type",),
+        where_expr="value > 50",
+    )
+    paths = {
+        "idx_multi_dur_a": str(tmp_path / "idx_a"),
+        "idx_multi_dur_b": str(tmp_path / "idx_b"),
+    }
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5, upto_file=3)
+
+    states1 = run_streaming_multi_index_durable_maintenance(
+        spark, cdc, ckpt, [defn_a, defn_b], CDC_SCHEMA, index_paths=paths
+    )
+    assert states1["idx_multi_dur_a"].count() > 0  # engine now dropped
+
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5)
+    s2 = spark.newSession()
+    states2 = run_streaming_multi_index_durable_maintenance(
+        s2, cdc, ckpt, [defn_a, defn_b], CDC_SCHEMA, index_paths=paths
+    )
+    assert (
+        sorted(tuple(r) for r in states2["idx_multi_dur_a"].collect())
+        == _golden(spark)
+    )
+
+    # index B golden: latest live version per user, WHERE value > 50
+    from pyspark.sql import Window
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    golden_b = sorted(
+        tuple(r)
+        for r in (
+            events.withColumn("rn", F.row_number().over(w))
+            .filter(
+                (F.col("rn") == 1)
+                & (F.col("event_type") != "error")
+                & (F.col("value") > 50)
+            )
+            .select(
+                F.col("event_type").alias("key_0"),
+                F.col("user_id").alias("doc_id"),
+            )
+            .collect()
+        )
+    )
+    assert (
+        sorted(tuple(r) for r in states2["idx_multi_dur_b"].collect()) == golden_b
+    )
