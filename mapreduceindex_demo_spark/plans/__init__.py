@@ -36,57 +36,61 @@ from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r5 closes the external-verification debt: the 5 queries that had
-    # never had an external row (r4 verdict item 2) ---
-    "events_map_functions",
-    "funnel_view_click_purchase",
-    "weekly_retention_cohorts",
-    "text_repetition_filter",
-    "training_mix_weights",
-    # --- changed this round: trained IVF centroids ---
+    # --- r6 rotation goal (r5 verdict item 8): every registered query has
+    # ≥1 external green row, so this window now maximizes SECOND
+    # confirmations — 35 queries whose only green row dates from r1-r4
+    # rotate IN; the r5-confirmed rows rotate out. ---
+    # --- changed THIS round (stay in for re-verification): order-free IVF
+    # re-center; CDC persist barrier; Q18 without the broadcast hint;
+    # durable query on per-run mkdtemp paths ---
     "similarity_ivf_ann",
-    # --- new this round: PII redaction, TF-IDF, unigram-LM quality ---
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    # --- map-index subsystem (SURVEY M1-M9, P1, A8, D3, S1); multiply-green
-    # build/stats rows rotated out per r4 verdict item 2 ---
-    "mapindex_array_build",
-    "mapindex_function_build",
-    "mapindex_scan_range",
     "mapindex_incremental_cdc",
-    "mapindex_collated_scan",
-    # --- new this round: durable persistence (r4 verdict item 4) ---
-    "mapindex_durable_cdc",
-    # --- single-green r4 rows: keep one more external confirmation ---
-    "user_sessionization",
-    "embedding_int8_quantization",
-    "multimodal_feature_extract",
-    "streaming_sliding_counts",
-    "streaming_dedup_users",
-    "similarity_lsh_buckets",
-    "multimodal_frame_sample",
-    "balanced_source_sample",
-    "frequent_bigrams_per_lang",
-    "training_sequence_packing",
-    "dedup_apply_neardup_free",
-    "small_qty_revenue_by_brand",
     "large_volume_customers",
-    "min_offer_supplier_per_part",
-    "suppliers_above_nation_avg",
-    "churned_customer_segments",
-    "promo_revenue_share_monthly",
-    "product_profit_by_nation_year",
-    "important_parts_by_value",
-    "late_shipment_priority_counts",
-    "customer_order_count_distribution",
-    "top_revenue_supplier",
-    "supplier_count_by_part_attrs",
-    "bracketed_discounted_revenue",
-    "blocking_suppliers",
-    "idle_customer_balance_by_prefix",
-    # --- family-guard representatives (already green in r03+r04) ---
-    "streaming_tumbling_counts",
+    "mapindex_durable_cdc",
+    # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
+    "forecast_revenue_change",
+    "order_priority_check",
+    "top_returning_customers",
+    "nation_trade_by_year",
+    "customer_order_stats",
+    "orderless_customers",
+    "rollup_returnflag_status",
+    "cube_status_priority",
+    "top_orders_per_customer",
+    "customer_running_spend",
+    # --- single-green scalar-function surfaces ---
+    "part_string_functions",
+    "order_date_functions",
+    "lineitem_math_functions",
+    "document_array_functions",
+    "order_conditional_functions",
+    "events_json_extract",
+    "events_pivot_daily",
+    "events_value_buckets",
+    "lineitem_percentiles",
+    # --- single-green LLM/dedup/similarity/multimodal/text ---
+    "multimodal_binary_stats",
+    "multimodal_doc_embedding_join",
+    "similarity_lsh_ann",
+    "text_fingerprint",
+    "text_bpe_token_stats",
+    "text_chunking",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_minhash_components",
+    "dedup_cross_source_contamination",
+    "curated_training_set",
+    # --- single-green streaming/subquery ---
+    "streaming_session_windows",
+    "skew_salted_join_volume",
+    # --- family guards with no single-green member left: multiply-green
+    # representatives (mapindex keeps ≥5 in-window incl. the two changed
+    # CDC rows above) ---
+    "mapindex_expr_build",
+    "mapindex_primary_build",
+    "mapindex_stats",
     "streaming_interval_join",
     "streaming_index_maintenance",
     "stateful_running_counters",
@@ -94,8 +98,8 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
-    # --- bench headliners: keep the BENCH set externally re-verified ---
-    "nation_market_share_yearly",
+    "blocking_suppliers",
+    "embedding_int8_quantization",
 ]
 
 
