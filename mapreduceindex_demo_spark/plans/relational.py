@@ -123,9 +123,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem → revenue per order → top 10.
 
-    Scale: customer-filter side is small after the segment filter →
-    broadcast into orders; orders⋈lineitem is the only big-big shuffle
-    (both hashed on orderkey). Tiebreak on l_orderkey makes LIMIT stable.
+    Scale: the segment-filtered customer side is small at any bench SF
+    but still LINEAR in data, so no permanent broadcast hint — AQE
+    broadcasts it from measured runtime bytes and degrades to shuffle
+    when it outgrows the gate; orders⋈lineitem is the only big-big
+    shuffle (both hashed on orderkey). Tiebreak on l_orderkey makes
+    LIMIT stable.
     """
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
@@ -138,7 +141,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -183,9 +186,11 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-table star join with a local-supplier (c_nationkey=s_nationkey)
     constraint.
 
-    Scale: region/nation/supplier/customer all broadcast (dims); the only
-    big-big shuffle is orders⋈lineitem on orderkey. AQE would re-plan if a
-    "dim" outgrew the broadcast threshold.
+    Scale: nation/region are fixed-cardinality dims (hinted);
+    supplier/customer grow linearly with SF, so their joins are
+    AQE-decided — broadcast from measured runtime bytes while small,
+    shuffle once they outgrow the 64 MB gate. The only big-big shuffle
+    is orders⋈lineitem on orderkey.
     """
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -200,9 +205,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -307,7 +312,7 @@ def q_top_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (one - dec("l_discount", RATE))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -361,8 +366,8 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).isin("NATION_1", "NATION_2")
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair & (F.col("supp_nation") != F.col("cust_nation")))
@@ -1429,23 +1434,25 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: first view → first click strictly after
     it → first purchase strictly after that; one row of per-stage user
     counts. Each stage is an aggregate-then-join against the (small)
-    per-user frontier from the previous stage — the frontier broadcasts,
-    the events scan re-filters by type, and no per-user sequence is ever
-    materialized (at 100 TB the frontier is |users| rows, not |events|)."""
+    per-user frontier from the previous stage — AQE broadcasts the
+    frontier while its measured runtime bytes fit (|users| rows grows
+    with data, so a permanent hint would eventually OOM; the join
+    degrades to shuffle exactly then), the events scan re-filters by
+    type, and no per-user sequence is ever materialized."""
     ev = _t(spark, sf_dir, "events")
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t1")
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -1486,14 +1493,15 @@ def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-user first-seen and per-(user, week) activity are both one
     aggregation over the same user_id shuffle; the cohort frame
-    (|users| rows) broadcasts onto the activity frame, and the final
-    aggregate moves only (cohort, week) pairs."""
+    (|users| rows — linear in data, so no permanent broadcast hint:
+    AQE broadcasts it at runtime while it fits) joins the activity
+    frame, and the final aggregate moves only (cohort, week) pairs."""
     ev = _t(spark, sf_dir, "events")
     wk = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
     f = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
     a = ev.select("user_id", wk(F.col("ts")).alias("active_week")).distinct()
     return (
-        a.join(F.broadcast(f), "user_id")
+        a.join(f, "user_id")
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

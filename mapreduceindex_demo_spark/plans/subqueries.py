@@ -72,7 +72,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thr")
     ).withColumnRenamed("l_partkey", "t_partkey")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .join(thr, li.l_partkey == thr.t_partkey)
         .where(F.col("l_quantity") < F.col("thr"))
         .groupBy("p_brand")
@@ -197,8 +197,8 @@ def q_min_offer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offer") == F.col("min_offer")
     )
     return (
-        best.join(F.broadcast(pt), best.pk == pt.p_partkey)
-        .join(F.broadcast(sup), best.sk == sup.s_suppkey)
+        best.join(pt, best.pk == pt.p_partkey)
+        .join(sup, best.sk == sup.s_suppkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -331,7 +331,7 @@ def q_promo_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.round(

@@ -77,10 +77,12 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over the total, folded into ONE aggregation pass.
 
     Plan: the only big-big edge is lineitem ⋈ orders (hash shuffle on
-    orderkey). part / customer→nation→region / supplier→nation are all
-    dimension chains — pre-joined driver-side into two broadcast maps
-    (partkey-filter, suppkey→nation) plus a customer broadcast pruned by
-    region. The conditional numerator means NO second scan for the share.
+    orderkey). part / customer→nation→region / supplier→nation are
+    dimension chains: nation/region (fixed cardinality) carry explicit
+    broadcast hints, while the chains' customer/supplier/part outputs
+    grow linearly with SF, so AQE decides those joins from runtime bytes
+    (broadcast while small, shuffle when not — a hint could never be
+    demoted). The conditional numerator means NO second scan.
     """
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
@@ -109,10 +111,10 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
         .agg(
             r6(num.cast("double") / F.sum(dp).cast("double")).alias("mkt_share")
@@ -148,7 +150,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation per order year, over parts whose name matches a LIKE pattern.
 
     Plan: lineitem ⋈ orders is the one shuffle; the LIKE-filtered part
-    projection and the supplier→nation chain broadcast. The profit
+    projection and the supplier→nation chain join AQE-decided (both grow
+    linearly with SF — broadcast at runtime while small). The profit
     expression is exact decimal arithmetic inside the partial aggregate,
     so map-side combine ships one decimal per (nation, year) per task.
     """
@@ -167,9 +170,9 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _disc_price() - dec("p_retailprice") * dec("l_quantity")
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(
             "nation", F.date_format("o_orderdate", "yyyy").alias("order_year")
         )
@@ -356,7 +359,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .where(F.col("rdec") == F.col("mx"))
-        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(sup, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("rdec").cast("double").alias("total_revenue")
         )
@@ -408,8 +411,8 @@ def q_supplier_count_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -469,7 +472,7 @@ def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        li.join(pt, li.l_partkey == pt.p_partkey)
         .where(bracket)
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
@@ -535,7 +538,7 @@ def q_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(od, F.col("l_orderkey") == od.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
