@@ -49,7 +49,6 @@ PRIORITY_50 = [
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "forecast_revenue_change",
-    "order_priority_check",
     "top_returning_customers",
     "nation_trade_by_year",
     "customer_order_stats",
@@ -67,7 +66,10 @@ PRIORITY_50 = [
     "events_json_extract",
     "events_pivot_daily",
     "events_value_buckets",
-    "lineitem_percentiles",
+    # --- NEW this round (zero external rows yet — must be in-window):
+    # Count-Min sketch with in-plan error contract; substring-span dedup ---
+    "sketch_cms_heavy_hitters",
+    "dedup_duplicated_spans",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
