@@ -65,11 +65,11 @@ PRIORITY_50 = [
     "order_conditional_functions",
     "events_json_extract",
     "events_pivot_daily",
-    "events_value_buckets",
     # --- NEW this round (zero external rows yet — must be in-window):
     # Count-Min sketch with in-plan error contract; substring-span dedup ---
     "sketch_cms_heavy_hitters",
     "dedup_duplicated_spans",
+    "training_mix_apply",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -5,7 +5,9 @@ against the windowed-SQL final state)."""
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,6 +149,7 @@ def q_streaming_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     query."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     work = tempfile.mkdtemp(prefix=f"mri_stream_{sf_tag}_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     cdc_dir = materialize_cdc_files(spark, sf_dir, os.path.join(work, "cdc"))
     defn = IndexDefn(
         name="idx_stream_users",
@@ -193,6 +196,7 @@ def q_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     work = tempfile.mkdtemp(prefix=f"mri_state_{sf_tag}_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "value", "ts"
     )
@@ -259,6 +263,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     work = tempfile.mkdtemp(prefix=f"mri_sdedup_{sf_tag}_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     cdc_dir = materialize_cdc_files(spark, sf_dir, os.path.join(work, "cdc"))
     feed = spark.read.schema(CDC_SCHEMA).parquet(
         os.path.join(cdc_dir, "batch_*")
