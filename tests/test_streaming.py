@@ -369,3 +369,51 @@ def test_multi_index_durable_one_checkpoint_survives_engine_death(spark, tmp_pat
     assert (
         sorted(tuple(r) for r in states2["idx_multi_dur_b"].collect()) == golden_b
     )
+
+
+def test_dedup_within_watermark_bounds_state_and_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE dedup the
+    unbounded dropDuplicates can't be at 100 TB (its key set grows
+    forever; the watermark variant expires state once event time passes
+    the horizon). Feed a micro-batched stream where batch 2 replays a
+    batch-1 event inside the watermark (at-least-once delivery) plus one
+    genuinely new event: the replay must be dropped, the new event kept."""
+    import pyspark.sql.functions as SF
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    rows1 = [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:05:00", 101)]
+    rows2 = [(2, "2024-01-01 10:05:00", 101), (3, "2024-01-01 10:06:00", 102)]
+    schema = "event_id bigint, ts string, user_id bigint"
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, schema)
+            .select("event_id", SF.col("ts").cast("timestamp"), "user_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"b{i}"))
+        )
+        os.utime(
+            os.path.join(src, f"b{i}"), (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend((r["event_id"], r["user_id"]) for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(out) == [(1, 100), (2, 101), (3, 102)]
