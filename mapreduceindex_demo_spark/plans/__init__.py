@@ -23,6 +23,7 @@ from mapreduceindex_demo_spark.plans import streaming_queries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import sql_surface  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -38,8 +39,11 @@ from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 PRIORITY_50 = [
     # --- r6 rotation goal (r5 verdict item 8): every registered query has
     # ≥1 external green row, so this window now maximizes SECOND
-    # confirmations — 35 queries whose only green row dates from r1-r4
-    # rotate IN; the r5-confirmed rows rotate out. ---
+    # confirmations — queries whose only green row dates from r1-r4
+    # rotate IN; the r5-confirmed rows rotate out. (cube_status_priority,
+    # order_conditional_functions, top_orders_per_customer — all with
+    # committed green rows — yielded their slots to the three new search
+    # queries, which have no external row yet.) ---
     # --- changed THIS round (stay in for re-verification): order-free IVF
     # re-center; CDC persist barrier; Q18 without the broadcast hint;
     # durable query on per-run mkdtemp paths ---
@@ -54,22 +58,23 @@ PRIORITY_50 = [
     "customer_order_stats",
     "orderless_customers",
     "rollup_returnflag_status",
-    "cube_status_priority",
-    "top_orders_per_customer",
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
     "part_string_functions",
     "order_date_functions",
     "lineitem_math_functions",
     "document_array_functions",
-    "order_conditional_functions",
     "events_json_extract",
     "events_pivot_daily",
     # --- NEW this round (zero external rows yet — must be in-window):
-    # Count-Min sketch with in-plan error contract; substring-span dedup ---
+    # Count-Min sketch with in-plan error contract; substring-span dedup;
+    # full-text search family (BM25 / positional phrase / boolean AND) ---
     "sketch_cms_heavy_hitters",
     "dedup_duplicated_spans",
     "training_mix_apply",
+    "search_bm25_topk",
+    "search_phrase_positional",
+    "search_boolean_and",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -1,0 +1,274 @@
+"""Full-text search query suite: BM25 ranked retrieval, positional phrase
+match, and boolean conjunctive retrieval over the ``documents`` corpus.
+
+This is the query-side twin of the reference's secondary-index scans
+(reference: secondary/indexer scan pipeline, e.g. indexer/scan_coordinator.go
+and the N1QL search surface): where ``mapindex_scan_range`` serves ordered
+key lookups, this family serves *relevance-ranked* and *positional* lookups
+over tokenized text — the retrieval shapes an LLM training-data pipeline
+uses for corpus exploration, decontamination probes, and eval-set mining.
+
+Engine design (Spark-first, no materialized inverted index needed):
+
+- **BM25** is two corpus passes with NO wide shuffle: pass 1 computes the
+  global statistics (N, Σdl, per-term document frequency) as a map-side
+  partial aggregate folded into ONE row; pass 2 re-scans, computes each
+  term's tf scan-locally with ``F.filter`` over the token array (no
+  explode, no groupBy), scores against the broadcast statistics row, and
+  feeds a TakeOrderedAndProject top-k heap. At 100 TB this is exactly the
+  plan you want: the only exchanges are a 1-row broadcast and the k-row
+  heap merge.
+- **Phrase search** demonstrates the positional-postings shape: tokens are
+  exploded WITH positions, filtered to the phrase's terms *before* any
+  exchange (the postings are term-selective, tiny relative to the corpus),
+  and adjacency is a pure equi-join on ``(doc_id, pos+1)`` — co-partitioned
+  by the join keys, map-side combinable count on top.
+- **Boolean AND** is the postings-intersection shape: per-(doc, term)
+  counts for the query terms only, then an intersection expressed as
+  ``COUNT(DISTINCT term) == |terms|`` — one shuffle over the filtered
+  postings with partial aggregation.
+
+Determinism contract (driver value-hash; see plans/registry.py): tf, df,
+dl, N are exact integers in both engines; ``avgdl`` is one double division
+of exact integers; each per-term BM25 contribution is rounded to 6 dp and
+the final score is a FIXED-ORDER sum of the rounded contributions, so both
+engines add bit-identical doubles in the same order. ``ln`` may differ in
+the last ulp across libm implementations — the 6-dp rounding grid absorbs
+it (same policy as TF-IDF / IVF in plans/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+_BM25_TERMS = ("spark", "hash", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_PHRASE = ("hash", "join")
+_AND_TERMS = ("customer", "vector", "spark")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _tf(term: str) -> Column:
+    """Scan-local term frequency over the token array (a one-parameter
+    lambda on purpose: PySpark calls a two-parameter higher-order-function
+    lambda with (element, index))."""
+    return F.size(F.filter("tk", lambda x: x == F.lit(term)))
+
+
+def _spark_contrib(i: int) -> Column:
+    """One term's BM25 contribution, rounded to the 6-dp grid."""
+    tf = F.col(f"tf_{i}").cast("double")
+    df = F.col(f"df_{i}").cast("double")
+    n = F.col("n").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * dl / F.col("avgdl")
+    )
+    return F.round(idf * (tf * F.lit(_BM25_K1 + 1.0)) / denom, 6)
+
+
+def _duck_contrib(i: int) -> str:
+    """The same contribution in DuckDB SQL, token-for-token the same
+    arithmetic so both engines round identical doubles."""
+    k1 = repr(_BM25_K1)
+    b = repr(_BM25_B)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    tf = f"CAST(tf_{i} AS DOUBLE)"
+    df = f"CAST(df_{i} AS DOUBLE)"
+    return (
+        f"round(ln(1.0 + (CAST(n AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        f" * ({tf} * {k1p1})"
+        f" / ({tf} + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl)), 6)"
+    )
+
+
+_DUCK_TF_COLS = ", ".join(
+    f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_DUCK_DF_COLS = ", ".join(
+    f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+    for i in range(len(_BM25_TERMS))
+)
+_DUCK_SCORE = " + ".join(_duck_contrib(i) for i in range(len(_BM25_TERMS)))
+_DUCK_NHITS = " + ".join(
+    f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(_BM25_TERMS))
+)
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(tk) AS dl, {_DUCK_TF_COLS}
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             {_DUCK_DF_COLS}
+      FROM t),
+    scored AS (
+      SELECT doc_id,
+             round({_DUCK_SCORE}, 6) + 0.0 AS score,
+             CAST({_DUCK_NHITS} AS INT) AS n_hits
+      FROM t CROSS JOIN s)
+    SELECT doc_id, score, n_hits FROM scored
+    WHERE n_hits > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+    tags=("search", "bm25", "text"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 4-term keyword
+    query, top-10 by relevance.
+
+    Scale shape: pass 1 folds the corpus statistics (N, Σdl, per-term df)
+    into ONE row via map-side partial aggregation — no groupBy key, so the
+    exchange carries one partial row per task. Pass 2 computes tf for each
+    query term scan-locally with an array ``filter`` (no explode → no
+    (doc, term) shuffle at all), scores against the broadcast stats row,
+    and TakeOrderedAndProject merges per-partition top-k heaps. Total
+    exchange volume is O(tasks + k), independent of corpus size.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(_BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = _spark_contrib(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _spark_contrib(i)
+    n_hits = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(_BM25_TERMS)):
+        n_hits = n_hits + (F.col(f"tf_{i}") > 0).cast("int")
+    return (
+        t.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.round(score, 6) + F.lit(0.0)).alias("score"),
+            n_hits.cast("int").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+@query(
+    "search_phrase_positional",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+        CAST(len(list_filter(range(1, len(tk)),
+             i -> tk[i] = '{_PHRASE[0]}' AND tk[i + 1] = '{_PHRASE[1]}'))
+          AS BIGINT) AS n_matches
+      FROM toks)
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+    """,
+    tags=("search", "phrase", "text"),
+)
+def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: documents containing the exact bigram
+    "hash join", with occurrence counts — the positional-postings shape
+    (reference: the secondary index's array/position encoding in the scan
+    pipeline).
+
+    Scale shape: tokens explode WITH positions, are filtered to the two
+    phrase terms BEFORE any exchange (postings are term-selective), and
+    adjacency is a pure equi-join on ``(doc_id, pos+1) = (doc_id, pos)``
+    — both sides hash-partition on the same composite key, and the match
+    count aggregates with map-side combine. The corpus is scanned once
+    per posting list; the joined volume is |postings|, not |tokens|.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    first = toks.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", (F.col("pos") + F.lit(1)).alias("nxt")
+    )
+    second = toks.where(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("pos2")
+    )
+    return (
+        first.join(
+            second,
+            (F.col("doc_id") == F.col("doc2")) & (F.col("nxt") == F.col("pos2")),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+_DUCK_AND_TF = ", ".join(
+    f"len(list_filter(tk, x -> x = '{t}')) AS tf_{i}"
+    for i, t in enumerate(_AND_TERMS)
+)
+_DUCK_AND_SUM = " + ".join(f"tf_{i}" for i in range(len(_AND_TERMS)))
+_DUCK_AND_PRED = " AND ".join(f"tf_{i} > 0" for i in range(len(_AND_TERMS)))
+
+
+@query(
+    "search_boolean_and",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_AND_TF}
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))
+    SELECT doc_id, CAST({_DUCK_AND_SUM} AS BIGINT) AS tf_total
+    FROM t WHERE {_DUCK_AND_PRED}
+    """,
+    tags=("search", "boolean", "text"),
+)
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean conjunctive retrieval: documents containing ALL query terms,
+    with the summed term frequency — the postings-intersection shape.
+
+    Scale shape: tokens are filtered to the query terms before the only
+    exchange; per-(doc, term) counts partial-aggregate map-side; the
+    intersection is ``COUNT(DISTINCT term) == |terms|`` over rows already
+    unique per (doc, term), so it is a plain count. The shuffle carries
+    the filtered postings only.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    postings = (
+        toks.where(F.col("term").isin(*_AND_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("tf_total"),
+        )
+        .where(F.col("n_terms") == len(_AND_TERMS))
+        .select("doc_id", "tf_total")
+    )

@@ -222,3 +222,27 @@ def test_ivf_recenter_is_order_free_avg(spark):
     # every collect_list that remains is the (pos, cv) mean re-assembly
     for m in re.finditer(r"(?:partial_)?collect_list\(struct\((\w+)", plan):
         assert m.group(1) == "pos", plan
+
+
+def test_bm25_has_no_postings_shuffle(spark):
+    """BM25's scale contract (plans/search.py): tf is computed scan-locally
+    over the token array — NO explode (Generate) and NO (doc, term) hash
+    shuffle anywhere in the plan. The only exchanges are the 1-row stats
+    fold (SinglePartition) and the top-k heap merge
+    (TakeOrderedAndProject); the stats row arrives by broadcast."""
+    plan = _final_plan(QUERIES["search_bm25_topk"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bGenerate\b") == 0, plan
+    assert _n(plan, r"Exchange hashpartitioning") == 0, plan
+    assert _n(plan, r"TakeOrderedAndProject") == 1, plan
+    assert _n(plan, r"BroadcastNestedLoopJoin|BroadcastExchange") >= 1, plan
+
+
+def test_phrase_search_filters_postings_before_join(spark):
+    """Positional phrase search (plans/search.py): the two posting lists
+    must be term-filtered BEFORE the adjacency join, and the join must be
+    a hash equi-join on the composite (doc_id, position) key — never a
+    cartesian/theta join over raw token streams."""
+    plan = _final_plan(QUERIES["search_phrase_positional"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"CartesianProduct|BroadcastNestedLoopJoin") == 0, plan
+    # each posting side carries its term filter under the exchange
+    assert _n(plan, r"hash\b.*\bjoin|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1, plan
