@@ -52,3 +52,53 @@ def lsh_bucket(emb: Column, planes: int = LSH_PLANES, dim: int = 64) -> Column:
         d = dot_fold(emb, F.expr(plane_weight_expr(j, dim)))
         bits.append(F.when(d >= 0, "1").otherwise("0"))
     return F.concat(*bits)
+
+
+def assign_cells(corpus: "DataFrame", centroids: "DataFrame") -> "DataFrame":
+    """Assign every corpus vector (vec_id, ee) to its nearest centroid
+    (cid, ce) by cosine, tie-broken cid-ascending: one broadcast of the k
+    centroid rows, a scan-local argmax per vector via a per-vec_id window.
+    Returns (vec_id, ee, cid, csim)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "ee", "cid", cosine(F.col("ee"), F.col("ce")).alias("csim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def recenter_cells(assigned: "DataFrame") -> "DataFrame":
+    """Lloyd's re-center: per-dimension mean of each cell's members, rounded
+    to the 6-dp grid (the cross-engine determinism contract — the rounding
+    makes the mean order-free, see plans/llm.py:q_ivf_ann). posexplode →
+    groupBy(cid, pos).avg is map-side combinable: the shuffle carries
+    k × dim partial sums per task, never cell members; the re-assembly
+    collect_list is over the k × dim means — bounded by the embedding
+    dimension, not the data."""
+    return (
+        assigned.select("cid", F.posexplode("ee").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("cv"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("m"))
+        .select("cid", F.expr("transform(m, s -> s.cv)").alias("ce"))
+    )
+
+
+def train_ivf_centroids(corpus: "DataFrame", k: int, iters: int) -> "DataFrame":
+    """k-means-lite coarse quantizer (DataFrame-only): seed with the first
+    k corpus vectors by vec_id, run `iters` Lloyd's passes. Each pass is
+    one k-row broadcast + one map-side-combined (cid, pos) shuffle.
+    Returns (cid, ce)."""
+    c = corpus.where(F.col("vec_id").between(1, k)).select(
+        F.col("vec_id").alias("cid"), F.col("ee").alias("ce")
+    )
+    for _ in range(iters):
+        c = recenter_cells(assign_cells(corpus, c))
+    return c

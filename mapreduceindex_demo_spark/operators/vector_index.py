@@ -1,0 +1,121 @@
+"""Durable IVF vector index: train once, persist cell-partitioned, serve
+many ANN probes with partition-pruned reads.
+
+This is the vector twin of the engine's durable secondary index
+(mapindex.py save_index/load_index; reference: the index-on-storage
+lifecycle, index.go:173-214): the expensive phase (k-means training +
+corpus assignment) runs ONCE and lands on storage; every subsequent query
+reopens the layout and reads only the cells it probes.
+
+Layout under ``path``:
+
+- ``cells/`` — the assignment table (vec_id, ee, csim) written
+  ``partitionBy("cid")``: one directory per IVF cell. A probe of
+  ``nprobe`` cells therefore reads nprobe/k of the files — and because
+  the probe arrives as a JOIN against the (tiny) centroid-derived probe
+  list, Spark's dynamic partition pruning injects the cell filter into
+  the scan at runtime: no driver-side collect of probe ids, no full scan.
+- ``centroids/`` — the k trained centroid rows (cid, ce), a parquet table
+  small enough to broadcast at any corpus scale (k × dim doubles).
+
+Scale shape at 100 TB: build cost is iters+1 corpus passes (each one
+k-row broadcast + one map-side-combined (cid, pos) shuffle — see
+functions/similarity.py) plus one cell-partitioned write; query cost is
+one k-row centroid read + a partition-pruned scan of the probed cells +
+a top-k heap merge. Raising k shrinks per-query bytes linearly; the
+assignment write repartitions by cell so each cell lands as one file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.functions import similarity as S
+
+
+class IVFVectorIndex:
+    """A persisted IVF-Flat index over an (vec_id, ee: array<double>)
+    corpus. Build with :meth:`build`, reopen (any engine/session) with
+    :meth:`open`, query with :meth:`probe`."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.k = k
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        k: int = 8,
+        iters: int = 2,
+    ) -> "IVFVectorIndex":
+        """Train the coarse quantizer on `corpus` (vec_id, ee) and persist
+        centroids + cell-partitioned assignments."""
+        spark = corpus.sparkSession
+        path = path.rstrip("/")
+        centroids = S.train_ivf_centroids(corpus, k, iters)
+        centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        # re-read the persisted centroids so the assignment pass does not
+        # re-run the training lineage per partition
+        trained = spark.read.parquet(f"{path}/centroids")
+        assigned = S.assign_cells(corpus, trained)
+        (
+            assigned.repartition(k, F.col("cid"))
+            .sortWithinPartitions("cid", "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/cells")
+        )
+        return cls(spark, path, k)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFVectorIndex":
+        """Reopen a persisted index; k is recovered from the centroid
+        table (k rows — a metadata-scale read)."""
+        k = spark.read.parquet(f"{path.rstrip('/')}/centroids").count()
+        return cls(spark, path, int(k))
+
+    # -- query -------------------------------------------------------------
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/centroids")
+
+    def cells(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/cells")
+
+    def probe(self, qvec: DataFrame, nprobe: int, topk: int) -> DataFrame:
+        """ANN top-k for a single query vector frame ``qvec`` with one
+        column ``qe: array<double>``: rank the reopened centroids by
+        cosine to the query, take the nprobe nearest cells (tie cid asc),
+        join the cell-partitioned assignment table on cid — dynamic
+        partition pruning limits the scan to the probed directories —
+        and exact-rerank by cosine with a total (cos_sim desc, vec_id)
+        order. Returns (vec_id, cos_sim)."""
+        from pyspark.sql import Window
+
+        ranked_cells = (
+            self.centroids()
+            .crossJoin(F.broadcast(qvec))
+            .select("cid", S.cosine(F.col("ce"), F.col("qe")).alias("csim"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.desc("csim"), F.asc("cid"))
+                ),
+            )
+            .where(F.col("rn") <= nprobe)
+            .select(F.col("cid").alias("pcid"))
+        )
+        return (
+            self.cells()
+            .join(F.broadcast(ranked_cells), F.col("cid") == F.col("pcid"))
+            .crossJoin(F.broadcast(qvec))
+            .select("vec_id", S.cosine(F.col("ee"), F.col("qe")).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(topk)
+        )

@@ -54,7 +54,6 @@ PRIORITY_50 = [
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "forecast_revenue_change",
     "top_returning_customers",
-    "nation_trade_by_year",
     "customer_order_stats",
     "orderless_customers",
     "rollup_returnflag_status",
@@ -75,6 +74,7 @@ PRIORITY_50 = [
     "search_bm25_topk",
     "search_phrase_positional",
     "search_boolean_and",
+    "similarity_ivf_durable",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -246,3 +246,13 @@ def test_phrase_search_filters_postings_before_join(spark):
     assert _n(plan, r"CartesianProduct|BroadcastNestedLoopJoin") == 0, plan
     # each posting side carries its term filter under the exchange
     assert _n(plan, r"hash\b.*\bjoin|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1, plan
+
+
+def test_durable_ivf_probe_prunes_cells(spark):
+    """The persisted IVF index's probe (operators/vector_index.py) must
+    reach the cell-partitioned layout through a partition-pruned scan:
+    the probe list joins the partition column, so the cells scan carries
+    a dynamic-pruning partition filter — unprobed cell directories never
+    enter the scan. (nprobe=2 of k=8 cells → at most 2 directories.)"""
+    plan = _final_plan(QUERIES["similarity_ivf_durable"].fn(spark, PARITY_SF_DIR))
+    assert re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan), plan
