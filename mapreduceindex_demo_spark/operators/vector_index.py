@@ -80,6 +80,84 @@ class IVFVectorIndex:
         k = spark.read.parquet(f"{path.rstrip('/')}/centroids").count()
         return cls(spark, path, int(k))
 
+    # -- incremental maintenance ------------------------------------------
+
+    def apply_changes(self, changes: DataFrame, op_col: str = "op") -> None:
+        """Apply a resolved CDC batch (one row per vec_id; ``op`` in
+        upsert/delete, upserts carrying the new ``ee``) THROUGH the
+        persisted layout, with the quantizer FROZEN — the standard IVF
+        maintenance contract (re-training moves cell boundaries and would
+        invalidate every stored assignment; rebuild() is the re-train
+        path).
+
+        Cost model: new assignments price against the k stored centroid
+        rows (broadcast); locating the cells that currently hold changed
+        vectors is a column-pruned scan of (vec_id, cid) only — the one
+        place a vector index pays for not being partitioned by id; the
+        rewrite is a dynamic partition overwrite of ONLY the affected
+        cell directories, proportional to their bytes, never index size.
+        Cells emptied by deletes are dropped driver-side through the
+        Hadoop FS API (dynamic overwrite cannot rewrite a partition to
+        empty), same as the mapindex durable layer.
+
+        Idempotent: re-applying the same batch rewrites the same
+        partitions with the same bytes, so at-least-once delivery still
+        yields exactly-once index state.
+        """
+        from mapreduceindex_demo_spark.sources import hadoopfs
+
+        cells_path = f"{self.path}/cells"
+        changes = changes.localCheckpoint(eager=False)
+        changed = changes.select("vec_id").distinct()
+        upserts = changes.where(F.lower(F.col(op_col)) == "upsert").select(
+            "vec_id", "ee"
+        )
+        new_assign = S.assign_cells(upserts, self.centroids())
+
+        # Affected-cell id list: driver-side METADATA, ≤k small ints
+        # regardless of batch or index size (same justification as the
+        # mapindex affected-bucket list, mapindex.py:apply_changes_durable).
+        cur = self.cells()
+        old_cells = (
+            cur.join(F.broadcast(changed), "vec_id").select("cid").distinct()
+        )
+        new_cells = new_assign.select("cid").distinct()
+        affected = sorted(
+            int(r["cid"]) for r in old_cells.union(new_cells).distinct().collect()
+        )
+        if not affected:
+            return
+
+        merged = (
+            cur.filter(F.col("cid").isin(affected))
+            .join(F.broadcast(changed), "vec_id", "left_anti")
+            .unionByName(new_assign)
+        )
+        fs = hadoopfs.HadoopFS(self.spark, cells_path)
+        cell_dir = lambda c: hadoopfs.join(cells_path, f"cid={int(c)}")  # noqa: E731
+        before = {
+            c: frozenset(fs.list_names(cell_dir(c)))
+            for c in affected
+            if fs.is_dir(cell_dir(c))
+        }
+        (
+            merged.repartition(len(affected), F.col("cid"))
+            .sortWithinPartitions("cid", "vec_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid")
+            .parquet(cells_path)
+        )
+        # a cell whose merged content is empty kept its old files — the
+        # unchanged listing detects it; drop the directory (metastore
+        # DROP PARTITION, filesystem edition)
+        for c, names in before.items():
+            if (
+                fs.is_dir(cell_dir(c))
+                and frozenset(fs.list_names(cell_dir(c))) == names
+            ):
+                fs.delete(cell_dir(c))
+
     # -- query -------------------------------------------------------------
 
     def centroids(self) -> DataFrame:
