@@ -325,3 +325,101 @@ def run_streaming_multi_index_durable_maintenance(
     )
     q.awaitTermination()
     return {defn.name: eng.index_table(defn.name) for defn in defns}
+
+
+# -- streaming maintenance of the durable VECTOR index ----------------------
+
+#: CDC feed schema for embedding mutations
+VECTOR_CDC_SCHEMA = (
+    "vec_id BIGINT, ee ARRAY<DOUBLE>, op STRING"
+)
+
+
+def materialize_embedding_cdc_files(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    upto_file: int | None = None,
+    bootstrap_max_id: int = 16,
+) -> None:
+    """Deterministic replayable embedding-mutation feed: vectors above the
+    bootstrap range arrive as upsert slices by vec_id range; the LAST file
+    retracts every vec_id divisible by 13 (delete ops) — so deletes always
+    follow their upserts. Strictly increasing mtimes keep the file
+    source's (modTime, path) replay in sequence order."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ee")
+        )
+    )
+    hi = parquet_col_max(table_path(sf_dir, "embeddings"), "vec_id") or 0
+    lo = bootstrap_max_id
+    slices = n_files - 1
+    step = (hi - lo + slices) // slices or 1
+    fs = hadoopfs.HadoopFS(spark, out_dir)
+    fs.mkdirs(out_dir)
+    limit = n_files if upto_file is None else upto_file
+    for b in range(limit):
+        part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
+        if fs.exists(part_dir):
+            continue
+        if b < slices:
+            batch = emb.where(
+                (F.col("vec_id") > lo + b * step)
+                & (F.col("vec_id") <= lo + (b + 1) * step)
+            ).withColumn("op", F.lit("upsert"))
+        else:
+            batch = emb.where(
+                (F.col("vec_id") % 13 == 0) & (F.col("vec_id") > lo)
+            ).withColumn("op", F.lit("delete"))
+        batch.coalesce(1).write.parquet(part_dir)
+        fs.set_times(part_dir, 1_600_000_000_000 + b * 60_000)
+
+
+def run_streaming_vector_index_maintenance(
+    spark: SparkSession,
+    cdc_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+):
+    """Stream embedding mutations into the durable IVF vector index
+    (operators/vector_index.py) — the ANN twin of
+    :func:`run_streaming_durable_maintenance`: the quantizer stays frozen
+    (trained at bootstrap), each micro-batch re-assigns its upserts
+    against the stored centroids and dynamically overwrites only the
+    affected cell directories. The rewrite is idempotent, so a batch
+    replayed after a crash-before-checkpoint lands identical bytes —
+    exactly-once index state from an at-least-once feed, surviving
+    engine AND session death (resume with the same index_path +
+    checkpoint_dir).
+
+    At 100 TB this is the live-embedding-ingestion shape: a Kafka feed of
+    (id, vector) upserts/deletes keeps a serving ANN index fresh without
+    ever rebuilding it; re-training (which moves cell boundaries) stays a
+    scheduled batch job.
+    """
+    from mapreduceindex_demo_spark.operators.vector_index import IVFVectorIndex
+
+    idx = IVFVectorIndex.open(spark, index_path)
+
+    stream = (
+        spark.readStream.schema(VECTOR_CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(hadoopfs.join(cdc_dir, "batch_*"))
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx.apply_changes(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx

@@ -91,3 +91,47 @@ def test_emptied_cell_directory_is_dropped(spark, corpus):
 
         q = small.limit(1).select(F.col("ee").alias("qe"))
         assert reopened.probe(q, nprobe=2, topk=3).count() <= 3
+
+
+def test_streaming_vector_maintenance_survives_session_death(spark, tmp_path):
+    """Live-embedding ingestion: bootstrap-train on the first 16 vectors,
+    stream the rest as upsert slices plus a final delete file, killing the
+    engine after a 2-file prefix and resuming on a NEW session from the
+    same index_path + checkpoint. Final layout must equal a from-scratch
+    re-assignment of the survivors against the frozen bootstrap
+    centroids."""
+    from mapreduceindex_demo_spark.streaming.maintenance import (
+        materialize_embedding_cdc_files,
+        run_streaming_vector_index_maintenance,
+    )
+
+    corpus = (
+        load_table(spark, PARITY_SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ee"))
+        .where(F.col("vec_id") != 0)
+    )
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "vidx")
+
+    boot = corpus.where(F.col("vec_id") <= 16)
+    IVFVectorIndex.build(boot, path, k=8, iters=2)
+
+    materialize_embedding_cdc_files(spark, PARITY_SF_DIR, cdc, n_files=4, upto_file=2)
+    idx1 = run_streaming_vector_index_maintenance(spark, cdc, ckpt, path)
+    assert idx1.cells().count() > 0  # phase-1 index object now dropped
+
+    materialize_embedding_cdc_files(spark, PARITY_SF_DIR, cdc, n_files=4)
+    s2 = spark.newSession()
+    idx2 = run_streaming_vector_index_maintenance(s2, cdc, ckpt, path)
+
+    survivors = corpus.where(
+        (F.col("vec_id") <= 16) | (F.col("vec_id") % 13 != 0)
+    )
+    expected = {
+        (r["vec_id"], int(r["cid"]))
+        for r in S.assign_cells(survivors, idx2.centroids())
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert _state(idx2) == expected
