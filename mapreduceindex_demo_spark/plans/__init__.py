@@ -52,7 +52,6 @@ PRIORITY_50 = [
     "large_volume_customers",
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
-    "forecast_revenue_change",
     "top_returning_customers",
     "customer_order_stats",
     "orderless_customers",
@@ -75,6 +74,7 @@ PRIORITY_50 = [
     "search_phrase_positional",
     "search_boolean_and",
     "similarity_ivf_durable",
+    "zorder_box_aggregate",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -1505,3 +1505,57 @@ def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "zorder_box_aggregate",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 101 AND 400 AND l_suppkey BETWEEN 11 AND 40
+    """,
+    tags=("layout", "zorder", "scan"),
+)
+def q_zorder_box_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional box scan THROUGH a z-ordered layout
+    (sources/zorder.py): lineitem is re-clustered once along the
+    (l_partkey, l_suppkey) Morton curve, then the box predicate runs
+    against the re-clustered copy — footer-stats pruning is effective on
+    BOTH dimensions because each written file covers a small box of the
+    plane (proven file-by-file in tests/test_zorder.py; a single-column
+    sort order leaves every partkey-selected file spanning the full
+    suppkey range).
+
+    At 100 TB the write is a per-compaction-cycle layout job (one range
+    shuffle on the curve) and every subsequent multi-dimensional scan
+    pays only for the curve segments its box touches. The aggregate
+    itself follows the suite's decimal determinism convention.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreduceindex_demo_spark.operators.relational import dsum
+    from mapreduceindex_demo_spark.sources.zorder import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="mrix_zorder_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col("l_partkey").between(101, 400)
+            & F.col("l_suppkey").between(11, 40)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )

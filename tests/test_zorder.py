@@ -1,0 +1,90 @@
+"""Z-order layout (sources/zorder.py): multi-dimensional clustering must
+make footer-stats pruning effective on BOTH clustered columns, where a
+single-column sort order helps only its own column."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.session import load_table
+from mapreduceindex_demo_spark.sources.zorder import write_zordered, zvalue
+from tests.conftest import PARITY_SF_DIR
+
+BOX = {"l_partkey": (101, 400), "l_suppkey": (11, 40)}
+
+
+def _files_overlapping_box(path: str) -> tuple[int, int]:
+    """(files whose [min,max] stats intersect BOX on BOTH columns, total
+    files) — the footer-stats pruning decision an engine makes per file."""
+    hits, total = 0, 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        schema_idx = {md.row_group(0).column(i).path_in_schema: i
+                      for i in range(md.row_group(0).num_columns)}
+        file_min: dict[str, int] = {}
+        file_max: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for col in BOX:
+                st = md.row_group(rg).column(schema_idx[col]).statistics
+                file_min[col] = min(file_min.get(col, st.min), st.min)
+                file_max[col] = max(file_max.get(col, st.max), st.max)
+        if all(
+            file_min[c] <= hi and file_max[c] >= lo
+            for c, (lo, hi) in BOX.items()
+        ):
+            hits += 1
+    return hits, total
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Lineitem re-clustered on the (l_partkey, l_suppkey) z-curve must
+    leave FAR fewer files overlapping a 2-d box than the same data sorted
+    by l_partkey alone: the linear layout's every partkey-selected file
+    spans the full suppkey range, the z-layout's files cover small boxes
+    of the plane."""
+    li = load_table(spark, PARITY_SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "z")
+    ldir = str(tmp_path / "linear")
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], n_files=32)
+    (
+        li.repartitionByRange(32, F.col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    z_hits, z_total = _files_overlapping_box(zdir)
+    l_hits, l_total = _files_overlapping_box(ldir)
+    assert z_total >= 16 and l_total >= 16
+    # same rows, same file count — the layout is the only difference
+    assert z_hits < l_hits, (z_hits, z_total, l_hits, l_total)
+    assert z_hits <= z_total // 4, (z_hits, z_total)
+
+    # and the data round-trips exactly
+    assert (
+        spark.read.parquet(zdir).count()
+        == spark.read.parquet(ldir).count()
+        == li.count()
+    )
+
+
+def test_zvalue_orders_locally(spark):
+    """Sanity on the curve itself: equal points get equal z, and the
+    z-value of a point dominated in both dimensions is strictly smaller."""
+    df = spark.createDataFrame(
+        [(0, 0), (3, 7), (1023, 1023)], "a INT, b INT"
+    )
+    rows = {
+        (r["a"], r["b"]): r["__z"]
+        for r in zvalue(df, ["a", "b"], bits=10).collect()
+    }
+    assert rows[(0, 0)] == 0
+    assert rows[(0, 0)] < rows[(3, 7)] < rows[(1023, 1023)]
