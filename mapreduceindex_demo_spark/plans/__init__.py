@@ -54,7 +54,6 @@ PRIORITY_50 = [
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "top_returning_customers",
     "customer_order_stats",
-    "orderless_customers",
     "rollup_returnflag_status",
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
@@ -75,6 +74,7 @@ PRIORITY_50 = [
     "search_boolean_and",
     "similarity_ivf_durable",
     "zorder_box_aggregate",
+    "similarity_ivf_batch",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
