@@ -117,10 +117,12 @@ class IVFVectorIndex:
         # Affected-cell id list: driver-side METADATA, ≤k small ints
         # regardless of batch or index size (same justification as the
         # mapindex affected-bucket list, mapindex.py:apply_changes_durable).
+        # no broadcast hints on `changed`: it grows with the batch, and a
+        # hint can never be demoted by AQE (the round-6 broadcast policy —
+        # AQE broadcasts small batches from measured runtime bytes and
+        # degrades to shuffle exactly when a backfill batch outgrows it)
         cur = self.cells()
-        old_cells = (
-            cur.join(F.broadcast(changed), "vec_id").select("cid").distinct()
-        )
+        old_cells = cur.join(changed, "vec_id").select("cid").distinct()
         new_cells = new_assign.select("cid").distinct()
         affected = sorted(
             int(r["cid"]) for r in old_cells.union(new_cells).distinct().collect()
@@ -130,7 +132,7 @@ class IVFVectorIndex:
 
         merged = (
             cur.filter(F.col("cid").isin(affected))
-            .join(F.broadcast(changed), "vec_id", "left_anti")
+            .join(changed, "vec_id", "left_anti")
             .unionByName(new_assign)
         )
         fs = hadoopfs.HadoopFS(self.spark, cells_path)
