@@ -52,7 +52,6 @@ PRIORITY_50 = [
     "large_volume_customers",
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
-    "top_returning_customers",
     "customer_order_stats",
     "rollup_returnflag_status",
     "customer_running_spend",
@@ -75,6 +74,7 @@ PRIORITY_50 = [
     "similarity_ivf_durable",
     "zorder_box_aggregate",
     "similarity_ivf_batch",
+    "search_bm25_indexed",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

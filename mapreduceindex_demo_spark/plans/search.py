@@ -107,9 +107,9 @@ _DUCK_NHITS = " + ".join(
 )
 
 
-@query(
-    "search_bm25_topk",
-    oracle=f"""
+#: shared by search_bm25_topk (scan-served) and search_bm25_indexed
+#: (served from the durable token/doclen indexes): same ranking, one oracle.
+_BM25_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, len(tk) AS dl, {_DUCK_TF_COLS}
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
@@ -127,7 +127,12 @@ _DUCK_NHITS = " + ".join(
     WHERE n_hits > 0
     ORDER BY score DESC, doc_id
     LIMIT {_BM25_TOPK}
-    """,
+    """
+
+
+@query(
+    "search_bm25_topk",
+    oracle=_BM25_ORACLE,
     tags=("search", "bm25", "text"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,4 +276,121 @@ def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_terms") == len(_AND_TERMS))
         .select("doc_id", "tf_total")
+    )
+
+
+@query(
+    "search_bm25_indexed",
+    oracle=_BM25_ORACLE,
+    tags=("search", "bm25", "text", "mapindex", "durable"),
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BM25 ranking served from DURABLE secondary indexes instead
+    of a corpus scan — the subsystem bridge: the engine's array index over
+    ``split(text, ' ')`` is exactly an inverted postings table (reference:
+    IsArrayIndex, index.go:187), and a second single-key index over the
+    token count is the doc-length table.
+
+    Build once (both indexes persist via save_index; a FRESH engine
+    reopens them from storage), then per query:
+
+    - postings for the 4 query terms come from a key-filtered scan of the
+      token index — the durable layout is key-sorted within every bucket
+      file, so parquet row-group stats prune the scan to the groups
+      actually holding those terms; the corpus text is never read;
+    - tf per (doc, term) folds into FIXED per-term columns in one
+      map-side-combined groupBy(doc_id) (conditional sums — keeping the
+      score a fixed-order expression, bit-identical to the scan-served
+      variant and the shared oracle);
+    - df/N/avgdl are one slim aggregate over each index (2-column reads),
+      broadcast as a 1-row frame;
+    - matched docs join their length on doc_id (AQE-sized), score with
+      the identical rounded fixed-order formula, TakeOrderedAndProject
+      top-k.
+
+    At 100 TB the scan-served variant reads the corpus per query; this
+    one reads posting rows for the query terms only — the search twin of
+    the mapindex range-scan-vs-table-scan trade, priced by the same
+    durable layout.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreduceindex_demo_spark.catalog import IndexDefn
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+    from mapreduceindex_demo_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(
+            name="idx_bm25_tokens",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    eng.create_index(
+        IndexDefn(
+            name="idx_bm25_doclen",
+            bucket="documents",
+            sec_exprs=("size(split(text, ' '))",),
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    root = tempfile.mkdtemp(prefix="mrix_bm25_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng.save_index("idx_bm25_tokens", f"{root}/tokens", buckets=8)
+    eng.save_index("idx_bm25_doclen", f"{root}/doclen", buckets=8)
+
+    fresh = MapIndexEngine(spark)
+    tok = fresh.load_index(f"{root}/tokens")
+    dlen = fresh.load_index(f"{root}/doclen")
+
+    postings = tok.where(F.col("key_0").isin(*_BM25_TERMS))
+    tf = postings.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("key_0") == term).cast("long")).alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ]
+    )
+    stats = tf.crossJoin(
+        F.broadcast(
+            dlen.agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum("key_0").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("avgdl"),
+            )
+        )
+    ).agg(
+        F.first("n").alias("n"),
+        F.first("avgdl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = _spark_contrib(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _spark_contrib(i)
+    n_hits = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(_BM25_TERMS)):
+        n_hits = n_hits + (F.col(f"tf_{i}") > 0).cast("int")
+    return (
+        tf.join(dlen.select("doc_id", F.col("key_0").alias("dl")), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.round(score, 6) + F.lit(0.0)).alias("score"),
+            n_hits.cast("int").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
     )
