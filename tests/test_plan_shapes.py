@@ -256,3 +256,14 @@ def test_durable_ivf_probe_prunes_cells(spark):
     enter the scan. (nprobe=2 of k=8 cells → at most 2 directories.)"""
     plan = _final_plan(QUERIES["similarity_ivf_durable"].fn(spark, PARITY_SF_DIR))
     assert re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan), plan
+
+
+def test_indexed_bm25_pushes_term_filter_to_index_scan(spark):
+    """search_bm25_indexed must reach the durable token index through a
+    key-filtered parquet scan: the 4-term In-filter is pushed into the
+    scan (PushedFilters), where the key-sorted bucket layout turns it
+    into row-group pruning — the corpus text is never read at query
+    time (no documents.parquet scan in the plan)."""
+    plan = _final_plan(QUERIES["search_bm25_indexed"].fn(spark, PARITY_SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(key_0", plan), plan
+    assert _n(plan, r"documents\.parquet") == 0, plan
