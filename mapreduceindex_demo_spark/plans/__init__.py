@@ -53,7 +53,6 @@ PRIORITY_50 = [
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "customer_order_stats",
-    "rollup_returnflag_status",
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
     "part_string_functions",
@@ -75,6 +74,7 @@ PRIORITY_50 = [
     "zorder_box_aggregate",
     "similarity_ivf_batch",
     "search_bm25_indexed",
+    "similarity_ivf_recall",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
