@@ -176,19 +176,12 @@ class IVFVectorIndex:
         partition pruning limits the scan to the probed directories —
         and exact-rerank by cosine with a total (cos_sim desc, vec_id)
         order. Returns (vec_id, cos_sim)."""
-        from pyspark.sql import Window
-
         ranked_cells = (
             self.centroids()
             .crossJoin(F.broadcast(qvec))
             .select("cid", S.cosine(F.col("ce"), F.col("qe")).alias("csim"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.orderBy(F.desc("csim"), F.asc("cid"))
-                ),
-            )
-            .where(F.col("rn") <= nprobe)
+            .orderBy(F.desc("csim"), F.asc("cid"))
+            .limit(nprobe)
             .select(F.col("cid").alias("pcid"))
         )
         return (
