@@ -110,3 +110,45 @@ def test_zvalue_orders_locally(spark):
     }
     assert rows[(0, 0)] == 0
     assert rows[(0, 0)] < rows[(3, 7)] < rows[(1023, 1023)]
+
+
+def test_zvalue_dominance_monotone_and_injective(spark):
+    """Curve properties, property-tested: (a) componentwise dominance is
+    preserved (a1<=a2 and b1<=b2 implies z1<=z2 — each coordinate's bits
+    map to disjoint z positions in order, so each coordinate's
+    contribution is monotone and the sum of monotone contributions is
+    monotone); (b) the interleave is injective on the grid (distinct
+    points, distinct z) — together these are what make footer min/max
+    ranges on z meaningful boxes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduceindex_demo_spark.sources.zorder import interleave_bits
+
+    # evaluate the interleave expression once over a driver-built frame
+    # per example batch: hypothesis drives the data, Spark does the math
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 1023), st.integers(0, 1023),
+                st.integers(0, 1023), st.integers(0, 1023),
+            ),
+            min_size=1,
+            max_size=32,
+        )
+    )
+    def check(batch):
+        df = spark.createDataFrame(batch, "a1 INT, b1 INT, a2 INT, b2 INT")
+        rows = df.select(
+            "a1", "b1", "a2", "b2",
+            interleave_bits([F.col("a1"), F.col("b1")], bits=10).alias("z1"),
+            interleave_bits([F.col("a2"), F.col("b2")], bits=10).alias("z2"),
+        ).collect()
+        for r in rows:
+            if r["a1"] <= r["a2"] and r["b1"] <= r["b2"]:
+                assert r["z1"] <= r["z2"], dict(r.asDict())
+            if (r["a1"], r["b1"]) != (r["a2"], r["b2"]):
+                assert r["z1"] != r["z2"], dict(r.asDict())
+
+    check()
