@@ -147,8 +147,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and TakeOrderedAndProject merges per-partition top-k heaps. Total
     exchange volume is O(tasks + k), independent of corpus size.
     """
-    d = _t(spark, sf_dir, "documents")
-    t = d.select(
+    return bm25_scan_over(_t(spark, sf_dir, "documents"))
+
+
+def _bm25_rank(scored_base: DataFrame) -> DataFrame:
+    """Shared scoring tail: fixed-order rounded contributions over a frame
+    carrying (doc_id, dl, tf_0..tf_{n-1}) joined with the broadcast stats
+    row (n, avgdl, df_0..df_{n-1}); total (score desc, doc_id) order."""
+    score = _spark_contrib(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _spark_contrib(i)
+    n_hits = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(_BM25_TERMS)):
+        n_hits = n_hits + (F.col(f"tf_{i}") > 0).cast("int")
+    return (
+        scored_base.select(
+            "doc_id",
+            (F.round(score, 6) + F.lit(0.0)).alias("score"),
+            n_hits.cast("int").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+def bm25_scan_over(docs: DataFrame) -> DataFrame:
+    """Scan-served BM25 over an arbitrary (doc_id, text) frame — the core
+    behind [q:search_bm25_topk], reused by the CDC-maintained-index
+    equivalence test."""
+    t = docs.select(
         "doc_id",
         F.split("text", " ").alias("tk"),
     ).select(
@@ -166,23 +194,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    score = _spark_contrib(0)
-    for i in range(1, len(_BM25_TERMS)):
-        score = score + _spark_contrib(i)
-    n_hits = (F.col("tf_0") > 0).cast("int")
-    for i in range(1, len(_BM25_TERMS)):
-        n_hits = n_hits + (F.col(f"tf_{i}") > 0).cast("int")
-    return (
-        t.crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (F.round(score, 6) + F.lit(0.0)).alias("score"),
-            n_hits.cast("int").alias("n_hits"),
-        )
-        .where(F.col("n_hits") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
-    )
+    return _bm25_rank(t.crossJoin(F.broadcast(stats)))
 
 
 @query(
@@ -350,7 +362,14 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = MapIndexEngine(spark)
     tok = fresh.load_index(f"{root}/tokens")
     dlen = fresh.load_index(f"{root}/doclen")
+    return bm25_from_indexes(tok, dlen)
 
+
+def bm25_from_indexes(tok: DataFrame, dlen: DataFrame) -> DataFrame:
+    """Index-served BM25 over a token index (key_0=token, doc_id) and a
+    doc-length index (key_0=token count, doc_id) — the serving core behind
+    [q:search_bm25_indexed], reused by the CDC-maintained-index
+    equivalence test."""
     postings = tok.where(F.col("key_0").isin(*_BM25_TERMS))
     tf = postings.groupBy("doc_id").agg(
         *[
@@ -376,21 +395,7 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    score = _spark_contrib(0)
-    for i in range(1, len(_BM25_TERMS)):
-        score = score + _spark_contrib(i)
-    n_hits = (F.col("tf_0") > 0).cast("int")
-    for i in range(1, len(_BM25_TERMS)):
-        n_hits = n_hits + (F.col(f"tf_{i}") > 0).cast("int")
-    return (
+    return _bm25_rank(
         tf.join(dlen.select("doc_id", F.col("key_0").alias("dl")), "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (F.round(score, 6) + F.lit(0.0)).alias("score"),
-            n_hits.cast("int").alias("n_hits"),
-        )
-        .where(F.col("n_hits") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
     )

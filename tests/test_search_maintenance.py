@@ -1,0 +1,76 @@
+"""The search indexes are ordinary engine indexes, so they stay correct
+under CDC: build the token + doclen indexes on half the corpus, apply one
+upsert/delete batch through the DURABLE layout of each, and the BM25
+ranking served from the maintained indexes must equal the scan-served
+ranking over the survivor corpus computed from scratch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.catalog import IndexDefn
+from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+from mapreduceindex_demo_spark.plans.search import bm25_from_indexes, bm25_scan_over
+from mapreduceindex_demo_spark.session import load_table
+from tests.conftest import PARITY_SF_DIR
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, PARITY_SF_DIR, "documents")
+
+
+def test_bm25_serves_correctly_from_cdc_maintained_indexes(spark, docs, tmp_path):
+    first = docs.where(F.col("doc_id") % 2 == 0)
+
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(
+            name="idx_bm25m_tokens",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        first,
+        doc_id_col="doc_id",
+    )
+    eng.create_index(
+        IndexDefn(
+            name="idx_bm25m_doclen",
+            bucket="documents",
+            sec_exprs=("size(split(text, ' '))",),
+        ),
+        first,
+        doc_id_col="doc_id",
+    )
+    eng.save_index("idx_bm25m_tokens", str(tmp_path / "tokens"), buckets=8)
+    eng.save_index("idx_bm25m_doclen", str(tmp_path / "doclen"), buckets=8)
+
+    # one batch: the odd half arrives, every doc_id % 10 == 0 is retracted
+    changes = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            first.where(F.col("doc_id") % 10 == 0).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    for name in ("idx_bm25m_tokens", "idx_bm25m_doclen"):
+        eng.apply_changes_durable(
+            name, changes, doc_id_col="doc_id", op_col="op"
+        )
+
+    # cold reopen, serve, compare against a from-scratch scan over the
+    # survivor corpus — same fixed-order scoring, so rows must be EQUAL
+    fresh = MapIndexEngine(spark)
+    tok = fresh.load_index(str(tmp_path / "tokens"))
+    dlen = fresh.load_index(str(tmp_path / "doclen"))
+    served = bm25_from_indexes(tok, dlen).collect()
+
+    survivors = docs.where(F.col("doc_id") % 10 != 0)
+    expected = bm25_scan_over(survivors).collect()
+
+    assert [tuple(r) for r in served] == [tuple(r) for r in expected]
+    assert len(served) > 0
