@@ -152,3 +152,31 @@ def test_zvalue_dominance_monotone_and_injective(spark):
                 assert r["z1"] != r["z2"], dict(r.asDict())
 
     check()
+
+
+def test_zorder_three_dimensions(spark, tmp_path):
+    """d=3 works end to end (3 x 16 bits fits a long): the write round-
+    trips and every dominated triple keeps a smaller z."""
+    from mapreduceindex_demo_spark.sources.zorder import interleave_bits
+
+    li = load_table(spark, PARITY_SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    out = str(tmp_path / "z3")
+    write_zordered(
+        li, out, ["l_partkey", "l_suppkey", "l_linenumber"], n_files=16
+    )
+    assert spark.read.parquet(out).count() == li.count()
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 2, 3), (7, 7, 7)], "a INT, b INT, c INT"
+    )
+    rows = sorted(
+        r["z"]
+        for r in df.select(
+            interleave_bits(
+                [F.col("a"), F.col("b"), F.col("c")], bits=3
+            ).alias("z")
+        ).collect()
+    )
+    assert rows[0] == 0 and rows[0] < rows[1] < rows[2]
