@@ -423,3 +423,67 @@ def run_streaming_vector_index_maintenance(
     )
     q.awaitTermination()
     return idx
+
+
+# -- streaming maintenance of the SEARCH indexes ----------------------------
+
+#: CDC feed schema for document mutations (the search-index feed)
+DOC_CDC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT, op STRING"
+)
+
+
+def materialize_document_cdc_files(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    upto_file: int | None = None,
+) -> None:
+    """Replayable document-mutation feed: upsert slices by doc_id range,
+    then a final file retracting every doc_id divisible by 13 — the feed
+    that keeps the full-text search indexes (token postings + doc length)
+    fresh. Strictly increasing mtimes preserve replay order."""
+    docs = load_table(spark, sf_dir, "documents")
+    hi = parquet_col_max(table_path(sf_dir, "documents"), "doc_id") or 0
+    slices = n_files - 1
+    step = (hi + slices) // slices or 1
+    fs = hadoopfs.HadoopFS(spark, out_dir)
+    fs.mkdirs(out_dir)
+    limit = n_files if upto_file is None else upto_file
+    for b in range(limit):
+        part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
+        if fs.exists(part_dir):
+            continue
+        if b < slices:
+            batch = docs.where(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            ).withColumn("op", F.lit("upsert"))
+        else:
+            batch = docs.where(F.col("doc_id") % 13 == 0).withColumn(
+                "op", F.lit("delete")
+            )
+        batch.coalesce(1).write.parquet(part_dir)
+        fs.set_times(part_dir, 1_600_000_000_000 + b * 60_000)
+
+
+def search_index_defns() -> list[IndexDefn]:
+    """The two engine indexes that make the corpus BM25-servable: an array
+    index over the tokens (= inverted postings) and a single-key index
+    over the token count (= doc lengths). Plain IndexDefns — the whole
+    search-index maintenance story is the ordinary multi-index durable
+    stream applied to them."""
+    return [
+        IndexDefn(
+            name="idx_search_tokens",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        IndexDefn(
+            name="idx_search_doclen",
+            bucket="documents",
+            sec_exprs=("size(split(text, ' '))",),
+        ),
+    ]

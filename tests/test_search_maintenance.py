@@ -74,3 +74,52 @@ def test_bm25_serves_correctly_from_cdc_maintained_indexes(spark, docs, tmp_path
 
     assert [tuple(r) for r in served] == [tuple(r) for r in expected]
     assert len(served) > 0
+
+
+def test_streaming_search_index_maintenance_one_stream_two_sinks(
+    spark, docs, tmp_path
+):
+    """The full search topology on the existing machinery: ONE document
+    mutation stream + ONE checkpoint maintains BOTH search indexes on
+    storage (bootstrapped EMPTY — the whole corpus arrives through the
+    feed, the last file retracts every doc_id % 13 == 0), killed after a
+    2-file prefix and resumed on a new session. BM25 served from the
+    maintained indexes must equal the scan-served ranking over the
+    survivors."""
+    from mapreduceindex_demo_spark.streaming.maintenance import (
+        DOC_CDC_SCHEMA,
+        materialize_document_cdc_files,
+        run_streaming_multi_index_durable_maintenance,
+        search_index_defns,
+    )
+
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    paths = {
+        "idx_search_tokens": str(tmp_path / "tokens"),
+        "idx_search_doclen": str(tmp_path / "doclen"),
+    }
+
+    materialize_document_cdc_files(spark, PARITY_SF_DIR, cdc, n_files=4, upto_file=2)
+    states = run_streaming_multi_index_durable_maintenance(
+        spark, cdc, ckpt, search_index_defns(), DOC_CDC_SCHEMA,
+        index_paths=paths, doc_id_col="doc_id", seq_col=None,
+    )
+    assert states["idx_search_tokens"].count() > 0  # phase-1 engine dropped
+
+    materialize_document_cdc_files(spark, PARITY_SF_DIR, cdc, n_files=4)
+    s2 = spark.newSession()
+    states = run_streaming_multi_index_durable_maintenance(
+        s2, cdc, ckpt, search_index_defns(), DOC_CDC_SCHEMA,
+        index_paths=paths, doc_id_col="doc_id", seq_col=None,
+    )
+
+    served = bm25_from_indexes(
+        states["idx_search_tokens"], states["idx_search_doclen"]
+    ).collect()
+    survivors = load_table(s2, PARITY_SF_DIR, "documents").where(
+        F.col("doc_id") % 13 != 0
+    )
+    expected = bm25_scan_over(survivors).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in expected]
+    assert len(served) > 0
