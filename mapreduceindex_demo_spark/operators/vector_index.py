@@ -192,3 +192,43 @@ class IVFVectorIndex:
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(topk)
         )
+
+    def probe_batch(self, qvecs: DataFrame, nprobe: int, topk: int) -> DataFrame:
+        """Batch ANN against the persisted layout: ``qvecs`` carries
+        (qid, qe); per-query probe lists come from one window over the
+        (query × stored-centroid) frame, the probe list joins the cells
+        scan on the partition column — dynamic partition pruning limits
+        the read to the UNION of all probed cell directories — and
+        per-query top-k is a window partitioned by qid over the
+        candidates. Self-matches (vec_id == qid) are excluded. Returns
+        (qid, vec_id, cos_sim, rk). The probe and query frames stay
+        broadcast-size at any batch size (Q × nprobe and Q × dim);
+        nothing else grows with Q."""
+        from pyspark.sql import Window
+
+        wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+        probes = (
+            self.centroids()
+            .crossJoin(F.broadcast(qvecs))
+            .select(
+                "qid", "cid", S.cosine(F.col("ce"), F.col("qe")).alias("csim")
+            )
+            .withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= nprobe)
+            .select("qid", F.col("cid").alias("pcid"))
+        )
+        wr = Window.partitionBy("qid").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        return (
+            self.cells()
+            .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+            .join(F.broadcast(qvecs), "qid")
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid", "vec_id", S.cosine(F.col("ee"), F.col("qe")).alias("cos_sim")
+            )
+            .withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= topk)
+            .select("qid", "vec_id", "cos_sim", F.col("rk").cast("int"))
+        )

@@ -135,3 +135,36 @@ def test_streaming_vector_maintenance_survives_session_death(spark, tmp_path):
         .collect()
     }
     assert _state(idx2) == expected
+
+
+def test_probe_batch_matches_per_query_probes(spark, corpus):
+    """Batch probing the durable layout must agree with N single-query
+    probes (minus the self-match the batch path excludes), and the batch
+    cells scan must carry the dynamic-pruning partition filter."""
+    with tempfile.TemporaryDirectory(prefix="mrix_vidx_") as path:
+        idx = IVFVectorIndex.build(corpus, path, k=8, iters=2)
+        qids = [10, 40, 70]
+        qvecs = corpus.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), F.col("ee").alias("qe")
+        )
+        batch = idx.probe_batch(qvecs, nprobe=2, topk=3)
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        got = {
+            (r["qid"], r["vec_id"], r["cos_sim"], r["rk"])
+            for r in batch.collect()
+        }
+        assert "dynamicpruning" in plan, plan
+
+        expected = set()
+        for qid in qids:
+            q = corpus.where(F.col("vec_id") == qid).select(
+                F.col("ee").alias("qe")
+            )
+            single = [
+                r
+                for r in idx.probe(q, nprobe=2, topk=4).collect()
+                if r["vec_id"] != qid
+            ][:3]
+            for rk, r in enumerate(single, start=1):
+                expected.add((qid, r["vec_id"], r["cos_sim"], rk))
+        assert got == expected
