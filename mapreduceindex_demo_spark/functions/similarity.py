@@ -96,7 +96,10 @@ def train_ivf_centroids(corpus: "DataFrame", k: int, iters: int) -> "DataFrame":
     k corpus vectors by vec_id, run `iters` Lloyd's passes. Each pass is
     one k-row broadcast + one map-side-combined (cid, pos) shuffle.
     Returns (cid, ce)."""
-    c = corpus.where(F.col("vec_id").between(1, k)).select(
+    # the FIRST k vectors by vec_id — not a literal [1, k] window, which
+    # silently yields an EMPTY quantizer (and an empty index downstream)
+    # for any corpus whose ids don't start at 1
+    c = corpus.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("ee").alias("ce")
     )
     for _ in range(iters):

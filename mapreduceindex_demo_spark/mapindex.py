@@ -759,32 +759,16 @@ class MapIndexEngine:
                 .unionByName(new_entries)
             )
 
-        # Snapshot the file listing of each affected bucket dir BEFORE the
-        # write: dynamic overwrite replaces only partitions present in the
-        # output, so a bucket whose merged content is EMPTY (every entry
-        # retracted) keeps its old files. Those are detected below by their
-        # unchanged listing and dropped — the filesystem expression of a
-        # metastore DROP PARTITION. Driver-side metadata only, through the
-        # Hadoop FS API so the layout lives on hdfs://s3a:// unchanged.
-        fs = self._hfs(path)
-        before = {
-            b: frozenset(fs.list_names(self._bucket_dir(path, b)))
-            for b in affected
-            if fs.is_dir(self._bucket_dir(path, b))
-        }
-        (
+        hadoopfs.dynamic_overwrite_dropping_emptied(
+            self.spark,
             self._key_sorted(
                 merged.repartition(max(len(affected), 1), F.col("__bucket"))
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__bucket")
-            .parquet(path)
+            ),
+            path,
+            "__bucket",
+            lambda b: self._bucket_dir(path, b),
+            affected,
         )
-        for b, listing in before.items():
-            d = self._bucket_dir(path, b)
-            if fs.is_dir(d) and frozenset(fs.list_names(d)) == listing:
-                fs.delete(d)
 
         self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
         entry_schema = T.StructType(

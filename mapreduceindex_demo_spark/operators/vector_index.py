@@ -135,30 +135,16 @@ class IVFVectorIndex:
             .join(changed, "vec_id", "left_anti")
             .unionByName(new_assign)
         )
-        fs = hadoopfs.HadoopFS(self.spark, cells_path)
-        cell_dir = lambda c: hadoopfs.join(cells_path, f"cid={int(c)}")  # noqa: E731
-        before = {
-            c: frozenset(fs.list_names(cell_dir(c)))
-            for c in affected
-            if fs.is_dir(cell_dir(c))
-        }
-        (
-            merged.repartition(len(affected), F.col("cid"))
-            .sortWithinPartitions("cid", "vec_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cid")
-            .parquet(cells_path)
+        hadoopfs.dynamic_overwrite_dropping_emptied(
+            self.spark,
+            merged.repartition(len(affected), F.col("cid")).sortWithinPartitions(
+                "cid", "vec_id"
+            ),
+            cells_path,
+            "cid",
+            lambda c: hadoopfs.join(cells_path, f"cid={int(c)}"),
+            affected,
         )
-        # a cell whose merged content is empty kept its old files — the
-        # unchanged listing detects it; drop the directory (metastore
-        # DROP PARTITION, filesystem edition)
-        for c, names in before.items():
-            if (
-                fs.is_dir(cell_dir(c))
-                and frozenset(fs.list_names(cell_dir(c))) == names
-            ):
-                fs.delete(cell_dir(c))
 
     # -- query -------------------------------------------------------------
 
@@ -193,15 +179,23 @@ class IVFVectorIndex:
             .limit(topk)
         )
 
-    def probe_batch(self, qvecs: DataFrame, nprobe: int, topk: int) -> DataFrame:
+    def probe_batch(
+        self,
+        qvecs: DataFrame,
+        nprobe: int,
+        topk: int,
+        exclude_self: bool = True,
+    ) -> DataFrame:
         """Batch ANN against the persisted layout: ``qvecs`` carries
         (qid, qe); per-query probe lists come from one window over the
         (query × stored-centroid) frame, the probe list joins the cells
         scan on the partition column — dynamic partition pruning limits
         the read to the UNION of all probed cell directories — and
         per-query top-k is a window partitioned by qid over the
-        candidates. Self-matches (vec_id == qid) are excluded. Returns
-        (qid, vec_id, cos_sim, rk). The probe and query frames stay
+        candidates. ``exclude_self`` drops vec_id == qid matches — pass
+        False when qids are EXTERNAL query identifiers rather than corpus
+        members, or a corpus vector sharing a qid would silently vanish
+        from that query's top-k. Returns (qid, vec_id, cos_sim, rk). The probe and query frames stay
         broadcast-size at any batch size (Q × nprobe and Q × dim);
         nothing else grows with Q."""
         from pyspark.sql import Window
@@ -220,11 +214,15 @@ class IVFVectorIndex:
         wr = Window.partitionBy("qid").orderBy(
             F.desc("cos_sim"), F.asc("vec_id")
         )
-        return (
+        cand = (
             self.cells()
             .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
             .join(F.broadcast(qvecs), "qid")
-            .where(F.col("vec_id") != F.col("qid"))
+        )
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("qid"))
+        return (
+            cand
             .select(
                 "qid", "vec_id", S.cosine(F.col("ee"), F.col("qe")).alias("cos_sim")
             )

@@ -377,24 +377,21 @@ def bm25_from_indexes(tok: DataFrame, dlen: DataFrame) -> DataFrame:
             for i, term in enumerate(_BM25_TERMS)
         ]
     )
-    stats = tf.crossJoin(
-        F.broadcast(
-            dlen.agg(
-                F.count(F.lit(1)).alias("n"),
-                (
-                    F.sum("key_0").cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                ).alias("avgdl"),
-            )
-        )
-    ).agg(
-        F.first("n").alias("n"),
-        F.first("avgdl").alias("avgdl"),
+    # two 1-row aggregates cross-joined AFTER aggregation — no per-row
+    # stat columns, no order-sensitive first() recovery
+    dl_stats = dlen.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("key_0").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    df_stats = tf.agg(
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
             for i in range(len(_BM25_TERMS))
-        ],
+        ]
     )
+    stats = dl_stats.crossJoin(df_stats)
     return _bm25_rank(
         tf.join(dlen.select("doc_id", F.col("key_0").alias("dl")), "doc_id")
         .crossJoin(F.broadcast(stats))

@@ -95,3 +95,42 @@ class HadoopFS:
 
     def set_times(self, path: str, mtime_ms: int) -> None:
         self._fs.setTimes(self._jPath(path), mtime_ms, -1)
+
+
+def dynamic_overwrite_dropping_emptied(
+    spark,
+    out,
+    path: str,
+    partition_col: str,
+    dir_for,
+    affected,
+) -> None:
+    """Dynamic-partition-overwrite ``out`` (already repartitioned/sorted)
+    into ``path``, then DROP any affected partition directory whose file
+    listing is unchanged: dynamic overwrite replaces only partitions
+    present in the output, so a partition whose merged content is EMPTY
+    (every entry retracted) keeps its old files — the unchanged listing
+    detects it and the delete is the filesystem expression of a metastore
+    DROP PARTITION. Driver-side metadata only, through the Hadoop FS API
+    so the layout lives on hdfs://s3a:// unchanged. Shared by the
+    mapindex durable merge and the IVF vector index's cell maintenance.
+
+    ``dir_for(p)`` maps a partition value to its directory; ``affected``
+    is the (metadata-scale) list of partition values the merge touches.
+    """
+    fs = HadoopFS(spark, path)
+    before = {
+        b: frozenset(fs.list_names(dir_for(b)))
+        for b in affected
+        if fs.is_dir(dir_for(b))
+    }
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    for b, listing in before.items():
+        d = dir_for(b)
+        if fs.is_dir(d) and frozenset(fs.list_names(d)) == listing:
+            fs.delete(d)

@@ -34,10 +34,15 @@ def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     d = len(cols)
     if d * bits > 63:
         raise ValueError(f"{d} dims x {bits} bits exceeds a signed long")
+    # force LONG lanes: Spark's shiftleft on an INT column masks the shift
+    # count mod 32, so an int input at bit position >= 31 would sign-flip
+    # (2 dims x 16 bits) or wrap entirely (3 dims) before reaching the
+    # accumulator
+    longs = [c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+        for j, c in enumerate(longs):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
     return z
 

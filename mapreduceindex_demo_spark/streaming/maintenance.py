@@ -49,8 +49,32 @@ def materialize_cdc_files(
     # split boundary from parquet footer stats — no Spark job (r1 ADVICE)
     hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + n_files) // n_files or 1
-    # all fixture-file metadata ops through the Hadoop FS API — the CDC
-    # staging dir can live on hdfs://s3a:// like the index layout
+
+    def batch_fn(b: int) -> DataFrame:
+        return events.filter(
+            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
+        )
+
+    return _materialize_batches(spark, out_dir, n_files, upto_file, batch_fn)
+
+
+def _materialize_batches(
+    spark: SparkSession,
+    out_dir: str,
+    n_files: int,
+    upto_file: int | None,
+    batch_fn,
+) -> str:
+    """The ONE replayable-feed writer behind every CDC materializer: each
+    ``batch_fn(b)`` frame lands as ``batch_{b:03d}/data.parquet`` with a
+    strictly increasing mtime stamped on the DATA FILE — the file source
+    orders leaf FILES by (modTime, path), so stamping the directory would
+    leave replay order to wall-clock write times and coarse filesystem
+    mtime granularity (two batches in one tick could replay delete-before-
+    upsert and resurrect retracted rows). Skip-if-exists makes a prefix
+    materialization + later completion idempotent; all metadata ops go
+    through the Hadoop FS API so the staging dir can live on
+    hdfs://s3a:// like the index layouts."""
     fs = hadoopfs.HadoopFS(spark, out_dir)
     fs.mkdirs(out_dir)
     limit = n_files if upto_file is None else upto_file
@@ -58,10 +82,7 @@ def materialize_cdc_files(
         part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
         if fs.exists(part_dir):
             continue
-        batch = events.filter(
-            (F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step)
-        )
-        batch.coalesce(1).write.mode("overwrite").parquet(part_dir + ".tmp")
+        batch_fn(b).coalesce(1).write.mode("overwrite").parquet(part_dir + ".tmp")
         files = [
             f
             for f in fs.list_names(part_dir + ".tmp")
@@ -73,7 +94,6 @@ def materialize_cdc_files(
             hadoopfs.join(part_dir, "data.parquet"),
         )
         fs.delete(part_dir + ".tmp")
-        # deterministic replay order under (modTime, path) sorting
         fs.set_times(
             hadoopfs.join(part_dir, "data.parquet"), (1_700_000_000 + b) * 1000
         )
@@ -346,8 +366,7 @@ def materialize_embedding_cdc_files(
     """Deterministic replayable embedding-mutation feed: vectors above the
     bootstrap range arrive as upsert slices by vec_id range; the LAST file
     retracts every vec_id divisible by 13 (delete ops) — so deletes always
-    follow their upserts. Strictly increasing mtimes keep the file
-    source's (modTime, path) replay in sequence order."""
+    follow their upserts (replay-order contract in _materialize_batches)."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") != 0)
@@ -357,26 +376,20 @@ def materialize_embedding_cdc_files(
     )
     hi = parquet_col_max(table_path(sf_dir, "embeddings"), "vec_id") or 0
     lo = bootstrap_max_id
-    slices = n_files - 1
+    slices = max(n_files - 1, 1)
     step = (hi - lo + slices) // slices or 1
-    fs = hadoopfs.HadoopFS(spark, out_dir)
-    fs.mkdirs(out_dir)
-    limit = n_files if upto_file is None else upto_file
-    for b in range(limit):
-        part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
-        if fs.exists(part_dir):
-            continue
-        if b < slices:
-            batch = emb.where(
+
+    def batch_fn(b: int) -> DataFrame:
+        if b < n_files - 1:
+            return emb.where(
                 (F.col("vec_id") > lo + b * step)
                 & (F.col("vec_id") <= lo + (b + 1) * step)
             ).withColumn("op", F.lit("upsert"))
-        else:
-            batch = emb.where(
-                (F.col("vec_id") % 13 == 0) & (F.col("vec_id") > lo)
-            ).withColumn("op", F.lit("delete"))
-        batch.coalesce(1).write.parquet(part_dir)
-        fs.set_times(part_dir, 1_600_000_000_000 + b * 60_000)
+        return emb.where(
+            (F.col("vec_id") % 13 == 0) & (F.col("vec_id") > lo)
+        ).withColumn("op", F.lit("delete"))
+
+    _materialize_batches(spark, out_dir, n_files, upto_file, batch_fn)
 
 
 def run_streaming_vector_index_maintenance(
@@ -444,28 +457,22 @@ def materialize_document_cdc_files(
     """Replayable document-mutation feed: upsert slices by doc_id range,
     then a final file retracting every doc_id divisible by 13 — the feed
     that keeps the full-text search indexes (token postings + doc length)
-    fresh. Strictly increasing mtimes preserve replay order."""
+    fresh (replay-order contract in _materialize_batches)."""
     docs = load_table(spark, sf_dir, "documents")
     hi = parquet_col_max(table_path(sf_dir, "documents"), "doc_id") or 0
-    slices = n_files - 1
+    slices = max(n_files - 1, 1)
     step = (hi + slices) // slices or 1
-    fs = hadoopfs.HadoopFS(spark, out_dir)
-    fs.mkdirs(out_dir)
-    limit = n_files if upto_file is None else upto_file
-    for b in range(limit):
-        part_dir = hadoopfs.join(out_dir, f"batch_{b:03d}")
-        if fs.exists(part_dir):
-            continue
-        if b < slices:
-            batch = docs.where(
+
+    def batch_fn(b: int) -> DataFrame:
+        if b < n_files - 1:
+            return docs.where(
                 (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
             ).withColumn("op", F.lit("upsert"))
-        else:
-            batch = docs.where(F.col("doc_id") % 13 == 0).withColumn(
-                "op", F.lit("delete")
-            )
-        batch.coalesce(1).write.parquet(part_dir)
-        fs.set_times(part_dir, 1_600_000_000_000 + b * 60_000)
+        return docs.where(F.col("doc_id") % 13 == 0).withColumn(
+            "op", F.lit("delete")
+        )
+
+    _materialize_batches(spark, out_dir, n_files, upto_file, batch_fn)
 
 
 def search_index_defns() -> list[IndexDefn]:
