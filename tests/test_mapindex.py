@@ -472,3 +472,76 @@ def test_scan_limit_projection_and_pagination(spark):
     assert proj.columns == ["doc_id"]
     with pytest.raises(KeyError, match="projection"):
         eng.scan("pg", projection=["nope"])
+
+
+def test_reduce_view_incremental_equals_rebuild(spark):
+    """IVM invariant: a reduce view maintained across CDC batches (upserts,
+    deletes, group moves) equals a from-scratch GROUP BY over the final
+    index — bit-exact, since the measures are exact-typed (long)."""
+    eng = MapIndexEngine(spark)
+    df = _docs(
+        spark,
+        [(1, "a", 5, "u"), (2, "a", 7, "u"), (3, "b", 2, "u"), (4, "b", 4, "u")],
+    )
+    eng.create_index(
+        IndexDefn(name="kvrv", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "kvrv", ["key_0"], sum_col="key_1")
+
+    batches = [
+        [(1, "b", 6, "upsert")],                      # group move a→b
+        [(2, None, None, "delete"), (5, "c", 9, "upsert")],  # delete + new grp
+        [(3, None, None, "delete"), (4, None, None, "delete")],  # b emptied? no: doc1 now b
+        [(1, None, None, "delete")],                  # now b IS empty
+    ]
+    for rows in batches:
+        eng.apply_changes(
+            "kvrv", _docs(spark, rows), doc_id_col="doc_id", op_col="op"
+        )
+        got = {tuple(r) for r in eng.reduce_view_table("rv").collect()}
+        want = {
+            tuple(r)
+            for r in eng.index_table("kvrv")
+            .groupBy("key_0")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_1").alias("total"))
+            .collect()
+        }
+        assert got == want
+    # zero-count groups must have been dropped, not kept at cnt=0
+    final = {r["key_0"] for r in eng.reduce_view_table("rv").collect()}
+    assert final == {"c"}
+
+
+def test_reduce_view_guards(spark):
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u")])
+    eng.create_index(
+        IndexDefn(name="kvg", bucket="t", sec_exprs=("payload",)),
+        df,
+        doc_id_col="doc_id",
+    )
+    with pytest.raises(KeyError):
+        eng.create_reduce_view("rv", "kvg", ["nope"])
+    eng.create_reduce_view("rv", "kvg", ["key_0"])
+    with pytest.raises(ValueError):
+        eng.create_reduce_view("rv", "kvg", ["key_0"])  # duplicate name
+    with pytest.raises(ValueError):
+        eng.drop_index("kvg")  # dependent view blocks the drop (D5 rule)
+    eng.drop_reduce_view("rv")
+    eng.drop_index("kvg")  # now fine
+
+
+def test_reduce_view_rebuild_resets(spark):
+    """build() over new data resets dependent views to the new base."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u"), (2, "a", 3, "u")])
+    eng.create_index(
+        IndexDefn(name="kvr", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "kvr", ["key_0"], sum_col="key_1")
+    eng.build("kvr", _docs(spark, [(9, "z", 1, "u")]), doc_id_col="doc_id")
+    assert [tuple(r) for r in eng.reduce_view_table("rv").collect()] == [("z", 1, 1)]
