@@ -57,7 +57,6 @@ PRIORITY_50 = [
     # --- single-green scalar-function surfaces ---
     "part_string_functions",
     "order_date_functions",
-    "lineitem_math_functions",
     "document_array_functions",
     "events_json_extract",
     "events_pivot_daily",
@@ -75,10 +74,14 @@ PRIORITY_50 = [
     "similarity_ivf_batch",
     "search_bm25_indexed",
     "similarity_ivf_recall",
-    # --- NEW this session: incrementally-maintained reduce view (zero
-    # external rows — in-window; displaces mapindex_stats, 3 green rows,
-    # keeping ≥5 mapindex queries in-window) ---
+    # --- NEW this session (zero external rows — must be in-window):
+    # incrementally-maintained reduce view (displaces mapindex_stats,
+    # 3 green rows — the ≥5-mapindex delegation holds with reduce_view
+    # counted); SemDeDup-style semantic dedup (displaces
+    # lineitem_math_functions, 1 green row — its scalar-surface siblings
+    # part_string/order_date/document_array/events_json stay in) ---
     "mapindex_reduce_view",
+    "dedup_semantic_cells",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
