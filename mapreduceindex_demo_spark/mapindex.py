@@ -941,6 +941,7 @@ class MapIndexEngine:
         consistency: str = "any",
         limit: int | None = None,
         projection: list[str] | None = None,
+        ordered: bool = True,
     ) -> DataFrame:
         """Range scan, ordered per the index's declared Desc flags
         (index.go:285-296). ``low``/``high`` are either a single leading-key
@@ -960,7 +961,15 @@ class MapIndexEngine:
         Consistency (T3, index.go:137-156): ``any`` scans current state;
         ``session``/``query`` first drain queued CDC batches so the scan
         observes everything enqueued before it (the stability barrier the
-        reference implements with timestamp-vector waits)."""
+        reference implements with timestamp-vector waits).
+
+        ``ordered=False`` skips the key-order delivery: an aggregating
+        consumer (per-doc counts over a key range, joins) pays only the
+        range FILTER, not a global sort Exchange it would immediately
+        destroy with its own shuffle. ``limit`` requires order (top-k is
+        meaningless unordered), so the combination raises."""
+        if limit is not None and not ordered:
+            raise ValueError("limit requires ordered=True")
         if consistency not in ("any", "session", "query"):
             raise ValueError(f"unknown consistency {consistency!r}")
         if consistency in ("session", "query"):
@@ -1040,7 +1049,7 @@ class MapIndexEngine:
             F.col(c).desc() if d else F.col(c).asc()
             for c, d in zip(keys, desc_flags)
         ]
-        out = df.orderBy(*order)
+        out = df.orderBy(*order) if ordered else df
         if limit is not None:
             out = out.limit(limit)
         if projection is not None:

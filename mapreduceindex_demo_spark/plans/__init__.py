@@ -55,7 +55,6 @@ PRIORITY_50 = [
     "customer_order_stats",
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
-    "part_string_functions",
     "order_date_functions",
     "document_array_functions",
     "events_json_extract",
@@ -80,8 +79,11 @@ PRIORITY_50 = [
     # counted); SemDeDup-style semantic dedup (displaces
     # lineitem_math_functions, 1 green row — its scalar-surface siblings
     # part_string/order_date/document_array/events_json stay in) ---
+    # prefix search from the durable token index (displaces
+    # part_string_functions, 1 green — scalar siblings stay in)
     "mapindex_reduce_view",
     "dedup_semantic_cells",
+    "search_prefix_scan",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -396,3 +396,76 @@ def bm25_from_indexes(tok: DataFrame, dlen: DataFrame) -> DataFrame:
         tf.join(dlen.select("doc_id", F.col("key_0").alias("dl")), "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+
+
+_PREFIX = "s"
+_PREFIX_HIGH = "t"  # next string after every token starting with "s"
+
+
+@query(
+    "search_prefix_scan",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok >= '{_PREFIX}' AND tok < '{_PREFIX_HIGH}'
+    GROUP BY 1
+    """,
+    tags=("search", "prefix", "mapindex", "durable"),
+)
+def q_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search served from the DURABLE token index: ``s*`` expands to
+    every vocabulary term in the key range [prefix, next-prefix) — a pure
+    leading-key RANGE SCAN over the inverted-postings index (reference
+    composite Low/High scan keys, index.go:137-156; the same bracket an
+    LSM prefix iterator uses), then per-doc hit/term counts.
+
+    The serving path is the search twin of [q:mapindex_scan_range]: the
+    durable layout is key-sorted within every bucket file, so the range
+    predicate reaches the parquet scan as pushed filters and row-group
+    stats prune the postings outside [low, high) — the corpus text is
+    never read at query time (plan-shape asserted in
+    tests/test_search_maintenance.py). The scan runs ``ordered=False``:
+    the aggregation destroys order anyway, so the only exchange is the
+    per-doc groupBy over the range's postings. At 100 TB a prefix query
+    touches the posting files whose stats intersect the range — cost
+    scales with the prefix's selectivity, not the corpus.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from mapreduceindex_demo_spark.catalog import IndexDefn
+    from mapreduceindex_demo_spark.mapindex import INCL_LOW, MapIndexEngine
+
+    docs = _t(spark, sf_dir, "documents")
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(
+            name="idx_prefix_tokens",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    root = tempfile.mkdtemp(prefix="mrix_prefix_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng.save_index("idx_prefix_tokens", root, buckets=8)
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(root)
+    hits = fresh.scan(
+        "idx_prefix_tokens",
+        low=_PREFIX,
+        high=_PREFIX_HIGH,
+        inclusion=INCL_LOW,  # low inclusive, high exclusive: [s, t)
+        ordered=False,
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.countDistinct("key_0").cast("long").alias("n_terms"),
+    )

@@ -123,3 +123,42 @@ def test_streaming_search_index_maintenance_one_stream_two_sinks(
     expected = bm25_scan_over(survivors).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in expected]
     assert len(served) > 0
+
+
+def test_prefix_scan_pushes_range_and_skips_sort(spark, docs, tmp_path):
+    """The prefix query's serving scan must (a) push the [low, high) range
+    to the durable parquet scan (row-group pruning via the key-sorted
+    bucket layout), (b) never read the corpus text, and (c) carry NO Sort
+    when ordered=False — the aggregation would destroy the order anyway."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(
+            name="idx_pfx",
+            bucket="documents",
+            sec_exprs=("split(text, ' ')",),
+            is_array_index=True,
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    path = str(tmp_path / "pfx")
+    eng.save_index("idx_pfx", path, buckets=4)
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    from mapreduceindex_demo_spark.mapindex import INCL_LOW
+
+    hits = fresh.scan("idx_pfx", low="s", high="t", inclusion=INCL_LOW, ordered=False)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(key_0,s)" in plan
+    assert "LessThan(key_0,t)" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "Sort " not in plan
+
+    # unordered + limit is an API misuse, not a silent wrong answer
+    with pytest.raises(ValueError, match="limit requires ordered"):
+        fresh.scan("idx_pfx", low="s", limit=5, ordered=False)
+
+    # ordered scan over the same range still sorts (regression guard)
+    oplan = fresh.scan("idx_pfx", low="s", high="t", inclusion=INCL_LOW)
+    assert "Sort " in oplan._jdf.queryExecution().executedPlan().toString()
