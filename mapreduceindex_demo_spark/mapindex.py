@@ -188,6 +188,12 @@ class MapIndexEngine:
         if name not in self._state:
             raise KeyError(f"index {name!r} has no built state")
         self._state[name] = self._state[name].localCheckpoint(eager=True)
+        # dependent reduce views share the commit point: their lazy plans
+        # reference the micro-batch DataFrame, which is only valid inside
+        # the foreachBatch call — materialize before the offset commits
+        for d in self._views.values():
+            if d["index"] == name:
+                d["frame"] = d["frame"].localCheckpoint(eager=True)
         return self._state[name]
 
     # -- reduce views (incremental view maintenance) -----------------------

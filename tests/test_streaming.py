@@ -417,3 +417,43 @@ def test_dedup_within_watermark_bounds_state_and_drops_replays(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(out) == [(1, 100), (2, 101), (3, 102)]
+
+
+def test_streaming_maintains_reduce_view(spark, tmp_path):
+    """A reduce view on a streamed index rides the same exactly-once sink:
+    every micro-batch's delta folds into the view inside foreachBatch and
+    is materialized at the same commit point as the index
+    (checkpoint_state), so after the stream drains — including a
+    kill/restart in the middle — the view equals a from-scratch GROUP BY
+    over the golden final index."""
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5, upto_file=3)
+    eng = MapIndexEngine(spark)
+    empty = spark.createDataFrame([], CDC_SCHEMA)
+    eng.create_index(_defn("idx_rv"), empty, doc_id_col="user_id")
+    eng.create_reduce_view("rv", "idx_rv", ["key_1"], sum_col="key_0")
+
+    run_streaming_index_maintenance(
+        spark, cdc, ckpt, _defn("idx_rv"), CDC_SCHEMA, engine=eng
+    )
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5)
+    run_streaming_index_maintenance(
+        spark, cdc, ckpt, _defn("idx_rv"), CDC_SCHEMA, engine=eng
+    )
+
+    got = sorted(tuple(r) for r in eng.reduce_view_table("rv").collect())
+    want = sorted(
+        tuple(r)
+        for r in eng.index_table("idx_rv")
+        .groupBy("key_1")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_0").alias("total"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # and the index itself still matches the batch golden answer
+    assert sorted(tuple(r) for r in eng.index_table("idx_rv").collect()) == _golden(
+        spark
+    )
