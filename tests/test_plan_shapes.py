@@ -267,3 +267,52 @@ def test_indexed_bm25_pushes_term_filter_to_index_scan(spark):
     plan = _final_plan(QUERIES["search_bm25_indexed"].fn(spark, PARITY_SF_DIR))
     assert re.search(r"PushedFilters: \[[^\]]*In\(key_0", plan), plan
     assert _n(plan, r"documents\.parquet") == 0, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan_when_dim_shuffles(spark):
+    """100 TB posture for fact⋈dim joins whose dim side outgrows broadcast:
+    Spark's runtime bloom-filter rule must inject a might_contain() filter
+    on the fact side, pre-filtering the shuffle to keys that can match the
+    (selectively filtered) dim. This fires only for shuffle joins above
+    the application-side scan threshold — small local data never triggers
+    it — so the test lowers the thresholds and disables broadcast to
+    reproduce the at-scale physical shape, pinning that our declarative
+    join plans stay ELIGIBLE for the rule (a wrapped/cast join key or a
+    non-equi shape would silently lose it)."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.session import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        part = load_table(spark, PARITY_SF_DIR, "part").where(
+            F.col("p_brand") == "Brand#12"
+        )
+        li = load_table(spark, PARITY_SF_DIR, "lineitem")
+        j = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
