@@ -58,7 +58,6 @@ PRIORITY_50 = [
     "order_date_functions",
     "document_array_functions",
     "events_json_extract",
-    "events_pivot_daily",
     # --- NEW this round (zero external rows yet — must be in-window):
     # Count-Min sketch with in-plan error contract; substring-span dedup;
     # full-text search family (BM25 / positional phrase / boolean AND) ---
@@ -81,9 +80,12 @@ PRIORITY_50 = [
     # part_string/order_date/document_array/events_json stay in) ---
     # prefix search from the durable token index (displaces
     # part_string_functions, 1 green — scalar siblings stay in)
+    # proximity (slop) search (displaces events_pivot_daily, 1 green —
+    # events_json_extract keeps the events_relational family in-window)
     "mapindex_reduce_view",
     "dedup_semantic_cells",
     "search_prefix_scan",
+    "search_proximity_window",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -469,3 +469,58 @@ def q_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.countDistinct("key_0").cast("long").alias("n_terms"),
     )
+
+
+_PROX_TERMS = ("hash", "vector")
+_PROX_SLOP = 3
+
+
+@query(
+    "search_proximity_window",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    p1 AS (SELECT doc_id, unnest(list_filter(range(1, len(tk) + 1),
+                 i -> tk[i] = '{_PROX_TERMS[0]}')) AS a FROM toks),
+    p2 AS (SELECT doc_id, unnest(list_filter(range(1, len(tk) + 1),
+                 i -> tk[i] = '{_PROX_TERMS[1]}')) AS b FROM toks)
+    SELECT p1.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(abs(a - b)) AS BIGINT) AS min_dist
+    FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND abs(a - b) <= {_PROX_SLOP}
+    GROUP BY 1
+    """,
+    tags=("search", "proximity", "text"),
+)
+def q_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: documents where "hash" and "vector" occur within
+    a 3-token window, with pair counts and closest distance — the slop
+    generalization of the exact-adjacency phrase query
+    ([q:search_phrase_positional], slop=1 ordered; this is unordered
+    slop=3).
+
+    Scale shape: the two positional posting lists are term-filtered
+    BEFORE the exchange, the join is equi on doc_id with the slop band as
+    a post-join filter — the doc_id equi-key does the distribution work,
+    and the band only ever compares positions WITHIN one document's
+    postings (per-doc posting lists are bounded by document length, so
+    the intra-doc pair work is bounded, never |postings|²)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    p1 = toks.where(F.col("term") == _PROX_TERMS[0]).select("doc_id", F.col("pos").alias("a"))
+    p2 = toks.where(F.col("term") == _PROX_TERMS[1]).select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("b")
+    )
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("doc2"))
+            & (F.abs(F.col("a") - F.col("b")) <= F.lit(_PROX_SLOP)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("a") - F.col("b"))).cast("long").alias("min_dist"),
+        )
+    )
