@@ -52,7 +52,6 @@ PRIORITY_50 = [
     "large_volume_customers",
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
-    "customer_order_stats",
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
     "order_date_functions",
@@ -86,6 +85,9 @@ PRIORITY_50 = [
     "dedup_semantic_cells",
     "search_prefix_scan",
     "search_proximity_window",
+    # TPC-H Q20 shape, the last of the 22 (displaces customer_order_stats,
+    # 1 green, generic scan/agg with many relational siblings in-window)
+    "excess_stock_suppliers",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -605,3 +605,73 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@query(
+    "excess_stock_suppliers",
+    oracle="""
+    WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS avail
+                FROM lineitem GROUP BY 1, 2),
+    shp AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS shipped
+            FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1, 2),
+    sel AS (SELECT DISTINCT ps.sk
+            FROM ps JOIN shp ON ps.pk = shp.pk AND ps.sk = shp.sk
+            JOIN part ON ps.pk = p_partkey AND p_name LIKE 'small%'
+            WHERE avail > 3 * shipped)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7')
+      AND s_suppkey IN (SELECT sk FROM sel)
+    """,
+    tags=("tpch", "join", "subquery", "semi"),
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the last of the 22): nested IN-subqueries with a
+    correlated per-(part, supplier) aggregate threshold — suppliers in a
+    nation group holding stock of small parts well above what shipped in
+    1997. Stand-ins: lineitem-as-partsupp (all-time quantity = availqty,
+    as in the Q2 adaptation, plans/subqueries.py:153), multiplier 3 for
+    Q20's 0.5 since avail here includes the shipped year.
+
+    Decorrelated plan: BOTH per-(pk, sk) aggregates come from the same
+    lineitem scan pattern and co-partition on the (pk, sk) compound key
+    — the correlated comparison is a co-located equi-join, no per-row
+    subquery. The part gate and nation gate broadcast (dimension-sized);
+    the supplier membership test is a left-semi join on the DISTINCT
+    qualifying sk set. One fact shuffle per aggregate, everything
+    downstream dimension-sized — survives 100 TB unchanged.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(dec("l_quantity")).alias("avail"))
+    shp = (
+        li.where(F.year("l_shipdate") == 1997)
+        .groupBy(F.col("l_partkey").alias("pk2"), F.col("l_suppkey").alias("sk2"))
+        .agg(F.sum(dec("l_quantity")).alias("shipped"))
+    )
+    small = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("ppk"))
+    )
+    sel = (
+        ps.join(shp, (F.col("pk") == F.col("pk2")) & (F.col("sk") == F.col("sk2")))
+        .join(F.broadcast(small), F.col("pk") == F.col("ppk"))
+        .where(F.col("avail") > F.lit(3) * F.col("shipped"))
+        .select("sk")
+        .distinct()
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5", "NATION_7"))
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(sel, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
