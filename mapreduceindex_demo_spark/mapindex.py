@@ -74,6 +74,10 @@ class MapIndexEngine:
         #: incrementally-maintained grouped aggregates over an index
         #: (see create_reduce_view)
         self._views: dict[str, dict] = {}
+        #: durable reduce views: name → (index_name, group_cols, sum_col).
+        #: Persisted as per-bucket PARTIAL aggregates next to the index
+        #: (see save_reduce_view_durable)
+        self._durable_views: dict[str, tuple[str, list[str], str | None]] = {}
 
     # -- function library --------------------------------------------------
 
@@ -262,13 +266,17 @@ class MapIndexEngine:
         del self._views[name]
 
     @staticmethod
-    def _view_agg(
-        entries: DataFrame, group_cols: list[str], sum_col: str | None
-    ) -> DataFrame:
+    def _view_aggs(sum_col: str | None) -> list[Column]:
         aggs = [F.count(F.lit(1)).alias("cnt")]
         if sum_col is not None:
             aggs.append(F.sum(sum_col).alias("total"))
-        return entries.groupBy(*group_cols).agg(*aggs)
+        return aggs
+
+    @classmethod
+    def _view_agg(
+        cls, entries: DataFrame, group_cols: list[str], sum_col: str | None
+    ) -> DataFrame:
+        return entries.groupBy(*group_cols).agg(*cls._view_aggs(sum_col))
 
     def _update_views(
         self,
@@ -701,6 +709,11 @@ class MapIndexEngine:
         )
         self._write_sidecar(name, path, k, df.schema)
         self._durable[name] = (path, k)
+        # a full re-save wipes the directory, views included — regenerate
+        # any registered durable view against the new layout/bucketing
+        for vname, (iname, g, s) in list(self._durable_views.items()):
+            if iname == name:
+                self.save_reduce_view_durable(vname, name, g, s)
 
     @staticmethod
     def _key_sorted(out: DataFrame) -> DataFrame:
@@ -745,6 +758,152 @@ class MapIndexEngine:
         self._batches_applied[defn.name] = int(meta.get("batches_applied", 0))
         self._durable[defn.name] = (path, int(meta["buckets"]))
         return state
+
+    # -- durable reduce views ---------------------------------------------
+
+    VIEW_META = "_view_defn.json"
+
+    @staticmethod
+    def _view_dir(index_path: str, vname: str) -> str:
+        # leading underscore: parquet readers treat _-prefixed dirs as
+        # hidden, so the view's files never leak into the index scan
+        return hadoopfs.join(index_path, f"_view_{vname}")
+
+    def save_reduce_view_durable(
+        self,
+        name: str,
+        index_name: str,
+        group_cols: list[str],
+        sum_col: str | None = None,
+    ) -> None:
+        """Persist a reduce view of a DURABLE index as per-bucket PARTIAL
+        aggregates, partitioned by the same ``__bucket`` key as the index.
+
+        The partial layout is what makes durable maintenance IDEMPOTENT —
+        the property the in-memory delta fold cannot give. A view stored
+        as final totals would need ``total += delta`` per batch, and a
+        replayed batch (crash after the view write, before the stream
+        checkpoint commits) would double-apply the delta. Stored as
+        per-bucket partials, maintenance is instead a pure function of the
+        post-merge index state: recompute the AFFECTED buckets' partials
+        from the buckets just rewritten and dynamic-partition-overwrite
+        exactly those view partitions — replaying a batch rewrites the
+        same partitions with the same bytes, the identical idempotency
+        argument :meth:`apply_changes_durable` makes for the index itself.
+
+        Serving cost: the read-side final aggregation folds ≤
+        buckets × |groups| partial rows — metadata-scale next to the
+        index. Maintenance cost: one re-read + re-agg of the affected
+        buckets (bytes already bounded by the merge itself)."""
+        if index_name not in self._durable:
+            raise KeyError(f"index {index_name!r} is not durable")
+        path, k = self._durable[index_name]
+        idx_cols = set(self.index_table(index_name).columns)
+        missing = [c for c in group_cols if c not in idx_cols]
+        if missing:
+            raise KeyError(f"group columns not in index: {missing}")
+        if sum_col is not None and sum_col not in idx_cols:
+            raise KeyError(f"sum column not in index: {sum_col!r}")
+        vpath = self._view_dir(path, name)
+        cur = self.spark.read.parquet(path)  # carries __bucket
+        partials = cur.groupBy("__bucket", *group_cols).agg(
+            *self._view_aggs(sum_col)
+        )
+        (
+            partials.repartition(k, F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(vpath)
+        )
+        self._hfs(vpath).write_text(
+            hadoopfs.join(vpath, self.VIEW_META),
+            json.dumps(
+                {
+                    "index": index_name,
+                    "group": list(group_cols),
+                    "sum_col": sum_col,
+                    "partial_schema": json.loads(
+                        T.StructType(
+                            [
+                                f
+                                for f in partials.schema.fields
+                                if f.name != "__bucket"
+                            ]
+                        ).json()
+                    ),
+                }
+            ),
+        )
+        self._durable_views[name] = (index_name, list(group_cols), sum_col)
+
+    def load_reduce_view_durable(self, index_name: str, name: str) -> None:
+        """Reopen a persisted view from its sidecar (the index must already
+        be loaded in this engine)."""
+        path, _ = self._durable[index_name]
+        vpath = self._view_dir(path, name)
+        meta = json.loads(
+            self._hfs(vpath).read_text(hadoopfs.join(vpath, self.VIEW_META))
+        )
+        if meta["index"] != index_name:
+            raise ValueError(
+                f"view {name!r} belongs to index {meta['index']!r}, not "
+                f"{index_name!r}"
+            )
+        self._durable_views[name] = (index_name, list(meta["group"]), meta["sum_col"])
+
+    def reduce_view_table_durable(self, name: str) -> DataFrame:
+        """Final aggregation over the persisted per-bucket partials."""
+        index_name, g, s = self._durable_views[name]
+        path, _ = self._durable[index_name]
+        vpath = self._view_dir(path, name)
+        if any(
+            e.startswith("__bucket=") for e in self._hfs(vpath).list_names(vpath)
+        ):
+            partials = self.spark.read.parquet(vpath).drop("__bucket")
+        else:  # every bucket retracted → empty view with the recorded schema
+            meta = json.loads(
+                self._hfs(vpath).read_text(hadoopfs.join(vpath, self.VIEW_META))
+            )
+            partials = self.spark.createDataFrame(
+                [], T.StructType.fromJson(meta["partial_schema"])
+            )
+        aggs = [F.sum("cnt").alias("cnt")]
+        if s is not None:
+            aggs.append(F.sum("total").alias("total"))
+        return partials.groupBy(*g).agg(*aggs)
+
+    def _update_durable_views(
+        self, index_name: str, path: str, affected, full_schema
+    ) -> None:
+        """Recompute affected buckets' view partials from the POST-merge
+        index state on disk — a pure function of that state, hence
+        idempotent under batch replay (see save_reduce_view_durable).
+        ``full_schema`` (entry schema + __bucket) keeps the read valid
+        even when the merge emptied the whole index: the empty partials
+        then drive the unchanged-listing drop of the view partitions."""
+        todo = [
+            (v, g, s)
+            for v, (i, g, s) in self._durable_views.items()
+            if i == index_name
+        ]
+        if not todo:
+            return
+        cur = (
+            self.spark.read.schema(full_schema)
+            .parquet(path)
+            .filter(F.col("__bucket").isin(list(affected)))
+        )
+        for vname, g, s in todo:
+            vpath = self._view_dir(path, vname)
+            partials = cur.groupBy("__bucket", *g).agg(*self._view_aggs(s))
+            hadoopfs.dynamic_overwrite_dropping_emptied(
+                self.spark,
+                partials.repartition(max(len(affected), 1), F.col("__bucket")),
+                vpath,
+                "__bucket",
+                lambda b, _vp=vpath: hadoopfs.join(_vp, f"__bucket={int(b)}"),
+                affected,
+            )
 
     def apply_backlog_durable(
         self,
@@ -910,6 +1069,10 @@ class MapIndexEngine:
             lambda b: self._bucket_dir(path, b),
             affected,
         )
+
+        # durable views recompute their affected partials from the index
+        # state just written — post-rewrite, so the read sees the merge
+        self._update_durable_views(name, path, affected, full_schema)
 
         self._batches_applied[name] = self._batches_applied.get(name, 0) + 1
         entry_schema = T.StructType(

@@ -54,7 +54,6 @@ PRIORITY_50 = [
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
-    "order_date_functions",
     "document_array_functions",
     "events_json_extract",
     # --- NEW this round (zero external rows yet — must be in-window):
@@ -88,6 +87,9 @@ PRIORITY_50 = [
     # TPC-H Q20 shape, the last of the 22 (displaces customer_order_stats,
     # 1 green, generic scan/agg with many relational siblings in-window)
     "excess_stock_suppliers",
+    # durable reduce view twin (displaces order_date_functions, 1 green —
+    # document_array/events_json scalar siblings stay in)
+    "mapindex_reduce_view_durable",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

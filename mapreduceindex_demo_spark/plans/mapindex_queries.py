@@ -567,3 +567,80 @@ def q_mapindex_reduce_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total"),
         )
     )
+
+
+@query(
+    "mapindex_reduce_view_durable",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT event_type AS grp,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    tags=("mapindex", "reduce", "ivm", "cdc", "durable"),
+)
+def q_mapindex_reduce_view_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DURABLE twin of [q:mapindex_reduce_view]: the reduce view is
+    persisted as per-bucket PARTIAL aggregates next to the durable index,
+    and each CDC batch's durable merge recomputes only the affected
+    buckets' partials — a pure function of the post-merge index state, so
+    batch replay is idempotent by the same dynamic-partition-overwrite
+    argument the index itself makes (an increment-based durable view
+    would double-apply on replay). Served here from a FRESH engine that
+    reopens index and view from storage; the same oracle as the
+    in-memory variant pins both against the windowed SQL.
+
+    Scale: maintenance cost = re-agg of affected-bucket bytes (already
+    read by the merge); serving cost = a final fold over
+    ≤ buckets × |groups| partial rows.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    defn = IndexDefn(
+        name="idx_users_kv_rvd",
+        bucket="events",
+        sec_exprs=(
+            "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            "event_type",
+        ),
+    )
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    first = _latest_live(
+        ev.filter(F.col("batch") == 0).drop("batch"), "user_id", "event_id", "op"
+    )
+    eng.create_index(defn, first, doc_id_col="user_id")
+    root = tempfile.mkdtemp(prefix="mrix_rvd_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng.save_index(defn.name, root, buckets=8)
+    eng.save_reduce_view_durable("rv_kv_d", defn.name, ["key_1"], sum_col="key_0")
+    for b in range(1, 5):
+        eng.apply_changes_durable(
+            defn.name,
+            ev.filter(F.col("batch") == b).drop("batch"),
+            doc_id_col="user_id",
+            op_col="op",
+            seq_col="event_id",
+        )
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(root)
+    fresh.load_reduce_view_durable(defn.name, "rv_kv_d")
+    return fresh.reduce_view_table_durable("rv_kv_d").select(
+        F.col("key_1").alias("grp"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total").cast("long").alias("total"),
+    )

@@ -353,3 +353,76 @@ def test_durable_layout_works_through_file_uri(spark, tmp_path):
     )
     assert not (tmp_path / "idx_uri.__rebucket_staging").exists()
     assert not (tmp_path / "idx_uri.__rebucket_old").exists()
+
+
+def _view_rebuild(eng):
+    return _sorted_rows(
+        eng.index_table("idx_durable")
+        .groupBy("key_0")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_1").alias("total"))
+    )
+
+
+def test_durable_view_maintained_and_reopens(spark, built, tmp_path):
+    """A durable reduce view (per-bucket partials) tracks durable CDC
+    merges and survives engine death: a FRESH engine reopens index + view
+    from disk and the served aggregate equals a from-scratch GROUP BY."""
+    eng, src, path = built
+    eng.save_reduce_view_durable("rv", "idx_durable", ["key_0"], sum_col="key_1")
+    assert _sorted_rows(eng.reduce_view_table_durable("rv")) == _view_rebuild(eng)
+
+    changes = spark.createDataFrame(
+        [("d1", 9, 99.0, "upsert"), ("d2", None, None, "delete"),
+         ("d99", 9, 1.0, "upsert")],
+        "doc_id string, grp bigint, val double, op string",
+    )
+    eng.apply_changes_durable("idx_durable", changes, doc_id_col="doc_id", op_col="op")
+    assert _sorted_rows(eng.reduce_view_table_durable("rv")) == _view_rebuild(eng)
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    fresh.load_reduce_view_durable("idx_durable", "rv")
+    assert _sorted_rows(fresh.reduce_view_table_durable("rv")) == _view_rebuild(eng)
+
+
+def test_durable_view_replay_is_idempotent(spark, built):
+    """THE design point of the partial layout: re-applying the same batch
+    (at-least-once delivery / crash replay) leaves the view identical —
+    partials are a pure function of post-merge index state, not an
+    increment that would double-apply."""
+    eng, src, path = built
+    eng.save_reduce_view_durable("rv", "idx_durable", ["key_0"], sum_col="key_1")
+    changes = spark.createDataFrame(
+        [("d3", 7, 70.0, "upsert"), ("d5", None, None, "delete")],
+        "doc_id string, grp bigint, val double, op string",
+    )
+    eng.apply_changes_durable("idx_durable", changes, doc_id_col="doc_id", op_col="op")
+    once = _sorted_rows(eng.reduce_view_table_durable("rv"))
+    eng.apply_changes_durable("idx_durable", changes, doc_id_col="doc_id", op_col="op")
+    assert _sorted_rows(eng.reduce_view_table_durable("rv")) == once == _view_rebuild(eng)
+
+
+def test_durable_view_drops_emptied_partials(spark, tmp_path):
+    """Retracting every doc of a bucket drops BOTH the index bucket dir and
+    the view's matching partial dir; the served view still answers (empty
+    frame fallback from the recorded schema when all partials vanish)."""
+    eng = MapIndexEngine(spark)
+    src = _docs(spark, [("only", 1, 1.0)])
+    eng.create_index(_defn("idx_durable"), src, doc_id_col="doc_id")
+    path = str(tmp_path / "one")
+    eng.save_index("idx_durable", path, buckets=2)
+    eng.save_reduce_view_durable("rv", "idx_durable", ["key_0"], sum_col="key_1")
+    assert len(_sorted_rows(eng.reduce_view_table_durable("rv"))) == 1
+
+    deletes = spark.createDataFrame(
+        [("only", None, None, "delete")],
+        "doc_id string, grp bigint, val double, op string",
+    )
+    eng.apply_changes_durable("idx_durable", deletes, doc_id_col="doc_id", op_col="op")
+    vdirs = [
+        d
+        for d in os.listdir(os.path.join(path, "_view_rv"))
+        if d.startswith("__bucket=")
+    ]
+    assert vdirs == []
+    assert _sorted_rows(eng.reduce_view_table_durable("rv")) == []
