@@ -757,6 +757,18 @@ class MapIndexEngine:
         self._status[defn.name] = self.ST_ACTIVE
         self._batches_applied[defn.name] = int(meta.get("batches_applied", 0))
         self._durable[defn.name] = (path, int(meta["buckets"]))
+        # auto-register persisted reduce views: an engine that reopened the
+        # index but not its views would silently stop maintaining them —
+        # the views are part of the on-disk index state, so they reopen
+        # with it
+        fs = self._hfs(path)
+        for entry in fs.list_names(path):
+            if entry.startswith("_view_") and fs.is_dir(
+                hadoopfs.join(path, entry)
+            ):
+                self.load_reduce_view_durable(
+                    defn.name, entry[len("_view_"):]
+                )
         return state
 
     # -- durable reduce views ---------------------------------------------
@@ -805,7 +817,13 @@ class MapIndexEngine:
         if sum_col is not None and sum_col not in idx_cols:
             raise KeyError(f"sum column not in index: {sum_col!r}")
         vpath = self._view_dir(path, name)
-        cur = self.spark.read.parquet(path)  # carries __bucket
+        # explicit schema from the index sidecar: a bootstrapped-empty
+        # index has no parquet files yet, so inference would fail
+        side = self._read_sidecar(path)
+        full_schema = T.StructType.fromJson(side["entry_schema"]).add(
+            "__bucket", T.IntegerType()
+        )
+        cur = self.spark.read.schema(full_schema).parquet(path)
         partials = cur.groupBy("__bucket", *group_cols).agg(
             *self._view_aggs(sum_col)
         )

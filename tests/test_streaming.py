@@ -457,3 +457,47 @@ def test_streaming_maintains_reduce_view(spark, tmp_path):
     assert sorted(tuple(r) for r in eng.index_table("idx_rv").collect()) == _golden(
         spark
     )
+
+
+def test_streaming_durable_view_survives_engine_death(spark, tmp_path):
+    """Stream → durable index + durable reduce view, with process death in
+    the middle: the resumed run reopens the index from its sidecar and
+    AUTO-REGISTERS the persisted view (an engine that forgot the view
+    would silently stop maintaining its partials), and after the stream
+    drains the served view equals a GROUP BY over the golden index."""
+    from mapreduceindex_demo_spark.mapindex import MapIndexEngine
+
+    cdc = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5, upto_file=3)
+
+    # bootstrap: empty durable index + its durable view, then stream
+    eng = MapIndexEngine(spark)
+    empty = spark.createDataFrame([], CDC_SCHEMA)
+    eng.create_index(_defn("idx_dur_rv"), empty, doc_id_col="user_id")
+    eng.save_index("idx_dur_rv", idx, buckets=8)
+    eng.save_reduce_view_durable("rv", "idx_dur_rv", ["key_1"], sum_col="key_0")
+    run_streaming_durable_maintenance(
+        spark, cdc, ckpt, _defn("idx_dur_rv"), CDC_SCHEMA, index_path=idx,
+        engine=eng,
+    )
+
+    # process death; remaining CDC arrives; resume on a NEW session+engine
+    materialize_cdc_files(spark, SMOKE_SF_DIR, cdc, n_files=5)
+    s2 = spark.newSession()
+    run_streaming_durable_maintenance(
+        s2, cdc, ckpt, _defn("idx_dur_rv"), CDC_SCHEMA, index_path=idx
+    )
+
+    served = MapIndexEngine(spark)
+    served.load_index(idx)  # auto-registers the persisted view
+    got = sorted(tuple(r) for r in served.reduce_view_table_durable("rv").collect())
+    want = sorted(
+        tuple(r)
+        for r in served.index_table("idx_dur_rv")
+        .groupBy("key_1")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_0").alias("total"))
+        .collect()
+    )
+    assert got == want and len(got) > 0
