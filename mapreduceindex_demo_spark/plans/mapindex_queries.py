@@ -550,7 +550,12 @@ def q_mapindex_reduce_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.create_index(defn, first, doc_id_col="user_id")
     eng.create_reduce_view("rv_kv", defn.name, ["key_1"], sum_col="key_0")
-    # batches 1-4 land one by one — each folds its delta into the view
+    # batches 1-4 land one by one — each folds its delta into the view.
+    # checkpoint=False: at 4 batches the lineage is shallow, and skipping
+    # the per-batch lazy localCheckpoints lets the final action evaluate
+    # ONE fused DAG instead of cascading per-batch materialization jobs
+    # (measured 1.8 s vs 3.0 s at sf0.1). A long-running stream keeps the
+    # default checkpointing — that is what bounds lineage depth there.
     for b in range(1, 5):
         eng.apply_changes(
             defn.name,
@@ -558,6 +563,7 @@ def q_mapindex_reduce_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_id_col="user_id",
             op_col="op",
             seq_col="event_id",
+            checkpoint=False,
         )
     return (
         eng.reduce_view_table("rv_kv")
