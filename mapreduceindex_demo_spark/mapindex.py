@@ -164,7 +164,9 @@ class MapIndexEngine:
         return {n: self.build(n, snap, doc_id_col, seq_col) for n in todo}
 
     def drop_index(self, name: str) -> None:
-        in_use = [v for v, d in self._views.items() if d["index"] == name]
+        in_use = [v for v, d in self._views.items() if d["index"] == name] + [
+            v for v, (i, _, _) in self._durable_views.items() if i == name
+        ]
         if in_use:
             # same in-use rule as function deletion (D5): a dependent view
             # must be dropped first, never silently orphaned
@@ -258,18 +260,37 @@ class MapIndexEngine:
     def reduce_view_table(self, name: str) -> DataFrame:
         if name not in self._views:
             raise KeyError(f"reduce view {name!r} does not exist")
-        return self._views[name]["frame"]
+        d = self._views[name]
+        return self._view_serve(d["frame"], d["sum_col"])
 
     def drop_reduce_view(self, name: str) -> None:
         if name not in self._views:
             raise KeyError(f"reduce view {name!r} does not exist")
         del self._views[name]
 
+    def drop_reduce_view_durable(self, name: str) -> None:
+        """Unregister a durable view and delete its on-disk partials (the
+        files must go too, or the next load_index would auto-resurrect the
+        dropped view from its sidecar)."""
+        if name not in self._durable_views:
+            raise KeyError(f"durable reduce view {name!r} does not exist")
+        index_name, _, _ = self._durable_views.pop(name)
+        path, _ = self._durable[index_name]
+        self._hfs(path).delete(self._view_dir(path, name))
+
     @staticmethod
-    def _view_aggs(sum_col: str | None) -> list[Column]:
-        aggs = [F.count(F.lit(1)).alias("cnt")]
+    def _view_aggs(sum_col: str | None, negate: bool = False) -> list[Column]:
+        """Measure set per group: cnt, and for a sum measure additionally
+        ``__nn`` (count of NON-NULL measure values) + total. __nn is what
+        makes retraction NULL-correct: a group whose last non-null measure
+        is retracted must serve total=NULL (what a rebuild's SUM gives),
+        not the 0 a plain ± fold would leave — the served total is
+        ``CASE WHEN __nn > 0 THEN total END`` (see _view_serve)."""
+        sign = (lambda c: -c) if negate else (lambda c: c)
+        aggs = [sign(F.count(F.lit(1))).alias("cnt")]
         if sum_col is not None:
-            aggs.append(F.sum(sum_col).alias("total"))
+            aggs.append(sign(F.count(sum_col)).alias("__nn"))
+            aggs.append(sign(F.sum(sum_col)).alias("total"))
         return aggs
 
     @classmethod
@@ -277,6 +298,16 @@ class MapIndexEngine:
         cls, entries: DataFrame, group_cols: list[str], sum_col: str | None
     ) -> DataFrame:
         return entries.groupBy(*group_cols).agg(*cls._view_aggs(sum_col))
+
+    @staticmethod
+    def _view_serve(frame: DataFrame, sum_col: str | None) -> DataFrame:
+        """Public shape of a view: hide __nn, NULL the total of an
+        all-NULL-measure group (SUM semantics)."""
+        if sum_col is None:
+            return frame
+        return frame.withColumn(
+            "total", F.when(F.col("__nn") > 0, F.col("total"))
+        ).drop("__nn")
 
     def _update_views(
         self,
@@ -302,18 +333,15 @@ class MapIndexEngine:
             g, s = d["group"], d["sum_col"]
             delta = self._view_agg(new_entries, g, s)
             if old is not None:
-                neg_aggs = [(-F.count(F.lit(1))).alias("cnt")]
-                if s is not None:
-                    neg_aggs.append((-F.sum(s)).alias("total"))
-                delta = delta.unionByName(old.groupBy(*g).agg(*neg_aggs))
+                delta = delta.unionByName(
+                    old.groupBy(*g).agg(*self._view_aggs(s, negate=True))
+                )
+            measure_cols = ["cnt"] + (["__nn", "total"] if s is not None else [])
             merged = (
                 d["frame"]
                 .unionByName(delta)
                 .groupBy(*g)
-                .agg(
-                    F.sum("cnt").alias("cnt"),
-                    *([F.sum("total").alias("total")] if s is not None else []),
-                )
+                .agg(*[F.sum(c).alias(c) for c in measure_cols])
                 .filter(F.col("cnt") > 0)
             )
             if checkpoint:
@@ -485,6 +513,13 @@ class MapIndexEngine:
         changed_ids, new_entries = self._delta(
             defn, changes, doc_id_col, op_col, seq_col, xattr_col
         )
+        if checkpoint and any(d["index"] == name for d in self._views.values()):
+            # the index merge AND each view's delta fold consume these; a
+            # lazy checkpoint computes the batch's entry pipeline once per
+            # materialization instead of once per consumer (ReuseExchange
+            # cannot span the separate checkpoint_state actions)
+            changed_ids = changed_ids.localCheckpoint(eager=False)
+            new_entries = new_entries.localCheckpoint(eager=False)
 
         if defn.immutable:
             merged = cur.unionByName(new_entries)
@@ -763,12 +798,24 @@ class MapIndexEngine:
         # with it
         fs = self._hfs(path)
         for entry in fs.list_names(path):
-            if entry.startswith("_view_") and fs.is_dir(
-                hadoopfs.join(path, entry)
+            vdir = hadoopfs.join(path, entry)
+            if (
+                entry.startswith("_view_")
+                and fs.is_dir(vdir)
+                # a crash between the partials write and the sidecar write
+                # leaves a meta-less view dir — skip it (the view is lost
+                # and must be re-created) rather than fail the whole
+                # index reopen
+                and fs.exists(hadoopfs.join(vdir, self.VIEW_META))
             ):
                 self.load_reduce_view_durable(
                     defn.name, entry[len("_view_"):]
                 )
+        # in-memory views created against a PREVIOUS state of this index
+        # re-derive from the reopened state (mirrors build())
+        for d in self._views.values():
+            if d["index"] == defn.name:
+                d["frame"] = self._view_agg(state, d["group"], d["sum_col"])
         return state
 
     # -- durable reduce views ---------------------------------------------
@@ -857,6 +904,8 @@ class MapIndexEngine:
     def load_reduce_view_durable(self, index_name: str, name: str) -> None:
         """Reopen a persisted view from its sidecar (the index must already
         be loaded in this engine)."""
+        if index_name not in self._durable:
+            raise KeyError(f"index {index_name!r} is not durable/loaded")
         path, _ = self._durable[index_name]
         vpath = self._view_dir(path, name)
         meta = json.loads(
@@ -871,6 +920,8 @@ class MapIndexEngine:
 
     def reduce_view_table_durable(self, name: str) -> DataFrame:
         """Final aggregation over the persisted per-bucket partials."""
+        if name not in self._durable_views:
+            raise KeyError(f"durable reduce view {name!r} does not exist")
         index_name, g, s = self._durable_views[name]
         path, _ = self._durable[index_name]
         vpath = self._view_dir(path, name)
@@ -885,10 +936,11 @@ class MapIndexEngine:
             partials = self.spark.createDataFrame(
                 [], T.StructType.fromJson(meta["partial_schema"])
             )
-        aggs = [F.sum("cnt").alias("cnt")]
-        if s is not None:
-            aggs.append(F.sum("total").alias("total"))
-        return partials.groupBy(*g).agg(*aggs)
+        measure_cols = ["cnt"] + (["__nn", "total"] if s is not None else [])
+        final = partials.groupBy(*g).agg(
+            *[F.sum(c).alias(c) for c in measure_cols]
+        )
+        return self._view_serve(final, s)
 
     def _update_durable_views(
         self, index_name: str, path: str, affected, full_schema
@@ -1099,6 +1151,12 @@ class MapIndexEngine:
         self._write_sidecar(name, path, k, entry_schema)
         state = self._read_durable_state(path, entry_schema)
         self._state[name] = state
+        # any IN-MEMORY views on this index re-derive from the post-merge
+        # state — the durable merge bypasses apply_changes' delta fold, and
+        # leaving them on the pre-batch lineage would serve stale answers
+        for d in self._views.values():
+            if d["index"] == name:
+                d["frame"] = self._view_agg(state, d["group"], d["sum_col"])
         return state
 
     # -- consistency levels (T3: index.go:137-156) -------------------------
@@ -1153,10 +1211,14 @@ class MapIndexEngine:
         ``ordered=False`` skips the key-order delivery: an aggregating
         consumer (per-doc counts over a key range, joins) pays only the
         range FILTER, not a global sort Exchange it would immediately
-        destroy with its own shuffle. ``limit`` requires order (top-k is
-        meaningless unordered), so the combination raises."""
+        destroy with its own shuffle. ``limit`` and ``descending`` only
+        mean anything under ordered delivery, so either combined with
+        ``ordered=False`` raises rather than silently returning arbitrary
+        order."""
         if limit is not None and not ordered:
             raise ValueError("limit requires ordered=True")
+        if descending is not None and not ordered:
+            raise ValueError("descending requires ordered=True")
         if consistency not in ("any", "session", "query"):
             raise ValueError(f"unknown consistency {consistency!r}")
         if consistency in ("session", "query"):

@@ -643,8 +643,7 @@ def q_mapindex_reduce_view_durable(spark: SparkSession, sf_dir: str) -> DataFram
             seq_col="event_id",
         )
     fresh = MapIndexEngine(spark)
-    fresh.load_index(root)
-    fresh.load_reduce_view_durable(defn.name, "rv_kv_d")
+    fresh.load_index(root)  # auto-registers the persisted view from its sidecar
     return fresh.reduce_view_table_durable("rv_kv_d").select(
         F.col("key_1").alias("grp"),
         F.col("cnt").cast("long").alias("cnt"),

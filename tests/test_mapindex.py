@@ -545,3 +545,55 @@ def test_reduce_view_rebuild_resets(spark):
     eng.create_reduce_view("rv", "kvr", ["key_0"], sum_col="key_1")
     eng.build("kvr", _docs(spark, [(9, "z", 1, "u")]), doc_id_col="doc_id")
     assert [tuple(r) for r in eng.reduce_view_table("rv").collect()] == [("z", 1, 1)]
+
+
+def test_reduce_view_null_measure_retraction(spark):
+    """SUM semantics under retraction: when a group's last NON-NULL measure
+    is retracted, the served total must be NULL (what a rebuild's SUM
+    gives), not the 0 a plain ± fold would leave."""
+    eng = MapIndexEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "g", 5, "u"), (2, "g", None, "u")],
+        "doc_id bigint, payload string, v bigint, op string",
+    )
+    eng.create_index(
+        IndexDefn(name="kvn", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "kvn", ["key_0"], sum_col="key_1")
+    # retract the only non-null measure; the null-measure doc remains
+    eng.apply_changes(
+        "kvn",
+        spark.createDataFrame(
+            [(1, None, None, "delete")],
+            "doc_id bigint, payload string, v bigint, op string",
+        ),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    rows = [tuple(r) for r in eng.reduce_view_table("rv").collect()]
+    assert rows == [("g", 1, None)]
+
+
+def test_inmemory_view_follows_durable_merge(spark, tmp_path):
+    """An in-memory view on an index that becomes durable must track
+    apply_changes_durable — the durable merge bypasses the delta fold, so
+    the engine re-derives the view from the post-merge state."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u"), (2, "b", 7, "u")])
+    eng.create_index(
+        IndexDefn(name="kvd", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "kvd", ["key_0"], sum_col="key_1")
+    eng.save_index("kvd", str(tmp_path / "kvd"), buckets=2)
+    eng.apply_changes_durable(
+        "kvd",
+        _docs(spark, [(1, "a", 50, "upsert"), (3, "c", 1, "upsert")]),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    got = {tuple(r) for r in eng.reduce_view_table("rv").collect()}
+    assert got == {("a", 1, 50), ("b", 1, 7), ("c", 1, 1)}
