@@ -74,10 +74,10 @@ class MapIndexEngine:
         #: incrementally-maintained grouped aggregates over an index
         #: (see create_reduce_view)
         self._views: dict[str, dict] = {}
-        #: durable reduce views: name → (index_name, group_cols, sum_col).
-        #: Persisted as per-bucket PARTIAL aggregates next to the index
-        #: (see save_reduce_view_durable)
-        self._durable_views: dict[str, tuple[str, list[str], str | None]] = {}
+        #: durable reduce views: name → {"index", "group", "sum_col",
+        #: "distinct_col"}. Persisted as per-bucket PARTIAL aggregates next
+        #: to the index (see save_reduce_view_durable)
+        self._durable_views: dict[str, dict] = {}
 
     # -- function library --------------------------------------------------
 
@@ -125,7 +125,9 @@ class MapIndexEngine:
         # full aggregation over the new base
         for d in self._views.values():
             if d["index"] == name:
-                d["frame"] = self._view_agg(entries, d["group"], d["sum_col"])
+                d["frame"] = self._view_agg(
+                    entries, d["group"], d["sum_col"], d["distinct_col"]
+                )
         return entries
 
     def build_deferred(
@@ -165,7 +167,7 @@ class MapIndexEngine:
 
     def drop_index(self, name: str) -> None:
         in_use = [v for v, d in self._views.items() if d["index"] == name] + [
-            v for v, (i, _, _) in self._durable_views.items() if i == name
+            v for v, d in self._durable_views.items() if d["index"] == name
         ]
         if in_use:
             # same in-use rule as function deletion (D5): a dependent view
@@ -210,6 +212,7 @@ class MapIndexEngine:
         index_name: str,
         group_cols: list[str],
         sum_col: str | None = None,
+        distinct_col: str | None = None,
     ) -> DataFrame:
         """Materialized grouped aggregate over an index, maintained
         INCREMENTALLY as CDC batches land — the "Reduce" the repo's name
@@ -218,13 +221,20 @@ class MapIndexEngine:
         map/reduce views are the design this completes).
 
         ``group_cols`` are index columns (``key_i``/``doc_id``); measures
-        are ``cnt`` (entry count) and, when ``sum_col`` is given, ``total``
-        (its sum). These are the SELF-MAINTAINABLE aggregates: a change
+        are ``cnt`` (entry count), ``total`` (sum of ``sum_col``) and, for
+        an IMMUTABLE index, ``approx_distinct`` (a mergeable Datasketches
+        HLL over ``distinct_col`` — sketches union across batches but
+        cannot delete, so the delta fold only admits them append-only;
+        the durable path recomputes partials and takes them on any
+        index). These are the SELF-MAINTAINABLE aggregates: a change
         batch updates the view from the batch's delta alone — the merge in
         :meth:`apply_changes` already computes (retracted old entries, fresh
         new entries), and the view absorbs Δ = +new − old folded per group,
-        dropping groups whose count reaches zero. No rescan of the base
-        index, ever; AVG derives as total/cnt at read time. MIN/MAX are
+        dropping groups whose count reaches zero. Never a FULL base
+        rescan: the retraction side reads only the changed docs' current
+        entries — the same rows the merge's anti-join already prices
+        (bucket-pruned on the durable path); AVG derives as total/cnt at
+        read time. MIN/MAX are
         deliberately NOT offered: they are not self-maintainable under
         retraction (deleting the current minimum forces a re-derive), and
         the honest implementation — re-aggregating only the groups whose
@@ -244,15 +254,31 @@ class MapIndexEngine:
         missing = [c for c in group_cols if c not in idx.columns]
         if missing:
             raise KeyError(f"group columns not in index: {missing}")
-        if sum_col is not None and sum_col not in idx.columns:
-            raise KeyError(f"sum column not in index: {sum_col!r}")
+        for c in (sum_col, distinct_col):
+            if c is not None and c not in idx.columns:
+                raise KeyError(f"measure column not in index: {c!r}")
+        self._check_sketchable(idx, distinct_col)
+        if distinct_col is not None and not self.catalog.get_index(
+            index_name
+        ).immutable:
+            # HLL sketches merge but never delete: the delta fold is only
+            # sound when no batch ever retracts (append-only). A MUTABLE
+            # index can still have a distinct measure DURABLY —
+            # save_reduce_view_durable recomputes affected buckets'
+            # partials instead of folding, which is retraction-safe.
+            raise ValueError(
+                "distinct_col requires an immutable (append-only) index; "
+                "for mutable indexes use save_reduce_view_durable, whose "
+                "per-bucket recompute is retraction-safe"
+            )
         if name in self._views:
             raise ValueError(f"reduce view {name!r} already exists")
-        frame = self._view_agg(idx, group_cols, sum_col)
+        frame = self._view_agg(idx, group_cols, sum_col, distinct_col)
         self._views[name] = {
             "index": index_name,
             "group": list(group_cols),
             "sum_col": sum_col,
+            "distinct_col": distinct_col,
             "frame": frame,
         }
         return frame
@@ -261,7 +287,7 @@ class MapIndexEngine:
         if name not in self._views:
             raise KeyError(f"reduce view {name!r} does not exist")
         d = self._views[name]
-        return self._view_serve(d["frame"], d["sum_col"])
+        return self._view_serve(d["frame"], d["sum_col"], d["distinct_col"])
 
     def drop_reduce_view(self, name: str) -> None:
         if name not in self._views:
@@ -274,40 +300,95 @@ class MapIndexEngine:
         dropped view from its sidecar)."""
         if name not in self._durable_views:
             raise KeyError(f"durable reduce view {name!r} does not exist")
-        index_name, _, _ = self._durable_views.pop(name)
+        index_name = self._durable_views.pop(name)["index"]
         path, _ = self._durable[index_name]
         self._hfs(path).delete(self._view_dir(path, name))
 
     @staticmethod
-    def _view_aggs(sum_col: str | None, negate: bool = False) -> list[Column]:
-        """Measure set per group: cnt, and for a sum measure additionally
-        ``__nn`` (count of NON-NULL measure values) + total. __nn is what
-        makes retraction NULL-correct: a group whose last non-null measure
-        is retracted must serve total=NULL (what a rebuild's SUM gives),
-        not the 0 a plain ± fold would leave — the served total is
-        ``CASE WHEN __nn > 0 THEN total END`` (see _view_serve)."""
+    def _view_aggs(
+        sum_col: str | None,
+        distinct_col: str | None = None,
+        negate: bool = False,
+    ) -> list[Column]:
+        """Measure set per group: cnt; for a sum measure additionally
+        ``__nn`` (count of NON-NULL measure values) + total; for a distinct
+        measure ``__nd`` (a mergeable HLL sketch — Spark's Datasketches
+        hll_sketch_agg). __nn is what makes retraction NULL-correct: a
+        group whose last non-null measure is retracted must serve
+        total=NULL (what a rebuild's SUM gives), not the 0 a plain ± fold
+        would leave — the served total is ``CASE WHEN __nn > 0 THEN total
+        END`` (see _view_serve). Sketches cannot be negated (an HLL has no
+        delete) — callers guarantee negate and distinct_col never meet
+        (append-only guard in create_reduce_view; the durable path
+        RECOMPUTES partials instead of folding, so it never negates)."""
+        assert not (negate and distinct_col is not None)
         sign = (lambda c: -c) if negate else (lambda c: c)
         aggs = [sign(F.count(F.lit(1))).alias("cnt")]
         if sum_col is not None:
             aggs.append(sign(F.count(sum_col)).alias("__nn"))
             aggs.append(sign(F.sum(sum_col)).alias("total"))
+        if distinct_col is not None:
+            aggs.append(F.hll_sketch_agg(distinct_col).alias("__nd"))
         return aggs
 
     @classmethod
     def _view_agg(
-        cls, entries: DataFrame, group_cols: list[str], sum_col: str | None
+        cls,
+        entries: DataFrame,
+        group_cols: list[str],
+        sum_col: str | None,
+        distinct_col: str | None = None,
     ) -> DataFrame:
-        return entries.groupBy(*group_cols).agg(*cls._view_aggs(sum_col))
+        return entries.groupBy(*group_cols).agg(
+            *cls._view_aggs(sum_col, distinct_col)
+        )
 
     @staticmethod
-    def _view_serve(frame: DataFrame, sum_col: str | None) -> DataFrame:
+    def _view_merge_aggs(
+        sum_col: str | None, distinct_col: str | None = None
+    ) -> list[Column]:
+        """Fold partial/previous measure rows: sums add, sketches union."""
+        aggs = [F.sum("cnt").alias("cnt")]
+        if sum_col is not None:
+            aggs.append(F.sum("__nn").alias("__nn"))
+            aggs.append(F.sum("total").alias("total"))
+        if distinct_col is not None:
+            aggs.append(F.hll_union_agg("__nd").alias("__nd"))
+        return aggs
+
+    @staticmethod
+    def _view_serve(
+        frame: DataFrame,
+        sum_col: str | None,
+        distinct_col: str | None = None,
+    ) -> DataFrame:
         """Public shape of a view: hide __nn, NULL the total of an
-        all-NULL-measure group (SUM semantics)."""
-        if sum_col is None:
-            return frame
-        return frame.withColumn(
-            "total", F.when(F.col("__nn") > 0, F.col("total"))
-        ).drop("__nn")
+        all-NULL-measure group (SUM semantics), estimate the distinct
+        sketch as ``approx_distinct``."""
+        if sum_col is not None:
+            frame = frame.withColumn(
+                "total", F.when(F.col("__nn") > 0, F.col("total"))
+            ).drop("__nn")
+        if distinct_col is not None:
+            frame = frame.withColumn(
+                "approx_distinct", F.hll_sketch_estimate("__nd")
+            ).drop("__nd")
+        return frame
+
+    @staticmethod
+    def _check_sketchable(df: DataFrame, distinct_col: str | None) -> None:
+        """Datasketches HLL accepts int/bigint/string/binary only; fail
+        EAGERLY with the column's actual type rather than letting the
+        lazy plan throw at first action."""
+        if distinct_col is None:
+            return
+        t = dict(df.dtypes).get(distinct_col)
+        if t not in ("int", "bigint", "string", "binary"):
+            raise ValueError(
+                f"distinct_col must be int/bigint/string/binary for the "
+                f"HLL sketch; {distinct_col!r} is {t} — cast it in the "
+                f"index's key expression"
+            )
 
     def _update_views(
         self,
@@ -330,18 +411,19 @@ class MapIndexEngine:
         if not immutable:
             old = cur.join(changed_ids.select("doc_id"), "doc_id", "left_semi")
         for d in views:
-            g, s = d["group"], d["sum_col"]
-            delta = self._view_agg(new_entries, g, s)
+            g, s, dc = d["group"], d["sum_col"], d["distinct_col"]
+            delta = self._view_agg(new_entries, g, s, dc)
             if old is not None:
+                # dc is None here by construction: a distinct measure
+                # requires an immutable index, and immutable ⇒ old is None
                 delta = delta.unionByName(
                     old.groupBy(*g).agg(*self._view_aggs(s, negate=True))
                 )
-            measure_cols = ["cnt"] + (["__nn", "total"] if s is not None else [])
             merged = (
                 d["frame"]
                 .unionByName(delta)
                 .groupBy(*g)
-                .agg(*[F.sum(c).alias(c) for c in measure_cols])
+                .agg(*self._view_merge_aggs(s, dc))
                 .filter(F.col("cnt") > 0)
             )
             if checkpoint:
@@ -746,9 +828,11 @@ class MapIndexEngine:
         self._durable[name] = (path, k)
         # a full re-save wipes the directory, views included — regenerate
         # any registered durable view against the new layout/bucketing
-        for vname, (iname, g, s) in list(self._durable_views.items()):
-            if iname == name:
-                self.save_reduce_view_durable(vname, name, g, s)
+        for vname, d in list(self._durable_views.items()):
+            if d["index"] == name:
+                self.save_reduce_view_durable(
+                    vname, name, d["group"], d["sum_col"], d["distinct_col"]
+                )
 
     @staticmethod
     def _key_sorted(out: DataFrame) -> DataFrame:
@@ -815,7 +899,9 @@ class MapIndexEngine:
         # re-derive from the reopened state (mirrors build())
         for d in self._views.values():
             if d["index"] == defn.name:
-                d["frame"] = self._view_agg(state, d["group"], d["sum_col"])
+                d["frame"] = self._view_agg(
+                    state, d["group"], d["sum_col"], d["distinct_col"]
+                )
         return state
 
     # -- durable reduce views ---------------------------------------------
@@ -834,6 +920,7 @@ class MapIndexEngine:
         index_name: str,
         group_cols: list[str],
         sum_col: str | None = None,
+        distinct_col: str | None = None,
     ) -> None:
         """Persist a reduce view of a DURABLE index as per-bucket PARTIAL
         aggregates, partitioned by the same ``__bucket`` key as the index.
@@ -861,8 +948,10 @@ class MapIndexEngine:
         missing = [c for c in group_cols if c not in idx_cols]
         if missing:
             raise KeyError(f"group columns not in index: {missing}")
-        if sum_col is not None and sum_col not in idx_cols:
-            raise KeyError(f"sum column not in index: {sum_col!r}")
+        for c in (sum_col, distinct_col):
+            if c is not None and c not in idx_cols:
+                raise KeyError(f"measure column not in index: {c!r}")
+        self._check_sketchable(self.index_table(index_name), distinct_col)
         vpath = self._view_dir(path, name)
         # explicit schema from the index sidecar: a bootstrapped-empty
         # index has no parquet files yet, so inference would fail
@@ -872,7 +961,7 @@ class MapIndexEngine:
         )
         cur = self.spark.read.schema(full_schema).parquet(path)
         partials = cur.groupBy("__bucket", *group_cols).agg(
-            *self._view_aggs(sum_col)
+            *self._view_aggs(sum_col, distinct_col)
         )
         (
             partials.repartition(k, F.col("__bucket"))
@@ -887,6 +976,7 @@ class MapIndexEngine:
                     "index": index_name,
                     "group": list(group_cols),
                     "sum_col": sum_col,
+                    "distinct_col": distinct_col,
                     "partial_schema": json.loads(
                         T.StructType(
                             [
@@ -899,7 +989,12 @@ class MapIndexEngine:
                 }
             ),
         )
-        self._durable_views[name] = (index_name, list(group_cols), sum_col)
+        self._durable_views[name] = {
+            "index": index_name,
+            "group": list(group_cols),
+            "sum_col": sum_col,
+            "distinct_col": distinct_col,
+        }
 
     def load_reduce_view_durable(self, index_name: str, name: str) -> None:
         """Reopen a persisted view from its sidecar (the index must already
@@ -916,13 +1011,21 @@ class MapIndexEngine:
                 f"view {name!r} belongs to index {meta['index']!r}, not "
                 f"{index_name!r}"
             )
-        self._durable_views[name] = (index_name, list(meta["group"]), meta["sum_col"])
+        self._durable_views[name] = {
+            "index": index_name,
+            "group": list(meta["group"]),
+            "sum_col": meta["sum_col"],
+            "distinct_col": meta.get("distinct_col"),
+        }
 
     def reduce_view_table_durable(self, name: str) -> DataFrame:
         """Final aggregation over the persisted per-bucket partials."""
         if name not in self._durable_views:
             raise KeyError(f"durable reduce view {name!r} does not exist")
-        index_name, g, s = self._durable_views[name]
+        dv = self._durable_views[name]
+        index_name, g, s, dc = (
+            dv["index"], dv["group"], dv["sum_col"], dv["distinct_col"]
+        )
         path, _ = self._durable[index_name]
         vpath = self._view_dir(path, name)
         if any(
@@ -936,11 +1039,8 @@ class MapIndexEngine:
             partials = self.spark.createDataFrame(
                 [], T.StructType.fromJson(meta["partial_schema"])
             )
-        measure_cols = ["cnt"] + (["__nn", "total"] if s is not None else [])
-        final = partials.groupBy(*g).agg(
-            *[F.sum(c).alias(c) for c in measure_cols]
-        )
-        return self._view_serve(final, s)
+        final = partials.groupBy(*g).agg(*self._view_merge_aggs(s, dc))
+        return self._view_serve(final, s, dc)
 
     def _update_durable_views(
         self, index_name: str, path: str, affected, full_schema
@@ -952,9 +1052,9 @@ class MapIndexEngine:
         even when the merge emptied the whole index: the empty partials
         then drive the unchanged-listing drop of the view partitions."""
         todo = [
-            (v, g, s)
-            for v, (i, g, s) in self._durable_views.items()
-            if i == index_name
+            (v, d["group"], d["sum_col"], d["distinct_col"])
+            for v, d in self._durable_views.items()
+            if d["index"] == index_name
         ]
         if not todo:
             return
@@ -963,9 +1063,9 @@ class MapIndexEngine:
             .parquet(path)
             .filter(F.col("__bucket").isin(list(affected)))
         )
-        for vname, g, s in todo:
+        for vname, g, s, dc in todo:
             vpath = self._view_dir(path, vname)
-            partials = cur.groupBy("__bucket", *g).agg(*self._view_aggs(s))
+            partials = cur.groupBy("__bucket", *g).agg(*self._view_aggs(s, dc))
             hadoopfs.dynamic_overwrite_dropping_emptied(
                 self.spark,
                 partials.repartition(max(len(affected), 1), F.col("__bucket")),
@@ -1156,7 +1256,9 @@ class MapIndexEngine:
         # leaving them on the pre-batch lineage would serve stale answers
         for d in self._views.values():
             if d["index"] == name:
-                d["frame"] = self._view_agg(state, d["group"], d["sum_col"])
+                d["frame"] = self._view_agg(
+                    state, d["group"], d["sum_col"], d["distinct_col"]
+                )
         return state
 
     # -- consistency levels (T3: index.go:137-156) -------------------------

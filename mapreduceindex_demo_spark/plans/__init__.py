@@ -54,7 +54,6 @@ PRIORITY_50 = [
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "customer_running_spend",
     # --- single-green scalar-function surfaces ---
-    "document_array_functions",
     "events_json_extract",
     # --- NEW this round (zero external rows yet — must be in-window):
     # Count-Min sketch with in-plan error contract; substring-span dedup;
@@ -90,6 +89,9 @@ PRIORITY_50 = [
     # durable reduce view twin (displaces order_date_functions, 1 green —
     # document_array/events_json scalar siblings stay in)
     "mapindex_reduce_view_durable",
+    # HLL-sketch view measure (displaces document_array_functions, 1 green
+    # — events_json_extract keeps a scalar-surface rep in)
+    "mapindex_sketch_view",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",

@@ -649,3 +649,72 @@ def q_mapindex_reduce_view_durable(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("cnt").cast("long").alias("cnt"),
         F.col("total").cast("long").alias("total"),
     )
+
+
+@query(
+    "mapindex_sketch_view",
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           TRUE AS distinct_ok
+    FROM events GROUP BY 1
+    """,
+    tags=("mapindex", "reduce", "sketch", "approx"),
+)
+def q_mapindex_sketch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCH measure on a reduce view — the mergeable-HLL
+    path for append-only state (the A3 HLL stats contract lifted into the
+    view layer). The events log is indexed IMMUTABLY (every version is an
+    entry — the append-only log interpretation, indexjs.go:158-160) in 5
+    replayed batches; the view folds each batch's Datasketches HLL sketch
+    into the previous state with hll_union_agg — sketches union but never
+    delete, which is exactly why :meth:`create_reduce_view` admits a
+    distinct measure only on immutable indexes (mutable indexes get the
+    retraction-safe per-bucket recompute via save_reduce_view_durable).
+
+    Estimates are engine-specific, so the driver-checked surface is the
+    CONTRACT, not the estimate (the stats_approx pattern): per group the
+    plan re-derives the exact distinct count and emits
+    ``distinct_ok = |est − exact| ≤ 5% · exact``; the oracle pins
+    count + TRUE. At 100 TB the folded sketch is what makes per-group
+    distinct serving O(|groups| × sketch-bytes) instead of a
+    count-distinct shuffle per refresh.
+    """
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events").withColumn("op", F.lit("upsert"))
+    defn = IndexDefn(
+        name="idx_events_log",
+        bucket="events",
+        sec_exprs=("event_type", "user_id"),
+        immutable=True,
+    )
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    eng.create_index(
+        defn, ev.filter(F.col("batch") == 0).drop("batch"), doc_id_col="event_id"
+    )
+    eng.create_reduce_view("rv_log", defn.name, ["key_0"], distinct_col="key_1")
+    for b in range(1, 5):
+        eng.apply_changes(
+            defn.name,
+            ev.filter(F.col("batch") == b).drop("batch"),
+            doc_id_col="event_id",
+            op_col="op",
+            checkpoint=False,
+        )
+    served = eng.reduce_view_table("rv_log")
+    exact = eng.index_table(defn.name).groupBy("key_0").agg(
+        F.countDistinct("key_1").alias("exact_nd")
+    )
+    return (
+        served.join(exact, "key_0")
+        .select(
+            F.col("key_0").alias("grp"),
+            F.col("cnt").cast("long").alias("cnt"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_nd"))
+                <= F.lit(0.05) * F.col("exact_nd")
+            ).alias("distinct_ok"),
+        )
+    )

@@ -597,3 +597,37 @@ def test_inmemory_view_follows_durable_merge(spark, tmp_path):
     )
     got = {tuple(r) for r in eng.reduce_view_table("rv").collect()}
     assert got == {("a", 1, 50), ("b", 1, 7), ("c", 1, 1)}
+
+
+def test_sketch_view_append_only_and_guard(spark):
+    """Distinct-count (HLL sketch) view measures: admitted on an IMMUTABLE
+    index only (sketches union, never delete), folded incrementally across
+    append batches, exact at small cardinality; a mutable index is
+    rejected with a pointer at the durable recompute path."""
+    eng = MapIndexEngine(spark)
+    df = _docs(spark, [(1, "a", 5, "u"), (2, "a", 5, "u"), (3, "b", 7, "u")])
+    eng.create_index(
+        IndexDefn(name="imm_sk", bucket="t", sec_exprs=("payload", "v"),
+                  immutable=True),
+        df,
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "imm_sk", ["key_0"], distinct_col="key_1")
+    eng.apply_changes(
+        "imm_sk",
+        _docs(spark, [(4, "a", 9, "upsert"), (5, "b", 7, "upsert")]),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    got = {tuple(r) for r in eng.reduce_view_table("rv").collect()}
+    # a: values {5,5,9} → 2 distinct; b: {7,7} → 1 (exact at this size)
+    assert got == {("a", 3, 2), ("b", 2, 1)}
+
+    mut = MapIndexEngine(spark)
+    mut.create_index(
+        IndexDefn(name="mut_sk", bucket="t", sec_exprs=("payload", "v")),
+        df,
+        doc_id_col="doc_id",
+    )
+    with pytest.raises(ValueError, match="immutable"):
+        mut.create_reduce_view("rv", "mut_sk", ["key_0"], distinct_col="key_1")

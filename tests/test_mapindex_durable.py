@@ -426,3 +426,37 @@ def test_durable_view_drops_emptied_partials(spark, tmp_path):
     ]
     assert vdirs == []
     assert _sorted_rows(eng.reduce_view_table_durable("rv")) == []
+
+
+def test_durable_sketch_view_survives_retraction(spark, built):
+    """A distinct-measure view on a MUTABLE durable index: the per-bucket
+    recompute makes the sketch retraction-safe (unlike the in-memory delta
+    fold, which rejects mutable indexes) — deleting docs shrinks the
+    estimate back to the exact surviving distinct count."""
+    eng, src, path = built
+    with pytest.raises(ValueError, match="int/bigint/string/binary"):
+        eng.save_reduce_view_durable(
+            "rvd", "idx_durable", ["key_0"], distinct_col="key_1"  # double
+        )
+    eng.save_reduce_view_durable(
+        "rvd", "idx_durable", ["key_0"], distinct_col="doc_id"
+    )
+    served = {tuple(r) for r in eng.reduce_view_table_durable("rvd").collect()}
+    # 40 docs, grp = i%4 — 10 distinct doc_ids per grp
+    assert served == {(g, 10, 10) for g in range(4)}
+
+    deletes = spark.createDataFrame(
+        [(f"d{i}", None, None, "delete") for i in range(20)],  # half per grp
+        "doc_id string, grp bigint, val double, op string",
+    )
+    eng.apply_changes_durable(
+        "idx_durable", deletes, doc_id_col="doc_id", op_col="op"
+    )
+    served = {tuple(r) for r in eng.reduce_view_table_durable("rvd").collect()}
+    assert served == {(g, 5, 5) for g in range(4)}
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)  # auto-registers; distinct_col round-trips
+    assert {
+        tuple(r) for r in fresh.reduce_view_table_durable("rvd").collect()
+    } == served
