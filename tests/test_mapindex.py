@@ -631,3 +631,61 @@ def test_sketch_view_append_only_and_guard(spark):
     )
     with pytest.raises(ValueError, match="immutable"):
         mut.create_reduce_view("rv", "mut_sk", ["key_0"], distinct_col="key_1")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+#: one CDC op: (doc_id 0-5, group a-c or None, measure 0-9 or None, op)
+_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        st.sampled_from(["upsert", "delete"]),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(batches=st.lists(_ops, min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None)
+def test_reduce_view_random_cdc_equals_rebuild(spark, batches):
+    """Property: for ANY sequence of CDC batches (upserts incl. group
+    moves and NULL measures, deletes, repeated docs within a batch), the
+    incrementally-folded view equals a from-scratch GROUP BY over the
+    final index — the IVM algebra has no sequence-dependent state."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="kvp", bucket="t", sec_exprs=("payload", "v")),
+        _docs(spark, [(1, "a", 1, "u"), (2, "b", 2, "u")]),
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "kvp", ["key_0"], sum_col="key_1")
+    for i, rows in enumerate(batches):
+        changes = spark.createDataFrame(
+            [(d, g, v, op, seq) for seq, (d, g, v, op) in enumerate(rows)],
+            "doc_id bigint, payload string, v bigint, op string, seq bigint",
+        )
+        eng.apply_changes(
+            "kvp", changes, doc_id_col="doc_id", op_col="op", seq_col="seq",
+            checkpoint=False,
+        )
+    def _key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    got = sorted(
+        (tuple(r) for r in eng.reduce_view_table("rv").collect()), key=_key
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in eng.index_table("kvp")
+            .groupBy("key_0")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_1").alias("total"))
+            .collect()
+        ),
+        key=_key,
+    )
+    assert got == want
