@@ -105,3 +105,36 @@ def train_ivf_centroids(corpus: "DataFrame", k: int, iters: int) -> "DataFrame":
     for _ in range(iters):
         c = recenter_cells(assign_cells(corpus, c))
     return c
+
+
+def semantic_dedup(corpus, k: int, iters: int, tau: float):
+    """SemDeDup-style semantic dedup core (Abbas et al. 2023): cluster
+    ``corpus`` (vec_id, ee) with the trained coarse quantizer, compare
+    vectors pairwise ONLY within their cell, and report each vector
+    condemned by a LOWER-id cell-mate above the cosine threshold —
+    keep-lowest-id is the deterministic canonical rule. Returns
+    (vec_id, cid, n_close_lower, max_sim).
+
+    ``k`` is THE scale knob: within-cell pair cost is n²/k and join
+    parallelism is k, so choose k ≈ corpus_size / target_cell_size
+    (SemDeDup runs k≈10⁵ at web scale). Measured on the 10× replica
+    harness: k=8 → 51.5 s, k=64 → 9.5 s on the same 20k-vector corpus
+    (BASELINE.md round-6 continuation)."""
+    from pyspark.sql import functions as F
+
+    c = train_ivf_centroids(corpus, k, iters)
+    assigned = assign_cells(corpus, c)
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("va"), F.col("ee").alias("ea")
+    )
+    b = assigned.select("cid", "vec_id", F.col("ee").alias("eb"))
+    pairs = (
+        b.join(a, "cid")
+        .where(F.col("va") < F.col("vec_id"))
+        .withColumn("cs", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("cs") >= F.lit(tau))
+    )
+    return pairs.groupBy("vec_id", "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_close_lower"),
+        (F.max("cs") + F.lit(0.0)).alias("max_sim"),
+    )

@@ -1486,6 +1486,14 @@ class MapIndexEngine:
                     if n in self._durable
                     else None
                 ),
+                "reduce_views": sorted(
+                    v for v, d in self._views.items() if d["index"] == n
+                ),
+                "durable_reduce_views": sorted(
+                    v
+                    for v, d in self._durable_views.items()
+                    if d["index"] == n
+                ),
             }
             for n in names
         }
