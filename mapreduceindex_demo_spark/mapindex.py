@@ -283,10 +283,18 @@ class MapIndexEngine:
         }
         return frame
 
-    def reduce_view_table(self, name: str) -> DataFrame:
+    def reduce_view_table(self, name: str, consistency: str = "any") -> DataFrame:
+        """Serve a view. ``consistency`` follows the scan contract (T3):
+        ``session``/``query`` first drain the underlying index's queued CDC
+        batches — each drained batch folds its delta into the view — so the
+        served aggregate observes everything enqueued before the read."""
         if name not in self._views:
             raise KeyError(f"reduce view {name!r} does not exist")
+        if consistency not in ("any", "session", "query"):
+            raise ValueError(f"unknown consistency {consistency!r}")
         d = self._views[name]
+        if consistency in ("session", "query"):
+            self.drain_pending(d["index"])
         return self._view_serve(d["frame"], d["sum_col"], d["distinct_col"])
 
     def drop_reduce_view(self, name: str) -> None:

@@ -119,3 +119,30 @@ def test_register_function_from_file(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="on_map"):
         eng.register_function_from_file("bad", str(bad))
+
+
+def test_view_consistency_barrier(spark):
+    """T3 for reduce views: 'any' serves the stale aggregate; 'query'
+    drains the index's queued CDC first, and each drained batch folds its
+    delta into the view before the read."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="cv", bucket="t", sec_exprs=("payload", "v")),
+        _docs(spark, [(1, "a", 5, "u")]),
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view("rv", "cv", ["key_0"], sum_col="key_1")
+    eng.enqueue_changes(
+        "cv",
+        _docs(spark, [(2, "a", 9, "upsert")]),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    assert [tuple(r) for r in eng.reduce_view_table("rv").collect()] == [
+        ("a", 1, 5)
+    ]  # stale ok
+    assert [tuple(r) for r in eng.reduce_view_table("rv", consistency="query").collect()] == [
+        ("a", 2, 14)
+    ]  # barrier drained + folded
+    with pytest.raises(ValueError):
+        eng.reduce_view_table("rv", consistency="bogus")
