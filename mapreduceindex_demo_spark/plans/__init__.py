@@ -92,17 +92,19 @@ PRIORITY_50 = [
     # HLL-sketch view measure (displaces document_array_functions, 1 green
     # — events_json_extract keeps a scalar-surface rep in)
     "mapindex_sketch_view",
+    # filtered ANN + hybrid RRF fusion (displace similarity_lsh_ann and
+    # dedup_simhash, 1 green each — both families stay multiply covered)
+    "similarity_ivf_filtered",
+    "search_hybrid_rrf",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
-    "similarity_lsh_ann",
     "text_fingerprint",
     "text_bpe_token_stats",
     "text_chunking",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_minhash_components",
     "dedup_cross_source_contamination",
     "curated_training_set",

@@ -524,3 +524,106 @@ def q_proximity_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.abs(F.col("a") - F.col("b"))).cast("long").alias("min_dist"),
         )
     )
+
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+_COSINE_LIST_ORACLE = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee FROM embeddings
+          WHERE vec_id <> 0)
+    SELECT vec_id,
+      round(list_reduce(list_transform(range(1, len(ee) + 1),
+              i -> ee[i] * qe[i]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, len(ee) + 1),
+                 i -> ee[i] * ee[i]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(range(1, len(qe) + 1),
+                 i -> qe[i] * qe[i]), (x, y) -> x + y))), 6)
+        + 0.0 AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rt
+      FROM ({_BM25_ORACLE})),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rv
+      FROM ({_COSINE_LIST_ORACLE}))
+    SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({_RRF_K} + rt), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + rv), 0.0), 6) + 0.0 AS rrf_score,
+           CAST(rt AS BIGINT) AS rank_text,
+           CAST(rv AS BIGINT) AS rank_vec
+    FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id
+    """,
+    tags=("search", "hybrid", "rrf", "similarity"),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with embedding cosine
+    top-10 by Reciprocal Rank Fusion (score = Σ 1/(60 + rank)) — the
+    modality-fusion step of a modern search stack, expressed over the
+    engine's existing ranked lists (documents.doc_id ≡ embeddings.vec_id,
+    the multimodal id mapping of [q:multimodal_doc_embedding_join]).
+
+    Determinism: both input rankings carry total tie-break orders, and
+    the fused score is ONE fixed-order expression of the two integer
+    ranks rounded to 6 dp — bit-identical across engines. Scale shape:
+    each list is an independently-priced top-k (BM25's zero-shuffle
+    double scan; the broadcast-query cosine heap); the fusion joins two
+    k-row frames — free at any corpus size. At serving scale the same
+    fusion runs over the index-served BM25 ([q:search_bm25_indexed]) and
+    the IVF probe ([q:similarity_ivf_durable])."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    bm = bm25_scan_over(d).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rt"),
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qe")
+    )
+    from mapreduceindex_demo_spark.functions import similarity as S
+
+    vec = (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ee"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", S.cosine(F.col("ee"), F.col("qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_RRF_TOPK)
+        .select(
+            F.col("vec_id").alias("doc_id2"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+            .alias("rv"),
+        )
+    )
+    fused = bm.join(vec, F.col("doc_id") == F.col("doc_id2"), "full_outer")
+    return fused.select(
+        F.coalesce(F.col("doc_id"), F.col("doc_id2")).alias("doc_id"),
+        (
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rt")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rv")), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rrf_score"),
+        F.col("rt").cast("long").alias("rank_text"),
+        F.col("rv").cast("long").alias("rank_vec"),
+    )
