@@ -49,7 +49,6 @@ PRIORITY_50 = [
     # durable query on per-run mkdtemp paths ---
     "similarity_ivf_ann",
     "mapindex_incremental_cdc",
-    "large_volume_customers",
     "mapindex_durable_cdc",
     # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
     "customer_running_spend",
@@ -96,6 +95,17 @@ PRIORITY_50 = [
     # dedup_simhash, 1 green each — both families stay multiply covered)
     "similarity_ivf_filtered",
     "search_hybrid_rrf",
+    # decontamination-suite extension (zero external rows — must be
+    # in-window): LSH near-dup cross-source report, the decontamination
+    # APPLY pass, incremental-ingest dedup attribution. Displace
+    # large_volume_customers (2 greens; its r6 change was hint removal —
+    # join strategy cannot alter results, and the oracle-parity pytest
+    # re-proves it every run), mapindex_expr_build and
+    # mapindex_primary_build (2 greens each; the mapindex family keeps 5
+    # in-window: both CDC rows, both reduce views, the sketch view)
+    "dedup_neardup_contamination",
+    "dedup_decontaminate_apply",
+    "dedup_incremental_arrivals",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
@@ -114,8 +124,6 @@ PRIORITY_50 = [
     # --- family guards with no single-green member left: multiply-green
     # representatives (mapindex keeps ≥5 in-window incl. the two changed
     # CDC rows above) ---
-    "mapindex_expr_build",
-    "mapindex_primary_build",
     "streaming_interval_join",
     "streaming_index_maintenance",
     "stateful_running_counters",
