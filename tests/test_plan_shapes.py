@@ -316,3 +316,50 @@ def test_runtime_bloom_filter_prunes_fact_scan_when_dim_shuffles(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_apply_is_all_equi_joins(spark):
+    """The decontamination APPLY must never degenerate to a pairwise
+    compare: zero cartesian/nested-loop joins, and both eval probes are
+    LEFT-SEMI (the corpus side streams once per probe; the eval-derived
+    key sets are the build sides)."""
+    plan = _final_plan(
+        QUERIES["dedup_decontaminate_apply"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"CartesianProduct") == 0, plan
+    assert _n(plan, r"BroadcastNestedLoopJoin") == 0, plan
+    assert _n(plan, r"LeftSemi") == 2, plan
+
+
+def test_neardup_contamination_joins_on_band_keys(spark):
+    """The cross-source LSH report joins on (band-index, band-hash) —
+    an equi-join with the source inequality as a residual condition,
+    never an unblocked all-pairs compare."""
+    plan = _final_plan(
+        QUERIES["dedup_neardup_contamination"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"CartesianProduct") == 0, plan
+    assert _n(plan, r"BroadcastNestedLoopJoin") == 0, plan
+    equi = _n(plan, r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin")
+    assert equi >= 1, plan
+
+
+def test_unigram_drift_reuses_count_exchange(spark):
+    """The drift monitor's three aggregates (per-(source,term) counts,
+    per-source marginal, per-term marginal) all hang off ONE (source,term)
+    count exchange — the plan must contain a ReusedExchange, and the only
+    nested-loop join is the 1-row corpus-total broadcast."""
+    plan = _final_plan(QUERIES["text_unigram_drift"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"ReusedExchange") >= 1, plan
+    assert _n(plan, r"BroadcastNestedLoopJoin") <= 1, plan
+    assert _n(plan, r"CartesianProduct") == 0, plan
+
+
+def test_label_mrr_single_ranking_window(spark):
+    """The retrieval-eval harness scans embeddings once per role (query
+    panel + corpus), broadcasts the bounded 5-row panel (the only
+    nested-loop join), and ranks with exactly ONE window pass."""
+    plan = _final_plan(QUERIES["similarity_label_mrr"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"embeddings\.parquet") == 2, plan
+    assert _n(plan, r"BroadcastNestedLoopJoin") == 1, plan
+    assert _n(plan, r"\bWindow\b") == 1, plan
