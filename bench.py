@@ -58,8 +58,18 @@ def main() -> None:
 
     # Median of 3 timed runs per query: single-run local-mode numbers swing
     # ±40% from GC/scheduler noise; the median is the steady-state figure.
+    #
+    # Two timings per query (round-6 methodology correction, BASELINE.md):
+    # - sec: `.count()` — kept for cross-round comparability, but Catalyst
+    #   prunes a FINAL projection under count, so projection-final queries
+    #   (minhash signatures, chunking) under-measure here.
+    # - forced_sec: a bit_xor(xxhash64(<all output columns>)) aggregate —
+    #   forces every output value to materialize with no driver transfer;
+    #   the honest kernel number, symmetric with timing a DuckDB aggregate
+    #   over the same oracle subquery.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    forced: dict[str, float] = {}
     for name, q in bench_queries.items():
         runs = []
         n = 0
@@ -69,7 +79,22 @@ def main() -> None:
             n = df.count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        cols = ", ".join(
+            f"cast(`{c}` as string)" for c in q.fn(spark, sf_dir).columns
+        )
+        fruns = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).selectExpr(
+                f"bit_xor(xxhash64({cols})) as checksum"
+            ).collect()
+            fruns.append(time.perf_counter() - t0)
+        forced[name] = round(sorted(fruns)[len(fruns) // 2], 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s counted / "
+            f"{forced[name]:.3f}s forced ({n} rows)",
+            file=sys.stderr,
+        )
 
     probe_after = _probe(spark)
     # min of the two: a co-running workload (the r4/r5 contamination mode)
@@ -92,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "forced_queries": forced,
+                "forced_total": round(sum(forced.values()), 4),
                 "sf": sf,
                 "probe_sec": probe,
                 "probe_before_sec": probe_before,

@@ -60,6 +60,34 @@ def minhash_signature(col: str = "text", n: int = 3, funcs: int = MINHASH_FUNCS)
     ]
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    *key_cols: str,
+    col: str = "text",
+    n: int = 3,
+    funcs: int = MINHASH_FUNCS,
+) -> DataFrame:
+    """MinHash signatures as an aggregation over EXPLODED shingles —
+    bit-identical values to :func:`minhash_signature`, restructured for
+    the engine. Two problems with the projection form: higher-order
+    lambdas (transform/array_min) evaluate as interpreted expression
+    trees, and Catalyst's CollapseProject inlines the whole signature
+    into any downstream Generate/Filter, re-evaluating O(shingles) work
+    per reference (measured: 24 s to force 5k docs' signatures at sf0.1
+    vs 6.9 s this way — BASELINE.md round 6). Exploding shingles to rows
+    makes the md5 a codegen'd row expression evaluated exactly once per
+    (shingle, hash), and the per-doc MIN is a partial aggregate — the
+    exchange carries |docs| × funcs values (map-side combine), never the
+    shingles. The aggregation is also an optimizer barrier: downstream
+    band expressions see plain attributes, not the signature tree."""
+    ex = df.select(*key_cols, F.explode(shingles(col, n)).alias("__shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("__shingle")))).alias(f"mh_{j}")
+        for j in range(funcs)
+    ]
+    return ex.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
 def minhash_bands(sig_cols: list[str], bands: int = MINHASH_BANDS) -> list[Column]:
     """Band hashes: md5 of the concatenated rows of each band (b rows per
     band). Equal band hash ⇒ LSH candidate pair."""

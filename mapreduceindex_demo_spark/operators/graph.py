@@ -38,10 +38,16 @@ def connected_components(
     symmetrized here). Isolated nodes don't appear in ``edges`` and so
     don't appear in the output — callers union them in if needed.
     """
+    # the edge list is re-joined EVERY round: checkpoint it once so the
+    # caller's (possibly expensive) edge-producing lineage — e.g. the LSH
+    # signature pipeline — is evaluated exactly once, not once per round
+    # (+ once per convergence probe). On a cluster this is the same
+    # reliable-storage checkpoint the per-round truncation uses.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("node"))

@@ -143,3 +143,16 @@ def test_chunking_reconstruction_invariant(spark):
         for ch in r.chs[1:]:
             rebuilt.extend(ch.split(" ")[size - stride:])
         assert rebuilt == list(r.tokens), r.doc_id
+
+
+def test_minhash_signature_table_matches_projection_form(spark):
+    """The aggregation-form signature builder (exploded shingles +
+    codegen md5 + partial-agg MIN — the executing path everywhere) must
+    be BIT-IDENTICAL to the straightforward HOF-projection spelling,
+    which stays in the codebase as the executable spec this test runs."""
+    from mapreduceindex_demo_spark.functions import dedup as D
+
+    d = load_table(spark, SMOKE_SF_DIR, "documents")
+    spec = d.select("doc_id", *D.minhash_signature()).collect()
+    fast = D.minhash_signature_table(d, "doc_id").collect()
+    assert sorted(map(tuple, spec)) == sorted(map(tuple, fast))

@@ -363,3 +363,21 @@ def test_label_mrr_single_ranking_window(spark):
     assert _n(plan, r"embeddings\.parquet") == 2, plan
     assert _n(plan, r"BroadcastNestedLoopJoin") == 1, plan
     assert _n(plan, r"\bWindow\b") == 1, plan
+
+
+def test_lsh_band_generate_sees_only_attributes(spark):
+    """Regression guard for the round-6 finding that CollapseProject
+    inlined the whole MinHash signature tree into the band posexplode
+    Generate (re-evaluating O(shingles) interpreted work per reference;
+    48 s → 4 s at sf0.1 once fixed): in the executed plan, every
+    posexplode Generate must emit over plain attributes — no md5 and no
+    lambda inside the generator. The only lambda-bearing Generate allowed
+    is the shingle explode itself (a generator evaluates once per input
+    row, which is the intended single evaluation)."""
+    plan = _final_plan(
+        QUERIES["dedup_minhash_lsh_pairs"].fn(spark, PARITY_SF_DIR)
+    )
+    for line in plan.splitlines():
+        if "Generate posexplode" in line:
+            assert "md5" not in line and "lambdafunction" not in line, line
+    assert _n(plan, r"HashAggregate") >= 1, plan  # the signature partial agg
