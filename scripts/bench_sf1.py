@@ -123,33 +123,71 @@ def main() -> None:
         f"user_id, event_type, value, props FROM read_parquet('{events_glob}')"
     )
 
+    # Timing methodology (round-6 correction, BASELINE.md): the headline
+    # numbers are SYMMETRIC FORCED timings — each engine runs a checksum
+    # aggregate over every output column of the same query, so both fully
+    # materialize every value and neither pays result transfer. The legacy
+    # asymmetric pair (Spark .count() — prunable; DuckDB fetchall —
+    # transfer-inflated) is kept in the JSON for cross-round comparability.
+    def _median(runs):
+        return sorted(runs)[len(runs) // 2]
+
     rows = []
     for name, q in bench.items():
+        cols = q.fn(spark, args.out).columns
+        s_force = (
+            "bit_xor(xxhash64("
+            + ", ".join(f"cast(`{c}` as string)" for c in cols)
+            + ")) as checksum"
+        )
+        dcols = [r[0] for r in con.execute(f"DESCRIBE ({q.oracle})").fetchall()]
+        d_force = (
+            "SELECT bit_xor(hash(concat_ws('|', "
+            + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in dcols)
+            + f"))) FROM ({q.oracle})"
+        )
         # Spark
-        q.fn(spark, args.out).count()  # warm
-        s_runs = []
+        q.fn(spark, args.out).selectExpr(s_force).collect()  # warm
+        s_runs, sf_runs = [], []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             q.fn(spark, args.out).count()
             s_runs.append(time.perf_counter() - t0)
-        s_t = sorted(s_runs)[len(s_runs) // 2]
+            t0 = time.perf_counter()
+            q.fn(spark, args.out).selectExpr(s_force).collect()
+            sf_runs.append(time.perf_counter() - t0)
         # DuckDB
-        con.execute(q.oracle).fetchall()  # warm
-        d_runs = []
+        con.execute(d_force).fetchall()  # warm
+        d_runs, df_runs = [], []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             con.execute(q.oracle).fetchall()
             d_runs.append(time.perf_counter() - t0)
-        d_t = sorted(d_runs)[len(d_runs) // 2]
-        rows.append((name, round(s_t, 3), round(d_t, 3)))
-        print(f"# {name}: spark={s_t:.3f}s duckdb={d_t:.3f}s", file=sys.stderr)
+            t0 = time.perf_counter()
+            con.execute(d_force).fetchall()
+            df_runs.append(time.perf_counter() - t0)
+        rec = (
+            name,
+            round(_median(sf_runs), 3),
+            round(_median(df_runs), 3),
+            round(_median(s_runs), 3),
+            round(_median(d_runs), 3),
+        )
+        rows.append(rec)
+        print(
+            f"# {name}: forced spark={rec[1]:.3f}s duckdb={rec[2]:.3f}s "
+            f"(legacy counted={rec[3]:.3f}s fetchall={rec[4]:.3f}s)",
+            file=sys.stderr,
+        )
 
-    print("| query | spark (s) | duckdb (s) | ratio |")
+    print("| query | spark forced (s) | duckdb forced (s) | ratio |")
     print("|---|---|---|---|")
-    s_tot = d_tot = 0.0
-    for name, s_t, d_t in rows:
+    s_tot = d_tot = sl_tot = dl_tot = 0.0
+    for name, s_t, d_t, sl, dl in rows:
         s_tot += s_t
         d_tot += d_t
+        sl_tot += sl
+        dl_tot += dl
         print(f"| {name} | {s_t} | {d_t} | {s_t / max(d_t, 1e-9):.2f}x |")
     print(f"| **total** | {s_tot:.3f} | {d_tot:.3f} | {s_tot / d_tot:.2f}x |")
     print(
@@ -159,7 +197,12 @@ def main() -> None:
                 "spark_sec": round(s_tot, 3),
                 "duckdb_sec": round(d_tot, 3),
                 "ratio": round(s_tot / d_tot, 3),
-                "queries": {n: {"spark": s, "duckdb": d} for n, s, d in rows},
+                "legacy_spark_counted_sec": round(sl_tot, 3),
+                "legacy_duckdb_fetchall_sec": round(dl_tot, 3),
+                "queries": {
+                    n: {"spark": s, "duckdb": d, "spark_counted": sl, "duckdb_fetchall": dl}
+                    for n, s, d, sl, dl in rows
+                },
             }
         )
     )
