@@ -114,12 +114,15 @@ PRIORITY_50 = [
     # bpe_token_stats / unigram_drift in-window)
     "text_unigram_drift",
     "similarity_label_mrr",
+    # LSH dedup served from the engine's own programmable index (zero
+    # external rows — must be in-window; displaces dedup_exact, 1 green,
+    # with the dedup family still the window's largest)
+    "dedup_lsh_mapindex",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
     "text_fingerprint",
     "text_bpe_token_stats",
-    "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_components",
     "dedup_cross_source_contamination",
