@@ -118,10 +118,14 @@ PRIORITY_50 = [
     # external rows — must be in-window; displaces dedup_exact, 1 green,
     # with the dedup family still the window's largest)
     "dedup_lsh_mapindex",
+    # durable fingerprint-index probe — the daily-ingest dedup job
+    # through save/load + on-disk key join (displaces text_fingerprint,
+    # 1 green; the fingerprint op is also exercised in-window inside
+    # dedup_decontaminate_apply and curated_training_set)
+    "dedup_incremental_durable_probe",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
-    "text_fingerprint",
     "text_bpe_token_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_components",
