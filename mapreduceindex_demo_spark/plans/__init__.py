@@ -123,13 +123,16 @@ PRIORITY_50 = [
     # 1 green; the fingerprint op is also exercised in-window inside
     # dedup_decontaminate_apply and curated_training_set)
     "dedup_incremental_durable_probe",
+    # per-day drift time series (displaces dedup_cross_source_
+    # contamination, 1 green — the contamination family stays covered
+    # in-window by the LSH report and the apply pass)
+    "streaming_drift_daily",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
     "text_bpe_token_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_components",
-    "dedup_cross_source_contamination",
     "curated_training_set",
     # --- single-green streaming/subquery ---
     "streaming_session_windows",

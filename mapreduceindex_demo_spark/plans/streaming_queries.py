@@ -273,3 +273,69 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+@query(
+    "streaming_drift_daily",
+    oracle="""
+    WITH ref AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS c
+                 FROM events GROUP BY 1),
+    rt AS (SELECT SUM(c) AS t FROM ref),
+    d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 event_type, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM events GROUP BY 1, 2),
+    dt AS (SELECT day, SUM(c) AS td FROM d GROUP BY 1)
+    SELECT d.day,
+           CAST(dt.td AS BIGINT) AS n_events,
+           round(SUM((d.c / dt.td)
+                     * ln((d.c / dt.td) / (ref.c / rt.t))), 6)
+             + 0.0 AS kl_to_reference
+    FROM d JOIN dt USING (day) JOIN ref USING (event_type)
+    CROSS JOIN rt
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "monitoring", "drift"),
+)
+def q_streaming_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift TIME SERIES — [q:text_unigram_drift]'s docstring claim
+    ("keyed by arrival day in streaming ingest") made executable: per
+    event-time day, the KL divergence of that day's event-type
+    distribution from a reference distribution (here: the whole corpus;
+    in production a pinned snapshot). A day whose mix of event types
+    shifts — a scraper breaking, a feed going silent, a bot spike —
+    stands out as a KL spike before it poisons anything downstream.
+
+    Scale/streaming shape: the per-(day, type) counts are ONE tumbling
+    groupBy — the identical logical plan runs under readStream with a
+    watermark, exactly like [q:streaming_tumbling_counts]; the reference
+    distribution is a |types|-row broadcast joined into each window's
+    output, and the per-day fold aggregates |types| rows per day. State
+    is bounded by live windows × event types."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    ref = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    rt = ref.agg(F.sum("c").alias("t"))
+    d = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("double").alias("dc"))
+    dt = d.groupBy("day").agg(F.sum("dc").alias("td"))
+    p = F.col("dc") / F.col("td")
+    q_ = F.col("c") / F.col("t")
+    return (
+        d.join(dt, "day")
+        .join(F.broadcast(ref), "event_type")
+        .crossJoin(F.broadcast(rt))
+        .groupBy("day")
+        .agg(
+            F.max("td").cast("bigint").alias("n_events"),
+            (F.round(F.sum(p * F.log(p / q_)), 6) + F.lit(0.0)).alias(
+                "kl_to_reference"
+            ),
+        )
+    )
