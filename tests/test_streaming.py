@@ -501,3 +501,66 @@ def test_streaming_durable_view_survives_engine_death(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_drift_counts_feed_the_batch_kl(spark, tmp_path):
+    """streaming_drift_daily's streaming claim, executed: the per-(day,
+    type) tumbling counts run as a streaming aggregation over readStream
+    (complete mode — the state is the live window set), and the batch-side
+    KL fold over the SINK table reproduces the registered query exactly.
+    This is the two-stage production shape: streaming agg → sink →
+    dashboard fold (Spark forbids chained streaming aggregations, so the
+    |days|×|types| fold is deliberately batch-side)."""
+    from mapreduceindex_demo_spark.plans import QUERIES
+    from tests.conftest import SMOKE_SF_DIR
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    src = str(tmp_path / "drift_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts = stream.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("double").alias("dc"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("drift_counts_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # copy the sink into an ordinary DataFrame first: MemoryPlan exposes
+    # FIXED attribute ids, so any self-join of the sink view trips
+    # Spark's conflicting-reference resolution (INTERNAL_ERROR) instead
+    # of the usual auto-dedup
+    sink = spark.createDataFrame(
+        spark.table("drift_counts_sink").collect(),
+        "day string, event_type string, dc double",
+    )
+    ref = sink.groupBy("event_type").agg(F.sum("dc").alias("c"))
+    rt = ref.agg(F.sum("c").alias("t"))
+    dt = sink.groupBy("day").agg(F.sum("dc").alias("td"))
+    p = F.col("dc") / F.col("td")
+    qq = F.col("c") / F.col("t")
+    folded = (
+        sink.join(dt, "day")
+        .join(F.broadcast(ref), "event_type")
+        .crossJoin(F.broadcast(rt))
+        .groupBy("day")
+        .agg(
+            F.max("td").cast("bigint").alias("n_events"),
+            (F.round(F.sum(p * F.log(p / qq)), 6) + F.lit(0.0)).alias(
+                "kl_to_reference"
+            ),
+        )
+    )
+    got = sorted(tuple(r) for r in folded.collect())
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["streaming_drift_daily"].fn(spark, SMOKE_SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
