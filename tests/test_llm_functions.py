@@ -156,3 +156,36 @@ def test_minhash_signature_table_matches_projection_form(spark):
     spec = d.select("doc_id", *D.minhash_signature()).collect()
     fast = D.minhash_signature_table(d, "doc_id").collect()
     assert sorted(map(tuple, spec)) == sorted(map(tuple, fast))
+
+
+def test_inverted_index_jaccard_matches_pairwise_spec(spark):
+    """The inverted-index Jaccard (the executing path of
+    dedup_ngram_jaccard_top20) must equal the direct pairwise spelling
+    over D.jaccard — the HOF form stays in the library as the executable
+    spec this test runs on the smoke corpus."""
+    from mapreduceindex_demo_spark.functions import dedup as D
+    from mapreduceindex_demo_spark.plans import QUERIES
+
+    d = load_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "lang", F.array_distinct(D.shingles()).alias("g")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    spec = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            D.jaccard(F.col("a.g"), F.col("b.g")).alias("jac"),
+        )
+        .orderBy(F.desc("jac"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .collect()
+    )
+    fast = (
+        QUERIES["dedup_ngram_jaccard_top20"].fn(spark, SMOKE_SF_DIR).collect()
+    )
+    assert [tuple(r) for r in spec] == [tuple(r) for r in fast]
