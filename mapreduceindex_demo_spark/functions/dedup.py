@@ -88,6 +88,57 @@ def minhash_signature_table(
     return ex.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
 
 
+#: affine-derivation parameters for the CPU-scale MinHash family:
+#: h_j(s) = (A[j]·H(s) + B[j]) mod P with H(s) = first 8 md5 hex chars as
+#: an integer. A[j] odd and < 2^30 keeps A·H < 2^62 (no BIGINT overflow
+#: for H < 2^32); P is the Mersenne prime 2^31−1.
+_AFFINE_P = 2_147_483_647
+_AFFINE_A = [15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939,
+             160481183, 179424673, 198491317, 217645177,
+             236887691, 256203161, 275604541, 295075147]
+_AFFINE_B = [(j * 7919 + 104729) % _AFFINE_P for j in range(16)]
+
+
+def minhash_signature_table_affine(
+    df: DataFrame,
+    *key_cols: str,
+    col: str = "text",
+    n: int = 3,
+    funcs: int = MINHASH_FUNCS,
+) -> DataFrame:
+    """The CPU-SCALE MinHash family: ONE strong hash per shingle
+    (md5 head as a 32-bit integer) plus ``funcs`` affine derivations
+    h_j = (A_j·H + B_j) mod P — 1/funcs-th the md5 work of the portable
+    scheme in :func:`minhash_signature_table`, with the identical
+    explode/partial-aggregate plan shape. Affine maps over a prime
+    modulus are the classic universal-hash MinHash construction, so the
+    component-match fraction remains an unbiased Jaccard estimator
+    (quality property-tested in tests/test_llm_functions.py).
+
+    NOT oracle-mirrored: the committed query suite keeps the portable
+    md5-per-(j, shingle) scheme so every DuckDB oracle reproduces
+    signatures bit-for-bit. Measured honestly (BASELINE.md round 6):
+    in THIS engine the end-to-end gain is only ~1.2× (2.45 → 2.05 s
+    forced at ~sf1) — the hash work falls ``funcs``-fold but the
+    explode + aggregate machinery dominates the pipeline cost here; the
+    family pays off on engines/datasets where hashing itself dominates
+    (long documents, wide signatures, vectorized hash kernels)."""
+    if funcs > len(_AFFINE_A):
+        raise ValueError(f"funcs > {len(_AFFINE_A)} affine parameter sets")
+    ex = df.select(*key_cols, F.explode(shingles(col, n)).alias("__shingle"))
+    h = F.conv(F.substring(F.md5("__shingle"), 1, 8), 16, 10).cast("bigint")
+    ex = ex.select(*key_cols, h.alias("__h"))
+    aggs = [
+        F.min(
+            (F.col("__h") * F.lit(_AFFINE_A[j]) + F.lit(_AFFINE_B[j]))
+            % F.lit(_AFFINE_P)
+        ).alias(f"mh_{j}")
+        for j in range(funcs)
+    ]
+    return ex.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
 def minhash_bands(sig_cols: list[str], bands: int = MINHASH_BANDS) -> list[Column]:
     """Band hashes: md5 of the concatenated rows of each band (b rows per
     band). Equal band hash ⇒ LSH candidate pair."""

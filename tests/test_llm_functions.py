@@ -189,3 +189,51 @@ def test_inverted_index_jaccard_matches_pairwise_spec(spark):
         QUERIES["dedup_ngram_jaccard_top20"].fn(spark, SMOKE_SF_DIR).collect()
     )
     assert [tuple(r) for r in spec] == [tuple(r) for r in fast]
+
+
+def test_affine_minhash_estimates_jaccard(spark):
+    """Quality contract for the CPU-scale affine MinHash family: the
+    component-match fraction between two signatures estimates the exact
+    shingle-set Jaccard. Docs are built with CONTROLLED overlap (token
+    windows over a shared sequence), 16 hash functions; the estimator is
+    deterministic (md5-seeded), so the tolerance is a fixed check, not a
+    flaky statistical one. Also pins the family's invariants: identical
+    docs → identical signatures; signatures are order-free in the
+    shingle set."""
+    from mapreduceindex_demo_spark.functions import dedup as D
+
+    toks = [f"w{i}" for i in range(120)]
+    docs = [
+        (0, " ".join(toks[0:80])),
+        (1, " ".join(toks[0:80])),      # identical to 0
+        (2, " ".join(toks[20:100])),    # heavy overlap with 0
+        (3, " ".join(toks[60:120])),    # light overlap with 0
+        (4, " ".join(f"x{i}" for i in range(80))),  # disjoint from 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: [r[f"mh_{j}"] for j in range(16)]
+        for r in D.minhash_signature_table_affine(
+            df, "doc_id", funcs=16
+        ).collect()
+    }
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    def exact(a, b):
+        ga, gb = grams(docs[a][1]), grams(docs[b][1])
+        return len(ga & gb) / len(ga | gb)
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / 16.0
+
+    assert sigs[0] == sigs[1]                      # identical docs
+    assert est(0, 4) == 0.0                        # disjoint docs
+    for pair in [(0, 2), (0, 3), (2, 3)]:
+        assert abs(est(*pair) - exact(*pair)) <= 0.30, (
+            pair, est(*pair), exact(*pair)
+        )
+    # heavier overlap must not estimate LOWER than light overlap
+    assert est(0, 2) >= est(0, 3)
