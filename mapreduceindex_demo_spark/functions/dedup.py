@@ -80,7 +80,12 @@ def minhash_signature_table(
     exchange carries |docs| × funcs values (map-side combine), never the
     shingles. The aggregation is also an optimizer barrier: downstream
     band expressions see plain attributes, not the signature tree."""
-    ex = df.select(*key_cols, F.explode(shingles(col, n)).alias("__shingle"))
+    # explode_outer, not explode: a NULL text yields a NULL shingle array,
+    # and the projection form keeps that row (all-NULL signature) — a plain
+    # explode would silently DROP it, breaking the bit-identical contract
+    ex = df.select(
+        *key_cols, F.explode_outer(shingles(col, n)).alias("__shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("__shingle")))).alias(f"mh_{j}")
         for j in range(funcs)

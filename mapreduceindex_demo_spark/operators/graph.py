@@ -41,8 +41,11 @@ def connected_components(
     # the edge list is re-joined EVERY round: checkpoint it once so the
     # caller's (possibly expensive) edge-producing lineage — e.g. the LSH
     # signature pipeline — is evaluated exactly once, not once per round
-    # (+ once per convergence probe). On a cluster this is the same
-    # reliable-storage checkpoint the per-round truncation uses.
+    # (+ once per convergence probe). NB localCheckpoint is EXECUTOR-LOCAL
+    # block storage (lineage is truncated, so the data does not survive
+    # executor loss); a production cluster with preemptible executors
+    # would use checkpoint() to reliable storage here, same as for the
+    # per-round truncation below.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

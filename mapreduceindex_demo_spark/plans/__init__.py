@@ -127,10 +127,17 @@ PRIORITY_50 = [
     # contamination, 1 green — the contamination family stays covered
     # in-window by the LSH report and the apply pass)
     "streaming_drift_daily",
+    # CHANGED execution paths this session (the changed-stays-in rule):
+    # the signature query now runs the exploded-aggregate form and the
+    # Jaccard query the inverted-index form — their committed green rows
+    # prove only the old implementations, so both re-enter for external
+    # re-verification (displacing multimodal_binary_stats and
+    # text_bpe_token_stats, 1 green each; multimodal keeps
+    # doc_embedding_join + feature paths, text keeps unigram_drift)
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_top20",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
-    "multimodal_binary_stats",
     "multimodal_doc_embedding_join",
-    "text_bpe_token_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_components",
     "curated_training_set",

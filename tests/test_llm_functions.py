@@ -153,9 +153,16 @@ def test_minhash_signature_table_matches_projection_form(spark):
     from mapreduceindex_demo_spark.functions import dedup as D
 
     d = load_table(spark, SMOKE_SF_DIR, "documents")
+    # include a NULL-text document: the projection form keeps it (all-NULL
+    # signature), so the aggregation form must too (explode_outer — a
+    # plain explode silently drops the row)
+    d = d.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(10**9, None)], "doc_id long, text string")
+    )
     spec = d.select("doc_id", *D.minhash_signature()).collect()
     fast = D.minhash_signature_table(d, "doc_id").collect()
-    assert sorted(map(tuple, spec)) == sorted(map(tuple, fast))
+    assert sorted(map(tuple, spec), key=str) == sorted(map(tuple, fast), key=str)
+    assert any(r[0] == 10**9 for r in fast)
 
 
 def test_inverted_index_jaccard_matches_pairwise_spec(spark):
