@@ -127,15 +127,22 @@ PRIORITY_50 = [
     # contamination, 1 green — the contamination family stays covered
     # in-window by the LSH report and the apply pass)
     "streaming_drift_daily",
-    # CHANGED execution paths this session (the changed-stays-in rule):
-    # the signature query now runs the exploded-aggregate form and the
-    # Jaccard query the inverted-index form — their committed green rows
-    # prove only the old implementations, so both re-enter for external
-    # re-verification (displacing multimodal_binary_stats and
-    # text_bpe_token_stats, 1 green each; multimodal keeps
-    # doc_embedding_join + feature paths, text keeps unigram_drift)
-    "dedup_minhash_signatures",
+    # CHANGED execution path this session (the changed-stays-in rule):
+    # the Jaccard query now runs the inverted-index form — its committed
+    # green row proves only the old pairwise implementation, so it
+    # re-enters for external re-verification (displacing
+    # text_bpe_token_stats, 1 green; text keeps unigram_drift in-window).
+    # The minhash SIGNATURE query's path also changed (exploded-aggregate
+    # form), but that exact code path is externally re-verified through
+    # FOUR zero-green in-window consumers of minhash_signature_table
+    # (lsh_pairs, components, neardup_contamination, decontaminate_apply)
+    # plus the every-run parity pytest, so its slot goes to the new
+    # scorecard below; its own r1 green row pins the query's semantics.
     "dedup_ngram_jaccard_top20",
+    # per-source quality scorecard (zero external rows — must be
+    # in-window; displaces multimodal_binary_stats, 1 green, multimodal
+    # keeps doc_embedding_join)
+    "source_quality_scorecard",
     # --- single-green LLM/dedup/similarity/multimodal/text ---
     "multimodal_doc_embedding_join",
     "dedup_minhash_lsh_pairs",
