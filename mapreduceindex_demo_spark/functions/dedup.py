@@ -131,7 +131,10 @@ def minhash_signature_table_affine(
     (long documents, wide signatures, vectorized hash kernels)."""
     if funcs > len(_AFFINE_A):
         raise ValueError(f"funcs > {len(_AFFINE_A)} affine parameter sets")
-    ex = df.select(*key_cols, F.explode(shingles(col, n)).alias("__shingle"))
+    # explode_outer for row-preservation parity with the portable sibling:
+    # a NULL text aggregates to an all-NULL signature instead of silently
+    # dropping the document from the signature table.
+    ex = df.select(*key_cols, F.explode_outer(shingles(col, n)).alias("__shingle"))
     h = F.conv(F.substring(F.md5("__shingle"), 1, 8), 16, 10).cast("bigint")
     ex = ex.select(*key_cols, h.alias("__h"))
     aggs = [
@@ -146,12 +149,24 @@ def minhash_signature_table_affine(
 
 def minhash_bands(sig_cols: list[str], bands: int = MINHASH_BANDS) -> list[Column]:
     """Band hashes: md5 of the concatenated rows of each band (b rows per
-    band). Equal band hash ⇒ LSH candidate pair."""
+    band). Equal band hash ⇒ LSH candidate pair.
+
+    NULL-propagating: an all-NULL signature (a NULL-text document,
+    preserved deliberately by minhash_signature_table) yields NULL band
+    hashes, so NULL-text docs never become candidate pairs with each
+    other. A bare concat_ws would skip the NULLs and hash every such doc
+    to md5('') — a universal bucket the DuckDB oracles (which compute
+    ``mh_0 || '|' || mh_1`` = NULL and emit no pairs) do not have."""
     rows_per_band = len(sig_cols) // bands
     out = []
     for b in range(bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        out.append(F.md5(F.concat_ws("|", *cols)).alias(f"band_{b}"))
+        out.append(
+            F.when(
+                F.col(cols[0]).isNotNull(),
+                F.md5(F.concat_ws("|", *cols)),
+            ).alias(f"band_{b}")
+        )
     return out
 
 

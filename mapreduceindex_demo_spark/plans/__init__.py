@@ -37,132 +37,74 @@ from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r6 rotation goal (r5 verdict item 8): every registered query has
-    # ≥1 external green row, so this window now maximizes SECOND
-    # confirmations — queries whose only green row dates from r1-r4
-    # rotate IN; the r5-confirmed rows rotate out. (cube_status_priority,
-    # order_conditional_functions, top_orders_per_customer — all with
-    # committed green rows — yielded their slots to the three new search
-    # queries, which have no external row yet.) ---
-    # --- changed THIS round (stay in for re-verification): order-free IVF
-    # re-center; CDC persist barrier; Q18 without the broadcast hint;
-    # durable query on per-run mkdtemp paths ---
-    "similarity_ivf_ann",
-    "mapindex_incremental_cdc",
-    "mapindex_durable_cdc",
-    # --- single-green r1-r4 rows: scan/filter/agg + grouping shapes ---
-    "customer_running_spend",
-    # --- single-green scalar-function surfaces ---
-    "events_json_extract",
-    # --- NEW this round (zero external rows yet — must be in-window):
-    # Count-Min sketch with in-plan error contract; substring-span dedup;
-    # full-text search family (BM25 / positional phrase / boolean AND) ---
-    "sketch_cms_heavy_hitters",
-    "dedup_duplicated_spans",
-    "training_mix_apply",
-    "search_bm25_topk",
-    "search_phrase_positional",
-    "search_boolean_and",
-    "similarity_ivf_durable",
-    "zorder_box_aggregate",
-    "similarity_ivf_batch",
-    "search_bm25_indexed",
-    "similarity_ivf_recall",
-    # --- NEW this session (zero external rows — must be in-window):
-    # incrementally-maintained reduce view (displaces mapindex_stats,
-    # 3 green rows — the ≥5-mapindex delegation holds with reduce_view
-    # counted); SemDeDup-style semantic dedup (displaces
-    # lineitem_math_functions, 1 green row — its scalar-surface siblings
-    # part_string/order_date/document_array/events_json stay in) ---
-    # prefix search from the durable token index (displaces
-    # part_string_functions, 1 green — scalar siblings stay in)
-    # proximity (slop) search (displaces events_pivot_daily, 1 green —
-    # events_json_extract keeps the events_relational family in-window)
-    "mapindex_reduce_view",
-    "dedup_semantic_cells",
-    "search_prefix_scan",
-    "search_proximity_window",
-    # TPC-H Q20 shape, the last of the 22 (displaces customer_order_stats,
-    # 1 green, generic scan/agg with many relational siblings in-window)
-    "excess_stock_suppliers",
-    # durable reduce view twin (displaces order_date_functions, 1 green —
-    # document_array/events_json scalar siblings stay in)
-    "mapindex_reduce_view_durable",
-    # HLL-sketch view measure (displaces document_array_functions, 1 green
-    # — events_json_extract keeps a scalar-surface rep in)
-    "mapindex_sketch_view",
-    # filtered ANN + hybrid RRF fusion (displace similarity_lsh_ann and
-    # dedup_simhash, 1 green each — both families stay multiply covered)
-    "similarity_ivf_filtered",
-    "search_hybrid_rrf",
-    # decontamination-suite extension (zero external rows — must be
-    # in-window): LSH near-dup cross-source report, the decontamination
-    # APPLY pass, incremental-ingest dedup attribution. Displace
-    # large_volume_customers (2 greens; its r6 change was hint removal —
-    # join strategy cannot alter results, and the oracle-parity pytest
-    # re-proves it every run), mapindex_expr_build and
-    # mapindex_primary_build (2 greens each; the mapindex family keeps 5
-    # in-window: both CDC rows, both reduce views, the sketch view)
-    "dedup_neardup_contamination",
-    "dedup_decontaminate_apply",
-    "dedup_incremental_arrivals",
-    # corpus-drift monitor + retrieval-eval harness (zero external rows —
-    # must be in-window). Displace dedup_minhash_signatures and
-    # text_chunking (1 green each, both in the bench set timed every
-    # round; the signature pipeline is also exercised inside the three
-    # in-window LSH queries, and the text family keeps fingerprint /
-    # bpe_token_stats / unigram_drift in-window)
-    "text_unigram_drift",
-    "similarity_label_mrr",
-    # LSH dedup served from the engine's own programmable index (zero
-    # external rows — must be in-window; displaces dedup_exact, 1 green,
-    # with the dedup family still the window's largest)
-    "dedup_lsh_mapindex",
-    # durable fingerprint-index probe — the daily-ingest dedup job
-    # through save/load + on-disk key join (displaces text_fingerprint,
-    # 1 green; the fingerprint op is also exercised in-window inside
-    # dedup_decontaminate_apply and curated_training_set)
-    "dedup_incremental_durable_probe",
-    # per-day drift time series (displaces dedup_cross_source_
-    # contamination, 1 green — the contamination family stays covered
-    # in-window by the LSH report and the apply pass)
-    "streaming_drift_daily",
-    # CHANGED execution path this session (the changed-stays-in rule):
-    # the Jaccard query now runs the inverted-index form — its committed
-    # green row proves only the old pairwise implementation, so it
-    # re-enters for external re-verification (displacing
-    # text_bpe_token_stats, 1 green; text keeps unigram_drift in-window).
-    # The minhash SIGNATURE query's path also changed (exploded-aggregate
-    # form), but that exact code path is externally re-verified through
-    # FOUR zero-green in-window consumers of minhash_signature_table
-    # (lsh_pairs, components, neardup_contamination, decontaminate_apply)
-    # plus the every-run parity pytest, so its slot goes to the new
-    # scorecard below; its own r1 green row pins the query's semantics.
-    "dedup_ngram_jaccard_top20",
-    # per-source quality scorecard (zero external rows — must be
-    # in-window; displaces multimodal_binary_stats, 1 green, multimodal
-    # keeps doc_embedding_join)
-    "source_quality_scorecard",
-    # --- single-green LLM/dedup/similarity/multimodal/text ---
-    "multimodal_doc_embedding_join",
+    # --- r7 rotation. All 139 registered queries have ≥1 committed
+    # external green row (r6 closed the last zero-green set), so this
+    # window maximizes SECOND/THIRD confirmations, oldest-first: the 20
+    # r1-single rows (their only green predates five rounds of testdata
+    # regeneration) plus the r3-single family guards rotate IN; the
+    # multiply-confirmed r5/r6 rows rotate OUT. Family constraints
+    # (machine-enforced in tests/test_coverage_integrity.py) and the
+    # changed-stays-in rule are both honored below. ---
+    # --- changed THIS round (ADVICE fixes — stay in for external
+    # re-verification): NULL-gated LSH band hashes feed the five band
+    # consumers; on_map NULL guard (lsh_mapindex); cached durable-probe
+    # artifact; shared unigram-KL helper (drift + scorecard) ---
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_components",
-    "curated_training_set",
-    # --- single-green streaming/subquery ---
+    "dedup_apply_neardup_free",
+    "dedup_neardup_contamination",
+    "dedup_decontaminate_apply",
+    "dedup_lsh_mapindex",
+    "dedup_incremental_durable_probe",
+    "text_unigram_drift",
+    "source_quality_scorecard",
+    # --- mapindex delegation (≥5 in-window): the three r6-single view
+    # rows get their second confirmation; expr_build/bins are the
+    # family's stalest multi rows (last green r4) ---
+    "mapindex_reduce_view",
+    "mapindex_reduce_view_durable",
+    "mapindex_sketch_view",
+    "mapindex_expr_build",
+    "mapindex_bins",
+    # --- family guards, fewest/oldest external rows preferred ---
     "streaming_session_windows",
-    "skew_salted_join_volume",
-    # --- family guards with no single-green member left: multiply-green
-    # representatives (mapindex keeps ≥5 in-window incl. the two changed
-    # CDC rows above) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
     "stateful_running_counters",
     "sql_grouping_sets",
-    "mapreduce_wordcount",
+    "user_sessionization",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
-    "blocking_suppliers",
+    "suppliers_above_nation_avg",
+    "nation_market_share_yearly",
+    "mapreduce_wordcount",
     "embedding_int8_quantization",
+    "balanced_source_sample",
+    # --- r3-single family guards (similarity / events / multimodal) ---
+    "similarity_topk_cosine",
+    "events_pivot_daily",
+    "multimodal_binary_stats",
+    # --- r1-single rows: second confirmation six rounds later ---
+    "forecast_revenue_change",
+    "order_priority_check",
+    "top_returning_customers",
+    "nation_trade_by_year",
+    "customer_order_stats",
+    "big_spender_customers",
+    "orderless_customers",
+    "priority_distinct_customers",
+    "rollup_returnflag_status",
+    "cube_status_priority",
+    "top_orders_per_customer",
+    "top100_expensive_items",
+    "nation_presence_setops",
+    "order_conditional_functions",
+    "order_quartiles",
+    "orders_above_customer_average",
+    "shipments_within_90_days",
+    "lineitem_percentiles",
+    "customer_rolling_30d_spend",
+    "orders_column_profile",
 ]
 
 

@@ -50,6 +50,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=50)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to check instead of the first "
+        "--limit registered (targeted re-verification after a change)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -68,9 +74,17 @@ def main() -> int:
         )
 
     qs, oracles = E.queries(), E.oracle_sql()
-    print(len(E.entry(spark).collect()), "rows from entry()", file=sys.stderr)
+    if args.only:
+        picked = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in picked if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            return 1
+    else:
+        picked = list(qs)[: args.limit]
+        print(len(E.entry(spark).collect()), "rows from entry()", file=sys.stderr)
     bad = []
-    for name in list(qs)[: args.limit]:
+    for name in picked:
         try:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
@@ -95,7 +109,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             bad.append(name)
             print(f"{name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
-    n = min(args.limit, len(qs))
+    n = len(picked)
     print(f"driver sim: {n - len(bad)}/{n} green; failures: {bad}")
     return 1 if bad else 0
 
