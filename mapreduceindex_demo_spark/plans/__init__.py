@@ -84,6 +84,17 @@ PRIORITY_50 = [
     "similarity_topk_cosine",
     "events_pivot_daily",
     "multimodal_binary_stats",
+    # --- NEW this round (zero external rows — must be in-window):
+    # bigram-LM scoring, vocab coverage curve, leak-proof content-hash
+    # splits, per-source quality percentile gate, daily anomaly monitor,
+    # content-defined segment dedup. Each displaces one r1-single row
+    # from the tail below (all keep their committed r1 green). ---
+    "text_bigram_logprob",
+    "text_vocab_coverage",
+    "split_leakproof_assignment",
+    "quality_percentile_gate",
+    "events_anomaly_daily",
+    "dedup_cdc_segments",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
@@ -99,12 +110,6 @@ PRIORITY_50 = [
     "top100_expensive_items",
     "nation_presence_setops",
     "order_conditional_functions",
-    "order_quartiles",
-    "orders_above_customer_average",
-    "shipments_within_90_days",
-    "lineitem_percentiles",
-    "customer_rolling_30d_spend",
-    "orders_column_profile",
 ]
 
 

@@ -1559,3 +1559,110 @@ def q_zorder_box_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+@query(
+    "events_anomaly_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, cnt,
+        SUM(cnt) OVER tw AS s,
+        SUM(cnt * cnt) OVER tw AS ss,
+        COUNT(*) OVER tw AS n
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_type, day, cnt,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        sqrt((CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE)) AS sd
+      FROM w WHERE n >= 4)
+    SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+           round(mu, 6) + 0.0 AS trailing_mean,
+           round((CAST(cnt AS DOUBLE) - mu) / sd, 6) + 0.0 AS zscore
+    FROM z WHERE sd > 0
+    ORDER BY round(abs((CAST(cnt AS DOUBLE) - mu) / sd), 6) DESC,
+             event_type, day
+    LIMIT 10
+    """,
+    tags=("events", "monitoring", "anomaly", "window"),
+)
+def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly detector: for each (event_type, day),
+    the z-score of that day's count against its own trailing 7-day
+    window (excluding the day itself), reporting the 10 most anomalous
+    days — the feed-health alarm that catches a scraper dying (volume
+    collapse) or a retry storm (volume spike) before the corpus mix
+    drifts. Requires ≥4 trailing points so early days don't alarm on
+    noise.
+
+    Determinism: the trailing mean/std are derived from EXACT integer
+    window sums (Σcnt, Σcnt², n) with a fixed expression order, not from
+    the engines' stddev aggregates, whose accumulation algorithms
+    (Welford vs. textbook) differ in final ulps — every double op here
+    is bit-identical across engines before the 6-dp round.
+
+    Scale shape: the daily rollup is one combiner-friendly groupBy; the
+    trailing window shuffles once on event_type and sorts by day within
+    each type — |types|×|days| rows, trivially small relative to the
+    event stream. Top-10 is a TakeOrdered with a total tiebreak."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(tw).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(tw).alias("ss"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    ).where(F.col("n") >= 4)
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double")
+    )
+    z = w.select(
+        "event_type",
+        "day",
+        "cnt",
+        mu.alias("mu"),
+        sd.alias("sd"),
+    ).where(F.col("sd") > 0)
+    zexpr = (F.col("cnt").cast("double") - F.col("mu")) / F.col("sd")
+    return (
+        z.select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("trailing_mean"),
+            (F.round(zexpr, 6) + F.lit(0.0)).alias("zscore"),
+            F.round(F.abs(zexpr), 6).alias("__az"),
+        )
+        .orderBy(F.desc("__az"), "event_type", "day")
+        .limit(10)
+        .drop("__az")
+    )

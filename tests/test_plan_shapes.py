@@ -381,3 +381,35 @@ def test_lsh_band_generate_sees_only_attributes(spark):
         if "Generate posexplode" in line:
             assert "md5" not in line and "lambdafunction" not in line, line
     assert _n(plan, r"HashAggregate") >= 1, plan  # the signature partial agg
+
+
+def test_cdc_segments_single_docid_exchange(spark):
+    """Content-defined segmentation: the lag window, the running-sum
+    segment ids, and the per-segment reassembly must all ride ONE hash
+    exchange on doc_id; the only other hash exchange is the cross-document
+    fingerprint rollup, and the top-20 is a TakeOrdered (no sort
+    exchange)."""
+    plan = _final_plan(QUERIES["dedup_cdc_segments"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"Exchange hashpartitioning") == 2, plan
+    assert _n(plan, r"Exchange rangepartitioning") == 0, plan
+    assert _n(plan, r"TakeOrderedAndProject") == 1, plan
+
+
+def test_events_anomaly_two_exchanges(spark):
+    """Daily anomaly monitor: one exchange for the (type, day) rollup, one
+    to re-cluster by type for the trailing window — and no engine stddev
+    aggregate in the plan (the mean/std must come from the exact integer
+    window sums, the bit-portability contract of the query)."""
+    plan = _final_plan(QUERIES["events_anomaly_daily"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"Exchange hashpartitioning") == 2, plan
+    assert _n(plan, r"\bWindow\b") == 1, plan
+    assert "stddev" not in plan.lower(), plan
+
+
+def test_bigram_logprob_lm_tables_broadcast(spark):
+    """Bigram scoring must join the LM tables (gram counts, history
+    counts) as broadcasts at this scale and keep V as a 1-row broadcast —
+    the token stream itself is never sort-merge joined."""
+    plan = _final_plan(QUERIES["text_bigram_logprob"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"BroadcastHashJoin") >= 2, plan
+    assert _n(plan, r"SortMergeJoin") == 0, plan
