@@ -244,3 +244,111 @@ def test_affine_minhash_estimates_jaccard(spark):
         )
     # heavier overlap must not estimate LOWER than light overlap
     assert est(0, 2) >= est(0, 3)
+
+
+def _segments_of(spark, rows):
+    """Run the [q:dedup_cdc_segments] segmentation (same expressions) on an
+    in-memory (doc_id, text) frame and return {doc_id: [segment, ...]} in
+    document order."""
+    from pyspark.sql import Window
+
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "term")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("p")
+    prev = F.lag("term").over(wseq)
+    flag = F.when(
+        prev.isNotNull()
+        & F.substring(
+            F.md5(F.concat(prev, F.lit(" "), F.col("term"))), 1, 1
+        ).isin("0", "1"),
+        1,
+    ).otherwise(0)
+    s2 = toks.withColumn("flag", flag).withColumn(
+        "seg", F.sum("flag").over(wseq)
+    )
+    segs = (
+        s2.groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "term"))),
+                    lambda x: x["term"],
+                ),
+                " ",
+            ).alias("seg_text")
+        )
+        .orderBy("doc_id", "seg")
+        .collect()
+    )
+    out: dict[int, list[str]] = {}
+    for r in segs:
+        out.setdefault(r.doc_id, []).append(r.seg_text)
+    return out
+
+
+def test_cdc_segments_partition_the_document(spark):
+    """Invariant: the segments of a document, joined in order, reconstruct
+    the document exactly (segmentation is a partition, never lossy)."""
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    segs = _segments_of(spark, texts)
+    for doc_id, text in texts:
+        assert " ".join(segs[doc_id]) == text
+
+
+def test_cdc_segments_are_shift_robust(spark):
+    """The selling point vs fixed-stride chunking: a paragraph shared by
+    two documents at DIFFERENT offsets still yields identical interior
+    segments, because boundaries depend only on local content. Interior
+    segments (those not touching either document's edges, where the
+    surrounding context differs) must coincide."""
+    shared = " ".join(f"tok{i}" for i in range(120))
+    a = "prefixA " + shared
+    b = "completely different longer prefix here " + shared
+    segs = _segments_of(spark, [(0, a), (1, b)])
+    # After the first content-defined boundary inside the shared
+    # paragraph, the two segmentations resynchronize and stay identical
+    # to the end of the document — so (ignoring each doc's first segment,
+    # which absorbs its differing prefix) the segment lists share a long
+    # common SUFFIX. Fixed-stride chunking shares none unless offsets
+    # happen to align.
+    sa, sb = segs[0], segs[1]
+    common = 0
+    while (
+        common < min(len(sa), len(sb))
+        and sa[-1 - common] == sb[-1 - common]
+    ):
+        common += 1
+    assert common >= 2, (sa, sb)
+    # and the shared tail covers most of the shared paragraph's tokens
+    shared_toks = sum(len(s.split(" ")) for s in sa[-common:])
+    assert shared_toks >= 80, (common, shared_toks)
+
+
+def test_split_assignment_is_leakproof_by_construction(spark):
+    """Duplicate content must land in ONE split even when it arrives via
+    different sources and doc ids — the property doc_id-keyed splitting
+    lacks."""
+    rows = []
+    for i in range(200):
+        text = f"shared document body number {i % 40}"
+        rows.append((i, text, f"src{i % 5}"))
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    fp1 = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(fp1.isin("c", "d"), "val")
+        .when(fp1.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    per_fp = (
+        d.select(F.md5("text").alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(F.countDistinct("split").alias("nsplits"))
+        .agg(F.max("nsplits").alias("m"))
+        .collect()[0]
+    )
+    assert per_fp.m == 1
