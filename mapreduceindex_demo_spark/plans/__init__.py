@@ -95,6 +95,11 @@ PRIORITY_50 = [
     "quality_percentile_gate",
     "events_anomaly_daily",
     "dedup_cdc_segments",
+    # weighted A-Res sampling + the LSH dedup recall contract (the
+    # latter also re-verifies the shared inverted-index pair helper
+    # factored out of the Jaccard query this round)
+    "curation_weighted_sample",
+    "dedup_lsh_recall_contract",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
@@ -107,9 +112,7 @@ PRIORITY_50 = [
     "rollup_returnflag_status",
     "cube_status_priority",
     "top_orders_per_customer",
-    "top100_expensive_items",
     "nation_presence_setops",
-    "order_conditional_functions",
 ]
 
 
