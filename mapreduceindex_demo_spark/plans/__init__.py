@@ -100,6 +100,7 @@ PRIORITY_50 = [
     # factored out of the Jaccard query this round)
     "curation_weighted_sample",
     "dedup_lsh_recall_contract",
+    "events_transition_matrix",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
@@ -112,7 +113,6 @@ PRIORITY_50 = [
     "rollup_returnflag_status",
     "cube_status_priority",
     "top_orders_per_customer",
-    "nation_presence_setops",
 ]
 
 

@@ -1666,3 +1666,59 @@ def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("__az")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (SELECT cur_type, next_type, COUNT(*) AS cnt
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT cur_type, SUM(cnt) AS t FROM pairs GROUP BY 1)
+    SELECT p.cur_type, p.next_type, CAST(p.cnt AS BIGINT) AS cnt,
+           round(CAST(p.cnt AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) + 0.0
+             AS prob
+    FROM pairs p JOIN tot USING (cur_type)
+    """,
+    tags=("events", "sequence", "markov", "window"),
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, the empirical P(next event type | current
+    event type) — the Markov-chain summary behind funnel diagnosis
+    ("where do users go after view?"), anomaly triage (a bot's
+    transition row looks nothing like a human's), and session
+    simulation. Deterministic order: (ts, event_id) is a total order per
+    user.
+
+    Scale shape: one shuffle on user_id drives the lead() window (the
+    same single-exchange sequence pass as [q:user_sessionization]); the
+    pair counts are a combiner-friendly groupBy on a |types|² keyspace,
+    and the row-normalization join is |types|-row broadcast-sized.
+    Nothing downstream of the window exceeds |types|² rows."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("cur_type").agg(F.sum("cnt").alias("t"))
+    return pairs.join(F.broadcast(tot), "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (
+            F.round(F.col("cnt").cast("double") / F.col("t").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("prob"),
+    )

@@ -564,3 +564,79 @@ def test_streaming_drift_counts_feed_the_batch_kl(spark, tmp_path):
         for r in QUERIES["streaming_drift_daily"].fn(spark, SMOKE_SF_DIR).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_daily_counts_feed_the_batch_anomaly_scores(spark, tmp_path):
+    """events_anomaly_daily's streaming claim, executed: the per-(type,
+    day) tumbling counts run as a streaming aggregation over readStream,
+    and the batch-side trailing-window z-score pass over the SINK table
+    reproduces the registered query exactly — the same two-stage shape as
+    the drift time series (streaming agg → sink → monitoring fold; the
+    trailing window is inherently a batch pass over closed days)."""
+    from pyspark.sql import Window
+
+    from mapreduceindex_demo_spark.plans import QUERIES
+    from tests.conftest import SMOKE_SF_DIR
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    src = str(tmp_path / "anom_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts = stream.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("anom_counts_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.createDataFrame(
+        spark.table("anom_counts_sink").collect(),
+        "event_type string, day string, cnt long",
+    )
+    tw = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    w = sink.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(tw).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(tw).alias("ss"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    ).where(F.col("n") >= 4)
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (F.col("n") - 1).cast("double")
+    )
+    z = w.select(
+        "event_type", "day", "cnt", mu.alias("mu"), sd.alias("sd")
+    ).where(F.col("sd") > 0)
+    zexpr = (F.col("cnt").cast("double") - F.col("mu")) / F.col("sd")
+    folded = (
+        z.select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.round(F.col("mu"), 6) + F.lit(0.0)).alias("trailing_mean"),
+            (F.round(zexpr, 6) + F.lit(0.0)).alias("zscore"),
+            F.round(F.abs(zexpr), 6).alias("__az"),
+        )
+        .orderBy(F.desc("__az"), "event_type", "day")
+        .limit(10)
+        .drop("__az")
+        .collect()
+    )
+    batch = QUERIES["events_anomaly_daily"].fn(spark, SMOKE_SF_DIR).collect()
+    assert sorted(map(tuple, folded)) == sorted(map(tuple, batch))
