@@ -92,6 +92,12 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated registered query names to time instead of "
+        "the bench set (new-query ~sf1 spot-checks for BASELINE.md)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="mri-bench-sf1")
@@ -99,7 +105,11 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     generate(spark, args.out, args.copies)
 
-    bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        bench = {n: QUERIES[n] for n in names if QUERIES[n].oracle}
+    else:
+        bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
 
     # DuckDB side: same parquet, oracle SQL, all cores.
     con = duckdb.connect()
