@@ -126,7 +126,11 @@ class MapIndexEngine:
         for d in self._views.values():
             if d["index"] == name:
                 d["frame"] = self._view_agg(
-                    entries, d["group"], d["sum_col"], d["distinct_col"]
+                    entries,
+                    d["group"],
+                    d["sum_col"],
+                    d["distinct_col"],
+                    d.get("minmax_col"),
                 )
         return entries
 
@@ -213,6 +217,7 @@ class MapIndexEngine:
         group_cols: list[str],
         sum_col: str | None = None,
         distinct_col: str | None = None,
+        minmax_col: str | None = None,
     ) -> DataFrame:
         """Materialized grouped aggregate over an index, maintained
         INCREMENTALLY as CDC batches land — the "Reduce" the repo's name
@@ -234,13 +239,19 @@ class MapIndexEngine:
         rescan: the retraction side reads only the changed docs' current
         entries — the same rows the merge's anti-join already prices
         (bucket-pruned on the durable path); AVG derives as total/cnt at
-        read time. MIN/MAX are
-        deliberately NOT offered: they are not self-maintainable under
-        retraction (deleting the current minimum forces a re-derive), and
-        the honest implementation — re-aggregating only the groups whose
-        delta retracted a current extreme, via a semi-join back to the
-        base — is a different cost class the caller should opt into
-        explicitly, not get silently from the same API.
+        read time.
+
+        ``minmax_col`` is the EXPLICIT opt-in to the non-self-maintainable
+        measure class: MIN/MAX cannot absorb a retraction from the delta
+        alone (deleting the current minimum forces a re-derive), so on a
+        MUTABLE index each batch re-aggregates exactly the groups the
+        batch retracted from — a null-safe semi-join of the post-merge
+        base against the (delta-bounded) affected group keys — while
+        untouched groups keep the cheap fold. On an immutable index the
+        extreme folds for free (min-of-mins). This is a different
+        per-batch cost class (one probe of the base per batch, priced by
+        the batch's group fan-out) and the parameter name is the
+        contract: you asked for it.
 
         At scale: the per-batch cost is one groupBy over the DELTA (the
         rows apply_changes already shuffled) plus a keyed merge into the
@@ -254,7 +265,7 @@ class MapIndexEngine:
         missing = [c for c in group_cols if c not in idx.columns]
         if missing:
             raise KeyError(f"group columns not in index: {missing}")
-        for c in (sum_col, distinct_col):
+        for c in (sum_col, distinct_col, minmax_col):
             if c is not None and c not in idx.columns:
                 raise KeyError(f"measure column not in index: {c!r}")
         self._check_sketchable(idx, distinct_col)
@@ -273,12 +284,13 @@ class MapIndexEngine:
             )
         if name in self._views:
             raise ValueError(f"reduce view {name!r} already exists")
-        frame = self._view_agg(idx, group_cols, sum_col, distinct_col)
+        frame = self._view_agg(idx, group_cols, sum_col, distinct_col, minmax_col)
         self._views[name] = {
             "index": index_name,
             "group": list(group_cols),
             "sum_col": sum_col,
             "distinct_col": distinct_col,
+            "minmax_col": minmax_col,
             "frame": frame,
         }
         return frame
@@ -295,7 +307,9 @@ class MapIndexEngine:
         d = self._views[name]
         if consistency in ("session", "query"):
             self.drain_pending(d["index"])
-        return self._view_serve(d["frame"], d["sum_col"], d["distinct_col"])
+        return self._view_serve(
+            d["frame"], d["sum_col"], d["distinct_col"], d.get("minmax_col")
+        )
 
     def drop_reduce_view(self, name: str) -> None:
         if name not in self._views:
@@ -317,6 +331,7 @@ class MapIndexEngine:
         sum_col: str | None,
         distinct_col: str | None = None,
         negate: bool = False,
+        minmax_col: str | None = None,
     ) -> list[Column]:
         """Measure set per group: cnt; for a sum measure additionally
         ``__nn`` (count of NON-NULL measure values) + total; for a distinct
@@ -330,6 +345,11 @@ class MapIndexEngine:
         (append-only guard in create_reduce_view; the durable path
         RECOMPUTES partials instead of folding, so it never negates)."""
         assert not (negate and distinct_col is not None)
+        # min/max cannot be negated either (an extreme has no inverse);
+        # the mutable in-memory path routes minmax views through the
+        # affected-group RECOMPUTE in _update_views instead of a fold, and
+        # the durable path always recomputes — so negate never meets it
+        assert not (negate and minmax_col is not None)
         sign = (lambda c: -c) if negate else (lambda c: c)
         aggs = [sign(F.count(F.lit(1))).alias("cnt")]
         if sum_col is not None:
@@ -337,6 +357,9 @@ class MapIndexEngine:
             aggs.append(sign(F.sum(sum_col)).alias("total"))
         if distinct_col is not None:
             aggs.append(F.hll_sketch_agg(distinct_col).alias("__nd"))
+        if minmax_col is not None:
+            aggs.append(F.min(minmax_col).alias("__mn"))
+            aggs.append(F.max(minmax_col).alias("__mx"))
         return aggs
 
     @classmethod
@@ -346,22 +369,30 @@ class MapIndexEngine:
         group_cols: list[str],
         sum_col: str | None,
         distinct_col: str | None = None,
+        minmax_col: str | None = None,
     ) -> DataFrame:
         return entries.groupBy(*group_cols).agg(
-            *cls._view_aggs(sum_col, distinct_col)
+            *cls._view_aggs(sum_col, distinct_col, minmax_col=minmax_col)
         )
 
     @staticmethod
     def _view_merge_aggs(
-        sum_col: str | None, distinct_col: str | None = None
+        sum_col: str | None,
+        distinct_col: str | None = None,
+        minmax_col: str | None = None,
     ) -> list[Column]:
-        """Fold partial/previous measure rows: sums add, sketches union."""
+        """Fold partial/previous measure rows: sums add, sketches union,
+        extremes take min-of-mins / max-of-maxes (sound because partials
+        are never negated — see _view_aggs)."""
         aggs = [F.sum("cnt").alias("cnt")]
         if sum_col is not None:
             aggs.append(F.sum("__nn").alias("__nn"))
             aggs.append(F.sum("total").alias("total"))
         if distinct_col is not None:
             aggs.append(F.hll_union_agg("__nd").alias("__nd"))
+        if minmax_col is not None:
+            aggs.append(F.min("__mn").alias("__mn"))
+            aggs.append(F.max("__mx").alias("__mx"))
         return aggs
 
     @staticmethod
@@ -369,10 +400,13 @@ class MapIndexEngine:
         frame: DataFrame,
         sum_col: str | None,
         distinct_col: str | None = None,
+        minmax_col: str | None = None,
     ) -> DataFrame:
         """Public shape of a view: hide __nn, NULL the total of an
         all-NULL-measure group (SUM semantics), estimate the distinct
-        sketch as ``approx_distinct``."""
+        sketch as ``approx_distinct``, surface extremes as
+        ``min_val``/``max_val`` (NULL for an all-NULL-measure group —
+        MIN/MAX ignore NULLs, matching a rebuild)."""
         if sum_col is not None:
             frame = frame.withColumn(
                 "total", F.when(F.col("__nn") > 0, F.col("total"))
@@ -381,6 +415,10 @@ class MapIndexEngine:
             frame = frame.withColumn(
                 "approx_distinct", F.hll_sketch_estimate("__nd")
             ).drop("__nd")
+        if minmax_col is not None:
+            frame = frame.withColumnRenamed(
+                "__mn", "min_val"
+            ).withColumnRenamed("__mx", "max_val")
         return frame
 
     @staticmethod
@@ -418,25 +456,80 @@ class MapIndexEngine:
         old = None
         if not immutable:
             old = cur.join(changed_ids.select("doc_id"), "doc_id", "left_semi")
+        post = None
+        if not immutable and any(d.get("minmax_col") for d in views):
+            # post-merge base, needed only by the minmax recompute path;
+            # mirrors the merge in apply_changes over the same shuffled
+            # inputs (changed_ids is checkpointed when views exist)
+            post = (
+                cur.join(changed_ids.select("doc_id"), "doc_id", "left_anti")
+                .select(*cur.columns)
+                .unionByName(new_entries)
+            )
         for d in views:
             g, s, dc = d["group"], d["sum_col"], d["distinct_col"]
-            delta = self._view_agg(new_entries, g, s, dc)
-            if old is not None:
-                # dc is None here by construction: a distinct measure
-                # requires an immutable index, and immutable ⇒ old is None
-                delta = delta.unionByName(
-                    old.groupBy(*g).agg(*self._view_aggs(s, negate=True))
+            mm = d.get("minmax_col")
+            if mm is not None and old is not None:
+                # The opt-in cost class (see create_reduce_view): groups
+                # the batch retracted from re-aggregate from the
+                # post-merge base — bounded by the batch's group fan-out —
+                # while untouched groups keep the cheap fold. Null-safe
+                # joins: NULL group keys are real groups.
+                affected = old.select(*g).distinct()
+                part_a = self._view_agg(
+                    self._nullsafe_key_join(post, affected, g, "left_semi"),
+                    g, s, dc, mm,
                 )
-            merged = (
-                d["frame"]
-                .unionByName(delta)
-                .groupBy(*g)
-                .agg(*self._view_merge_aggs(s, dc))
-                .filter(F.col("cnt") > 0)
-            )
+                delta_b = self._view_agg(
+                    self._nullsafe_key_join(
+                        new_entries, affected, g, "left_anti"
+                    ),
+                    g, s, dc, mm,
+                )
+                merged = (
+                    self._nullsafe_key_join(d["frame"], affected, g, "left_anti")
+                    .unionByName(delta_b)
+                    .groupBy(*g)
+                    .agg(*self._view_merge_aggs(s, dc, mm))
+                    .filter(F.col("cnt") > 0)
+                    .unionByName(part_a)
+                )
+            else:
+                delta = self._view_agg(new_entries, g, s, dc, mm)
+                if old is not None:
+                    # dc is None here by construction: a distinct measure
+                    # requires an immutable index, and immutable ⇒ old is
+                    # None; mm is None on this branch (handled above)
+                    delta = delta.unionByName(
+                        old.groupBy(*g).agg(*self._view_aggs(s, negate=True))
+                    )
+                merged = (
+                    d["frame"]
+                    .unionByName(delta)
+                    .groupBy(*g)
+                    .agg(*self._view_merge_aggs(s, dc, mm))
+                    .filter(F.col("cnt") > 0)
+                )
             if checkpoint:
                 merged = merged.localCheckpoint(eager=False)
             d["frame"] = merged
+
+    @staticmethod
+    def _nullsafe_key_join(
+        df: DataFrame, keys: DataFrame, group_cols: list[str], how: str
+    ) -> DataFrame:
+        """Semi/anti-join ``df`` against the distinct ``group_cols`` rows of
+        ``keys`` with NULL-SAFE equality — a plain equi-join would silently
+        exempt NULL-keyed groups from the recompute (NULL = NULL is
+        unknown), leaving them on the fold path without negation."""
+        k = keys.select(
+            *[F.col(c).alias(f"__k_{c}") for c in group_cols]
+        ).distinct()
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else (cond & e)
+        return df.join(k, cond, how)
 
     # -- the map pipeline (M1-M9) ------------------------------------------
 
@@ -929,6 +1022,7 @@ class MapIndexEngine:
         group_cols: list[str],
         sum_col: str | None = None,
         distinct_col: str | None = None,
+        minmax_col: str | None = None,
     ) -> None:
         """Persist a reduce view of a DURABLE index as per-bucket PARTIAL
         aggregates, partitioned by the same ``__bucket`` key as the index.
@@ -956,7 +1050,7 @@ class MapIndexEngine:
         missing = [c for c in group_cols if c not in idx_cols]
         if missing:
             raise KeyError(f"group columns not in index: {missing}")
-        for c in (sum_col, distinct_col):
+        for c in (sum_col, distinct_col, minmax_col):
             if c is not None and c not in idx_cols:
                 raise KeyError(f"measure column not in index: {c!r}")
         self._check_sketchable(self.index_table(index_name), distinct_col)
@@ -968,8 +1062,11 @@ class MapIndexEngine:
             "__bucket", T.IntegerType()
         )
         cur = self.spark.read.schema(full_schema).parquet(path)
+        # min/max need no special durable treatment: partials are always
+        # RECOMPUTED from post-merge bucket state (never folded/negated),
+        # which is retraction-safe for every measure class
         partials = cur.groupBy("__bucket", *group_cols).agg(
-            *self._view_aggs(sum_col, distinct_col)
+            *self._view_aggs(sum_col, distinct_col, minmax_col=minmax_col)
         )
         (
             partials.repartition(k, F.col("__bucket"))
@@ -985,6 +1082,7 @@ class MapIndexEngine:
                     "group": list(group_cols),
                     "sum_col": sum_col,
                     "distinct_col": distinct_col,
+                    "minmax_col": minmax_col,
                     "partial_schema": json.loads(
                         T.StructType(
                             [
@@ -1002,6 +1100,7 @@ class MapIndexEngine:
             "group": list(group_cols),
             "sum_col": sum_col,
             "distinct_col": distinct_col,
+            "minmax_col": minmax_col,
         }
 
     def load_reduce_view_durable(self, index_name: str, name: str) -> None:
@@ -1024,6 +1123,7 @@ class MapIndexEngine:
             "group": list(meta["group"]),
             "sum_col": meta["sum_col"],
             "distinct_col": meta.get("distinct_col"),
+            "minmax_col": meta.get("minmax_col"),
         }
 
     def reduce_view_table_durable(self, name: str) -> DataFrame:
@@ -1031,8 +1131,12 @@ class MapIndexEngine:
         if name not in self._durable_views:
             raise KeyError(f"durable reduce view {name!r} does not exist")
         dv = self._durable_views[name]
-        index_name, g, s, dc = (
-            dv["index"], dv["group"], dv["sum_col"], dv["distinct_col"]
+        index_name, g, s, dc, mm = (
+            dv["index"],
+            dv["group"],
+            dv["sum_col"],
+            dv["distinct_col"],
+            dv.get("minmax_col"),
         )
         path, _ = self._durable[index_name]
         vpath = self._view_dir(path, name)
@@ -1047,8 +1151,8 @@ class MapIndexEngine:
             partials = self.spark.createDataFrame(
                 [], T.StructType.fromJson(meta["partial_schema"])
             )
-        final = partials.groupBy(*g).agg(*self._view_merge_aggs(s, dc))
-        return self._view_serve(final, s, dc)
+        final = partials.groupBy(*g).agg(*self._view_merge_aggs(s, dc, mm))
+        return self._view_serve(final, s, dc, mm)
 
     def _update_durable_views(
         self, index_name: str, path: str, affected, full_schema
@@ -1060,7 +1164,7 @@ class MapIndexEngine:
         even when the merge emptied the whole index: the empty partials
         then drive the unchanged-listing drop of the view partitions."""
         todo = [
-            (v, d["group"], d["sum_col"], d["distinct_col"])
+            (v, d["group"], d["sum_col"], d["distinct_col"], d.get("minmax_col"))
             for v, d in self._durable_views.items()
             if d["index"] == index_name
         ]
@@ -1071,9 +1175,11 @@ class MapIndexEngine:
             .parquet(path)
             .filter(F.col("__bucket").isin(list(affected)))
         )
-        for vname, g, s, dc in todo:
+        for vname, g, s, dc, mm in todo:
             vpath = self._view_dir(path, vname)
-            partials = cur.groupBy("__bucket", *g).agg(*self._view_aggs(s, dc))
+            partials = cur.groupBy("__bucket", *g).agg(
+                *self._view_aggs(s, dc, minmax_col=mm)
+            )
             hadoopfs.dynamic_overwrite_dropping_emptied(
                 self.spark,
                 partials.repartition(max(len(affected), 1), F.col("__bucket")),

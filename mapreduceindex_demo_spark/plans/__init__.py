@@ -101,12 +101,14 @@ PRIORITY_50 = [
     "curation_weighted_sample",
     "dedup_lsh_recall_contract",
     "events_transition_matrix",
+    # min/max reduce-view measure (the opt-in non-self-maintainable
+    # class, new this round — zero external rows)
+    "mapindex_reduce_view_minmax",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
     "top_returning_customers",
     "nation_trade_by_year",
-    "customer_order_stats",
     "big_spender_customers",
     "orderless_customers",
     "priority_distinct_customers",

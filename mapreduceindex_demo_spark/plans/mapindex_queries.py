@@ -718,3 +718,79 @@ def q_mapindex_sketch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distinct_ok"),
         )
     )
+
+
+@query(
+    "mapindex_reduce_view_minmax",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, props,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT event_type AS grp,
+           COUNT(*) AS cnt,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_val,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_val
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    tags=("mapindex", "reduce", "ivm", "cdc", "minmax"),
+)
+def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A MIN/MAX reduce view maintained under the same 5-batch CDC replay
+    as [q:mapindex_reduce_view] — the measure class that is NOT
+    self-maintainable (deleting the current minimum cannot be absorbed
+    from the delta alone), exercised through the engine's explicit
+    opt-in: groups a batch retracts from re-derive their extremes from
+    the post-merge base via a null-safe semi-join bounded by the batch's
+    group fan-out, while untouched groups fold min-of-mins. The replay's
+    deletes (every 'error' event) and group moves (docs changing
+    event_type between batches) retract real extremes, so the recompute
+    path is what the oracle checks — incremental ≡ rebuild is
+    additionally property-tested over random CDC sequences in
+    tests/test_mapindex.py.
+
+    Scale shape: per batch, the cheap fold PLUS one semi-join probe of
+    the base index on the affected group keys — the documented cost
+    class the caller opted into; everything else matches the cnt/sum
+    view."""
+    eng = MapIndexEngine(spark)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
+    )
+    defn = IndexDefn(
+        name="idx_users_kv_mm",
+        bucket="events",
+        sec_exprs=(
+            "CAST(get_json_object(props, '$.k') AS BIGINT)",
+            "event_type",
+        ),
+    )
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    first = _latest_live(
+        ev.filter(F.col("batch") == 0).drop("batch"), "user_id", "event_id", "op"
+    )
+    eng.create_index(defn, first, doc_id_col="user_id")
+    eng.create_reduce_view(
+        "rv_mm", defn.name, ["key_1"], minmax_col="key_0"
+    )
+    for b in range(1, 5):
+        eng.apply_changes(
+            defn.name,
+            ev.filter(F.col("batch") == b).drop("batch"),
+            doc_id_col="user_id",
+            op_col="op",
+            seq_col="event_id",
+            checkpoint=False,
+        )
+    return eng.reduce_view_table("rv_mm").select(
+        F.col("key_1").alias("grp"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("min_val").cast("long").alias("min_val"),
+        F.col("max_val").cast("long").alias("max_val"),
+    )

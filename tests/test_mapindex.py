@@ -689,3 +689,55 @@ def test_reduce_view_random_cdc_equals_rebuild(spark, batches):
         key=_key,
     )
     assert got == want
+
+
+@given(batches=st.lists(_ops, min_size=1, max_size=3))
+@settings(max_examples=10, deadline=None)
+def test_minmax_view_random_cdc_equals_rebuild(spark, batches):
+    """The same any-sequence property for the OPT-IN measure class:
+    a min/max view on a mutable index — whose retracted groups re-derive
+    from the post-merge base while untouched groups fold — equals a
+    from-scratch GROUP BY over the final index for ANY CDC sequence,
+    including ones that retract the current extreme, move docs between
+    groups (incl. NULL groups), and carry NULL measures."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="kvmm", bucket="t", sec_exprs=("payload", "v")),
+        _docs(spark, [(1, "a", 1, "u"), (2, "b", 2, "u")]),
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view(
+        "rvmm", "kvmm", ["key_0"], sum_col="key_1", minmax_col="key_1"
+    )
+    for rows in batches:
+        changes = spark.createDataFrame(
+            [(d, g, v, op, seq) for seq, (d, g, v, op) in enumerate(rows)],
+            "doc_id bigint, payload string, v bigint, op string, seq bigint",
+        )
+        eng.apply_changes(
+            "kvmm", changes, doc_id_col="doc_id", op_col="op", seq_col="seq",
+            checkpoint=False,
+        )
+
+    def _key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    got = sorted(
+        (tuple(r) for r in eng.reduce_view_table("rvmm").collect()), key=_key
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in eng.index_table("kvmm")
+            .groupBy("key_0")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("key_1").alias("total"),
+                F.min("key_1").alias("min_val"),
+                F.max("key_1").alias("max_val"),
+            )
+            .collect()
+        ),
+        key=_key,
+    )
+    assert got == want

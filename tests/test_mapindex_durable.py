@@ -460,3 +460,50 @@ def test_durable_sketch_view_survives_retraction(spark, built):
     assert {
         tuple(r) for r in fresh.reduce_view_table_durable("rvd").collect()
     } == served
+
+
+def test_durable_minmax_view_retraction_safe(spark, built):
+    """Min/max measures on the DURABLE path need no opt-in machinery:
+    partials are always recomputed from post-merge bucket state, so
+    retracting a group's current extreme (or its whole membership) is
+    exact by construction — and a fresh engine reopens the view with the
+    measure intact."""
+    eng, src, path = built
+    eng.save_reduce_view_durable(
+        "rvmm", "idx_durable", ["key_0"], sum_col="key_1", minmax_col="key_1"
+    )
+
+    def rebuild():
+        return _sorted_rows(
+            eng.index_table("idx_durable")
+            .groupBy("key_0")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("key_1").alias("total"),
+                F.min("key_1").alias("min_val"),
+                F.max("key_1").alias("max_val"),
+            )
+        )
+
+    assert _sorted_rows(eng.reduce_view_table_durable("rvmm")) == rebuild()
+
+    # retract the current max of a live group and move a doc across groups
+    top = (
+        eng.index_table("idx_durable")
+        .orderBy(F.desc("key_1"))
+        .select("doc_id", "key_0")
+        .first()
+    )
+    changes = spark.createDataFrame(
+        [(top["doc_id"], None, None, "delete"), ("d1", 9, -50.0, "upsert")],
+        "doc_id string, grp bigint, val double, op string",
+    )
+    eng.apply_changes_durable(
+        "idx_durable", changes, doc_id_col="doc_id", op_col="op"
+    )
+    assert _sorted_rows(eng.reduce_view_table_durable("rvmm")) == rebuild()
+
+    fresh = MapIndexEngine(spark)
+    fresh.load_index(path)
+    fresh.load_reduce_view_durable("idx_durable", "rvmm")
+    assert _sorted_rows(fresh.reduce_view_table_durable("rvmm")) == rebuild()
