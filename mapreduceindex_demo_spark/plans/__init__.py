@@ -104,12 +104,12 @@ PRIORITY_50 = [
     # min/max reduce-view measure (the opt-in non-self-maintainable
     # class, new this round — zero external rows)
     "mapindex_reduce_view_minmax",
+    "similarity_ivf_health",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
     "top_returning_customers",
     "nation_trade_by_year",
-    "big_spender_customers",
     "orderless_customers",
     "priority_distinct_customers",
     "rollup_returnflag_status",
