@@ -105,12 +105,12 @@ PRIORITY_50 = [
     # class, new this round — zero external rows)
     "mapindex_reduce_view_minmax",
     "similarity_ivf_health",
+    "similarity_truncation_contract",
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
     "top_returning_customers",
     "nation_trade_by_year",
-    "orderless_customers",
     "priority_distinct_customers",
     "rollup_returnflag_status",
     "cube_status_priority",

@@ -435,6 +435,10 @@ def test_streaming_maintains_reduce_view(spark, tmp_path):
     empty = spark.createDataFrame([], CDC_SCHEMA)
     eng.create_index(_defn("idx_rv"), empty, doc_id_col="user_id")
     eng.create_reduce_view("rv", "idx_rv", ["key_1"], sum_col="key_0")
+    # a second view with the opt-in minmax measure rides the same sink:
+    # streamed batches retract real extremes (deletes + doc updates), so
+    # the affected-group recompute path runs inside foreachBatch too
+    eng.create_reduce_view("rvmm", "idx_rv", ["key_1"], minmax_col="key_0")
 
     run_streaming_index_maintenance(
         spark, cdc, ckpt, _defn("idx_rv"), CDC_SCHEMA, engine=eng
@@ -453,6 +457,19 @@ def test_streaming_maintains_reduce_view(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+    got_mm = sorted(tuple(r) for r in eng.reduce_view_table("rvmm").collect())
+    want_mm = sorted(
+        tuple(r)
+        for r in eng.index_table("idx_rv")
+        .groupBy("key_1")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("key_0").alias("min_val"),
+            F.max("key_0").alias("max_val"),
+        )
+        .collect()
+    )
+    assert got_mm == want_mm and len(got_mm) > 0
     # and the index itself still matches the batch golden answer
     assert sorted(tuple(r) for r in eng.index_table("idx_rv").collect()) == _golden(
         spark
