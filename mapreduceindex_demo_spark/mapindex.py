@@ -311,6 +311,66 @@ class MapIndexEngine:
             d["frame"], d["sum_col"], d["distinct_col"], d.get("minmax_col")
         )
 
+    def serve_aggregate(
+        self,
+        index_name: str,
+        group_cols: list[str],
+        sum_col: str | None = None,
+        distinct_col: str | None = None,
+        minmax_col: str | None = None,
+        consistency: str = "any",
+    ) -> tuple[DataFrame, bool]:
+        """Aggregate NAVIGATOR — the view twin of :meth:`scan_by_expr`'s
+        index selection (D4): callers ask for an aggregate SHAPE (group
+        columns + measure spec, the same vocabulary as
+        :meth:`create_reduce_view`), and the engine serves it from a
+        registered reduce view when an equivalent one exists — a
+        |groups|-row read instead of a base-index aggregation — falling
+        back to an ad-hoc aggregation over the index otherwise. Returns
+        ``(frame, served_from_view)``; both paths produce the identical
+        output shape, so callers never branch.
+
+        Equivalence: same index, same group-column SET, and the view's
+        measure spec covers the request (a view with extra measures still
+        serves — the surplus columns are projected away). The
+        ``consistency`` contract follows view serving (session/query
+        drain pending CDC first); the ad-hoc path reads the live index
+        table, which is exact by construction."""
+        req = {
+            "sum_col": sum_col,
+            "distinct_col": distinct_col,
+            "minmax_col": minmax_col,
+        }
+        for vname, d in self._views.items():
+            if d["index"] != index_name:
+                continue
+            if set(d["group"]) != set(group_cols):
+                continue
+            if any(
+                want is not None and d.get(k) != want
+                for k, want in req.items()
+            ):
+                continue
+            served = self.reduce_view_table(vname, consistency=consistency)
+            keep = ["cnt"]
+            if sum_col is not None:
+                keep.append("total")
+            if distinct_col is not None:
+                keep.append("approx_distinct")
+            if minmax_col is not None:
+                keep += ["min_val", "max_val"]
+            return served.select(*group_cols, *keep), True
+        if consistency in ("session", "query"):
+            self.drain_pending(index_name)
+        frame = self._view_agg(
+            self.index_table(index_name),
+            list(group_cols),
+            sum_col,
+            distinct_col,
+            minmax_col,
+        )
+        return self._view_serve(frame, sum_col, distinct_col, minmax_col), False
+
     def drop_reduce_view(self, name: str) -> None:
         if name not in self._views:
             raise KeyError(f"reduce view {name!r} does not exist")

@@ -741,3 +741,80 @@ def test_minmax_view_random_cdc_equals_rebuild(spark, batches):
         key=_key,
     )
     assert got == want
+
+
+def test_serve_aggregate_routes_to_equivalent_view(spark):
+    """The aggregate navigator (D4 lifted to views): an aggregate request
+    matching a registered view's shape serves FROM the view; a request
+    with no equivalent view computes ad-hoc over the index — identical
+    output shape and values either way, including measure supersets
+    (a cnt+sum+minmax view also serves a plain cnt+sum request)."""
+    eng = MapIndexEngine(spark)
+    eng.create_index(
+        IndexDefn(name="nav", bucket="t", sec_exprs=("payload", "v")),
+        _docs(spark, [(1, "a", 1, "u"), (2, "b", 2, "u"), (3, "a", 5, "u")]),
+        doc_id_col="doc_id",
+    )
+    eng.create_reduce_view(
+        "nv", "nav", ["key_0"], sum_col="key_1", minmax_col="key_1"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # exact match → routed
+    full, hit = eng.serve_aggregate(
+        "nav", ["key_0"], sum_col="key_1", minmax_col="key_1"
+    )
+    assert hit
+    # measure-subset request → still routed, surplus projected away
+    sub, hit2 = eng.serve_aggregate("nav", ["key_0"], sum_col="key_1")
+    assert hit2
+    assert sub.columns == ["key_0", "cnt", "total"]
+    # no equivalent view (different group set) → ad-hoc fallback
+    adhoc, hit3 = eng.serve_aggregate("nav", ["key_1"], sum_col="key_1")
+    assert not hit3
+    # both paths equal a from-scratch GROUP BY
+    want_full = rows(
+        eng.index_table("nav")
+        .groupBy("key_0")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("key_1").alias("total"),
+            F.min("key_1").alias("min_val"),
+            F.max("key_1").alias("max_val"),
+        )
+    )
+    assert rows(full) == want_full
+    assert rows(sub) == [(g, c, t) for g, c, t, _, _ in want_full]
+    want_adhoc = rows(
+        eng.index_table("nav")
+        .groupBy("key_1")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("key_1").alias("total"))
+    )
+    assert rows(adhoc) == want_adhoc
+    # the routed path stays current: a CDC batch folds into the view and
+    # the navigator serves the updated aggregate
+    eng.apply_changes(
+        "nav",
+        spark.createDataFrame(
+            [(3, None, None, "delete")],
+            "doc_id bigint, payload string, v bigint, op string",
+        ),
+        doc_id_col="doc_id",
+        op_col="op",
+    )
+    upd, hit4 = eng.serve_aggregate(
+        "nav", ["key_0"], sum_col="key_1", minmax_col="key_1"
+    )
+    assert hit4
+    assert rows(upd) == rows(
+        eng.index_table("nav")
+        .groupBy("key_0")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("key_1").alias("total"),
+            F.min("key_1").alias("min_val"),
+            F.max("key_1").alias("max_val"),
+        )
+    )
