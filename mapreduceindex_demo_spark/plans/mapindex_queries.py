@@ -779,6 +779,12 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
     eng.create_reduce_view(
         "rv_mm", defn.name, ["key_1"], minmax_col="key_0"
     )
+    # checkpoint=True — the OPPOSITE choice from the cnt/sum replay
+    # ([q:mapindex_reduce_view] measured fused-DAG faster): the minmax
+    # recompute path re-reads the post-merge base per batch, so without
+    # per-batch materialization each batch re-derives the whole
+    # uncheckpointed merge chain (measured 6.0-16.3 s vs 4.4-4.8 s
+    # checkpointed at sf0.1 — BASELINE.md round 7)
     for b in range(1, 5):
         eng.apply_changes(
             defn.name,
@@ -786,7 +792,6 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
             doc_id_col="user_id",
             op_col="op",
             seq_col="event_id",
-            checkpoint=False,
         )
     return eng.reduce_view_table("rv_mm").select(
         F.col("key_1").alias("grp"),
