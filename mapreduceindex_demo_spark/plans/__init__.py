@@ -104,6 +104,7 @@ PRIORITY_50 = [
     # min/max reduce-view measure (the opt-in non-self-maintainable
     # class, new this round — zero external rows)
     "mapindex_reduce_view_minmax",
+    "cdc_snapshot_diff",
     "similarity_ivf_health",
     "similarity_truncation_contract",
     # --- r1-single rows: second confirmation six rounds later ---
@@ -111,7 +112,6 @@ PRIORITY_50 = [
     "order_priority_check",
     "top_returning_customers",
     "nation_trade_by_year",
-    "priority_distinct_customers",
     "rollup_returnflag_status",
     "cube_status_priority",
     "top_orders_per_customer",

@@ -799,3 +799,94 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("min_val").cast("long").alias("min_val"),
         F.col("max_val").cast("long").alias("max_val"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+               AS op,
+             CAST(event_id // ((SELECT (MAX(event_id) + 5) // 5
+                                FROM events)) AS BIGINT) AS batch
+      FROM events),
+    v3 AS (SELECT user_id, event_type, kv FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+             FROM ev WHERE batch <= 3)
+           WHERE rn = 1 AND op = 'upsert'),
+    v4 AS (SELECT user_id, event_type, kv FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+             FROM ev WHERE batch <= 4)
+           WHERE rn = 1 AND op = 'upsert'),
+    j AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+            CASE WHEN a.user_id IS NULL THEN 'added'
+                 WHEN b.user_id IS NULL THEN 'removed'
+                 WHEN a.event_type IS DISTINCT FROM b.event_type
+                   OR a.kv IS DISTINCT FROM b.kv THEN 'changed'
+                 ELSE 'unchanged' END AS change_type
+          FROM v3 a FULL JOIN v4 b ON a.user_id = b.user_id)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY 1
+    """,
+    tags=("mapindex", "cdc", "audit", "diff"),
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two consecutive versions of the maintained
+    corpus (latest-live state after batches ≤3 vs ≤4 of the standard
+    5-batch replay): per change class — added / removed / changed /
+    unchanged — how many documents moved. This is the audit every CDC
+    pipeline runs before promoting a snapshot ("yesterday→today churn
+    looks sane?") and the validation twin of the incremental-vs-rebuild
+    property the index merge itself is tested by.
+
+    Scale shape: each version is the standard one-exchange last-writer
+    window ([q:mapindex_incremental_cdc]'s reduction); the diff is a
+    single full outer join on doc id (both sides already partitioned by
+    it) with null-safe value comparison (IS DISTINCT FROM — a NULL
+    measure is a value, not a wildcard), then a 4-group rollup."""
+    events = load_table(spark, sf_dir, "events")
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    ev = (
+        events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", "delete").otherwise(
+                "upsert"
+            ),
+        )
+        .withColumn(
+            "kv", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .select("user_id", "event_id", "event_type", "kv", "op", "batch")
+    )
+
+    def snap(v: int) -> DataFrame:
+        return _latest_live(
+            ev.where(F.col("batch") <= v).drop("batch"),
+            "user_id",
+            "event_id",
+            "op",
+        ).select("user_id", "event_type", "kv")
+
+    a, b = snap(3).alias("a"), snap(4).alias("b")
+    j = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    change = (
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(
+            ~F.col("a.event_type").eqNullSafe(F.col("b.event_type"))
+            | ~F.col("a.kv").eqNullSafe(F.col("b.kv")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
