@@ -352,13 +352,16 @@ class MapIndexEngine:
             ):
                 continue
             served = self.reduce_view_table(vname, consistency=consistency)
+            # keep the AD-HOC path's column order (cnt, total, min/max,
+            # approx_distinct — _view_serve appends the distinct estimate
+            # last) so the two paths really are interchangeable
             keep = ["cnt"]
             if sum_col is not None:
                 keep.append("total")
-            if distinct_col is not None:
-                keep.append("approx_distinct")
             if minmax_col is not None:
                 keep += ["min_val", "max_val"]
+            if distinct_col is not None:
+                keep.append("approx_distinct")
             return served.select(*group_cols, *keep), True
         if consistency in ("session", "query"):
             self.drain_pending(index_name)

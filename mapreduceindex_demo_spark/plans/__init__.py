@@ -100,6 +100,11 @@ PRIORITY_50 = [
     # factored out of the Jaccard query this round)
     "curation_weighted_sample",
     "dedup_lsh_recall_contract",
+    # the Jaccard top-20 itself was refactored onto the shared pair
+    # helper this round (rounding/ordering moved to its outer select),
+    # so it stays in for external re-verification per the hard rule —
+    # the recall contract exercises only the helper's jac_raw tail
+    "dedup_ngram_jaccard_top20",
     "events_transition_matrix",
     # min/max reduce-view measure (the opt-in non-self-maintainable
     # class, new this round — zero external rows)
@@ -110,7 +115,6 @@ PRIORITY_50 = [
     # --- r1-single rows: second confirmation six rounds later ---
     "forecast_revenue_change",
     "order_priority_check",
-    "top_returning_customers",
     "nation_trade_by_year",
     "rollup_returnflag_status",
     "cube_status_priority",

@@ -758,9 +758,6 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
     class the caller opted into; everything else matches the cnt/sum
     view."""
     eng = MapIndexEngine(spark)
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
-    )
     defn = IndexDefn(
         name="idx_users_kv_mm",
         bucket="events",
@@ -769,9 +766,7 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_type",
         ),
     )
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
-    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    ev = _five_batch_cdc(spark, sf_dir)
     first = _latest_live(
         ev.filter(F.col("batch") == 0).drop("batch"), "user_id", "event_id", "op"
     )
@@ -798,6 +793,25 @@ def q_mapindex_reduce_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cnt").cast("long").alias("cnt"),
         F.col("min_val").cast("long").alias("min_val"),
         F.col("max_val").cast("long").alias("max_val"),
+    )
+
+
+def _five_batch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard 5-batch CDC framing of the events table (shared by the
+    replay/view/diff queries): op = delete for 'error' events else upsert,
+    batch = event_id // ((max+5)//5). One definition so the batching rule
+    can never desynchronize a query from its oracle. (The older replay
+    queries predate this helper and keep their inline spelling until their
+    next in-window rotation — same expressions, asserted by their own
+    oracles every round.)"""
+    events = load_table(spark, sf_dir, "events")
+    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
+    step = (hi + 5) // 5 or 1
+    return events.withColumn(
+        "batch", F.floor(F.col("event_id") / F.lit(step))
+    ).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert"),
     )
 
 
@@ -848,17 +862,8 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     single full outer join on doc id (both sides already partitioned by
     it) with null-safe value comparison (IS DISTINCT FROM — a NULL
     measure is a value, not a wildcard), then a 4-group rollup."""
-    events = load_table(spark, sf_dir, "events")
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
     ev = (
-        events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
-        .withColumn(
-            "op",
-            F.when(F.col("event_type") == "error", "delete").otherwise(
-                "upsert"
-            ),
-        )
+        _five_batch_cdc(spark, sf_dir)
         .withColumn(
             "kv", F.get_json_object("props", "$.k").cast("bigint")
         )

@@ -107,6 +107,17 @@ def main() -> None:
 
     if args.only:
         names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            sys.exit(1)
+        no_oracle = [n for n in names if QUERIES[n].oracle is None]
+        if no_oracle:
+            print(
+                f"skipping oracle-less queries (no DuckDB side to time): "
+                f"{no_oracle}",
+                file=sys.stderr,
+            )
         bench = {n: QUERIES[n] for n in names if QUERIES[n].oracle}
     else:
         bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
