@@ -531,9 +531,6 @@ def q_mapindex_reduce_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     with base size, only with group cardinality.
     """
     eng = MapIndexEngine(spark)
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
-    )
     defn = IndexDefn(
         name="idx_users_kv_rv",
         bucket="events",
@@ -542,9 +539,7 @@ def q_mapindex_reduce_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ),
     )
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
-    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    ev = _five_batch_cdc(spark, sf_dir)
     first = _latest_live(
         ev.filter(F.col("batch") == 0).drop("batch"), "user_id", "event_id", "op"
     )
@@ -612,9 +607,6 @@ def q_mapindex_reduce_view_durable(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     eng = MapIndexEngine(spark)
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
-    )
     defn = IndexDefn(
         name="idx_users_kv_rvd",
         bucket="events",
@@ -623,9 +615,7 @@ def q_mapindex_reduce_view_durable(spark: SparkSession, sf_dir: str) -> DataFram
             "event_type",
         ),
     )
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
-    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    ev = _five_batch_cdc(spark, sf_dir)
     first = _latest_live(
         ev.filter(F.col("batch") == 0).drop("batch"), "user_id", "event_id", "op"
     )
@@ -800,10 +790,11 @@ def _five_batch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard 5-batch CDC framing of the events table (shared by the
     replay/view/diff queries): op = delete for 'error' events else upsert,
     batch = event_id // ((max+5)//5). One definition so the batching rule
-    can never desynchronize a query from its oracle. (The older replay
-    queries predate this helper and keep their inline spelling until their
-    next in-window rotation — same expressions, asserted by their own
-    oracles every round.)"""
+    can never desynchronize a query from its oracle. Remaining inline
+    spellings: [q:mapindex_incremental_cdc] and [q:mapindex_durable_cdc]
+    (out of the r7 window — they migrate at their next in-window
+    rotation) and [q:mapindex_sketch_view] (append-only framing:
+    op = 'upsert' for every event, deliberately NOT this CDC mapping)."""
     events = load_table(spark, sf_dir, "events")
     hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + 5) // 5 or 1
