@@ -105,6 +105,11 @@ PRIORITY_50 = [
     # so it stays in for external re-verification per the hard rule —
     # the recall contract exercises only the helper's jac_raw tail
     "dedup_ngram_jaccard_top20",
+    # span-hash universe refactored into a shared helper this round —
+    # the span report re-verifies it alongside the new overlap rate
+    "dedup_duplicated_spans",
+    "dedup_eval_overlap_rate",
+    "dedup_apply_keep_best",
     "events_transition_matrix",
     # min/max reduce-view measure (the opt-in non-self-maintainable
     # class, new this round — zero external rows)
@@ -113,9 +118,6 @@ PRIORITY_50 = [
     "similarity_ivf_health",
     "similarity_truncation_contract",
     # --- r1-single rows: second confirmation six rounds later ---
-    "forecast_revenue_change",
-    "order_priority_check",
-    "nation_trade_by_year",
     "rollup_returnflag_status",
     "cube_status_priority",
     "top_orders_per_customer",
