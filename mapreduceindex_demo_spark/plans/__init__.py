@@ -114,13 +114,15 @@ PRIORITY_50 = [
     # min/max reduce-view measure (the opt-in non-self-maintainable
     # class, new this round — zero external rows)
     "mapindex_reduce_view_minmax",
+    # both CDC flagships migrated onto the shared _five_batch_cdc
+    # scaffold this session — changed paths re-verify in-window
+    "mapindex_incremental_cdc",
+    "mapindex_durable_cdc",
     "cdc_snapshot_diff",
     "similarity_ivf_health",
     "similarity_truncation_contract",
     # --- r1-single rows: second confirmation six rounds later ---
     "rollup_returnflag_status",
-    "cube_status_priority",
-    "top_orders_per_customer",
 ]
 
 

@@ -263,9 +263,6 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition to cut the wire, at the cost of a second exchange.
     """
     eng = MapIndexEngine(spark)
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
-    )
     defn = IndexDefn(
         name="idx_users_kv",
         bucket="events",
@@ -274,16 +271,12 @@ def q_mapindex_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ),
     )
-    # Batch split boundary from parquet FOOTER statistics — zero Spark jobs.
-    # This is what a real CDC source does: offsets come from the topic/file
-    # metadata, never from scanning the data (reference failover-log vbucket
-    # seqnos, projector.go). The r1 plan spent a full job on this .collect().
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
-
     from pyspark.sql import Window
 
-    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    # batch boundary from parquet FOOTER statistics inside the shared
+    # scaffold — zero Spark jobs, the way a real CDC source takes offsets
+    # from topic/file metadata (reference failover-log vbucket seqnos)
+    ev = _five_batch_cdc(spark, sf_dir)
     # THE one exchange: distribute by doc. The (user_id, batch) window
     # below is satisfied by it (its partition keys are a superset of the
     # distribution key), as is everything after.
@@ -438,14 +431,7 @@ def q_mapindex_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     eng = MapIndexEngine(spark)
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "op", F.when(F.col("event_type") == "error", "delete").otherwise("upsert")
-    )
-    # batch split from parquet footer stats — zero Spark jobs (see
-    # mapindex_incremental_cdc)
-    hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
-    step = (hi + 5) // 5 or 1
-    ev = events.withColumn("batch", F.floor(F.col("event_id") / F.lit(step)))
+    ev = _five_batch_cdc(spark, sf_dir)
 
     defn = IndexDefn(
         name="idx_users_kv_durable",
@@ -790,11 +776,12 @@ def _five_batch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard 5-batch CDC framing of the events table (shared by the
     replay/view/diff queries): op = delete for 'error' events else upsert,
     batch = event_id // ((max+5)//5). One definition so the batching rule
-    can never desynchronize a query from its oracle. Remaining inline
-    spellings: [q:mapindex_incremental_cdc] and [q:mapindex_durable_cdc]
-    (out of the r7 window — they migrate at their next in-window
-    rotation) and [q:mapindex_sketch_view] (append-only framing:
-    op = 'upsert' for every event, deliberately NOT this CDC mapping)."""
+    can never desynchronize a query from its oracle. The one remaining
+    inline spelling is [q:mapindex_sketch_view], whose append-only
+    framing (op = 'upsert' for every event) is deliberately NOT this
+    CDC mapping. The batch boundary comes from parquet FOOTER statistics
+    (zero Spark jobs) — the way a real CDC source takes offsets from
+    topic/file metadata, never from scanning the data."""
     events = load_table(spark, sf_dir, "events")
     hi = parquet_col_max(table_path(sf_dir, "events"), "event_id") or 0
     step = (hi + 5) // 5 or 1
