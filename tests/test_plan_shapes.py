@@ -413,3 +413,39 @@ def test_bigram_logprob_lm_tables_broadcast(spark):
     plan = _final_plan(QUERIES["text_bigram_logprob"].fn(spark, PARITY_SF_DIR))
     assert _n(plan, r"BroadcastHashJoin") >= 2, plan
     assert _n(plan, r"SortMergeJoin") == 0, plan
+
+
+def test_transition_matrix_single_sequence_exchange(spark):
+    """The lead() sequence window and everything after must ride one
+    user_id exchange plus the |types|²-bounded pair rollup; the
+    normalization join is a broadcast (never a sort-merge)."""
+    plan = _final_plan(
+        QUERIES["events_transition_matrix"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"\bWindow\b") == 1, plan
+    assert _n(plan, r"SortMergeJoin") == 0, plan
+    assert _n(plan, r"BroadcastHashJoin") >= 1, plan
+
+
+def test_eval_overlap_is_semi_join_on_hashes(spark):
+    """The train side must reach the overlap as a (semi-)join on span
+    HASHES — no per-doc train rows in the join and no cartesian product;
+    the two 1-row aggregates meet in a trivial nested-loop cross."""
+    plan = _final_plan(
+        QUERIES["dedup_eval_overlap_rate"].fn(spark, PARITY_SF_DIR)
+    )
+    assert (
+        "LeftSemi" in plan or "left_semi" in plan.lower()
+    ), plan
+    assert _n(plan, r"CartesianProduct") == 0, plan
+
+
+def test_keep_best_drop_list_is_anti_join(spark):
+    """Quality-aware retention must drop cluster members via an anti-join
+    against the (cluster-members-sized) drop list while the corpus
+    streams — no corpus-side sort, no cartesian product."""
+    plan = _final_plan(
+        QUERIES["dedup_apply_keep_best"].fn(spark, PARITY_SF_DIR)
+    )
+    assert "LeftAnti" in plan, plan
+    assert _n(plan, r"CartesianProduct") == 0, plan
