@@ -24,6 +24,7 @@ from mapreduceindex_demo_spark.plans import sql_surface  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import curation_ops  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -64,8 +65,11 @@ PRIORITY_50 = [
     "mapindex_reduce_view",
     "mapindex_reduce_view_durable",
     "mapindex_sketch_view",
-    "mapindex_expr_build",
-    "mapindex_bins",
+    # NEW this session (zero external rows): index-intersection scan —
+    # two secondary indexes ANDed on doc id (N1QL IntersectScan shape).
+    # Displaces expr_build/bins (both multiply-green, last r4; family
+    # in-window count stays ≥5).
+    "mapindex_scan_intersect",
     # --- family guards, fewest/oldest external rows preferred ---
     "streaming_session_windows",
     "streaming_interval_join",
@@ -80,10 +84,19 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "embedding_int8_quantization",
     "balanced_source_sample",
-    # --- r3-single family guards (similarity / events / multimodal) ---
-    "similarity_topk_cosine",
-    "events_pivot_daily",
+    # --- r3-single family guard (multimodal) ---
     "multimodal_binary_stats",
+    # --- NEW this session (zero external rows — must be in-window):
+    # C4-style rule gate with per-rule violation counts, boilerplate
+    # prefix-family detector, deterministic token-budget selection, and
+    # search snippet generation. Displace similarity_topk_cosine /
+    # events_pivot_daily / rollup_returnflag_status (all multiply-green;
+    # similarity keeps ivf_health + truncation_contract in-window,
+    # events keeps anomaly_daily + transition_matrix). ---
+    "text_c4_style_gate",
+    "dedup_boilerplate_prefix",
+    "curation_token_budget",
+    "search_snippet_highlight",
     # --- NEW this round (zero external rows — must be in-window):
     # bigram-LM scoring, vocab coverage curve, leak-proof content-hash
     # splits, per-source quality percentile gate, daily anomaly monitor,
@@ -121,8 +134,6 @@ PRIORITY_50 = [
     "cdc_snapshot_diff",
     "similarity_ivf_health",
     "similarity_truncation_contract",
-    # --- r1-single rows: second confirmation six rounds later ---
-    "rollup_returnflag_status",
 ]
 
 

@@ -1,0 +1,244 @@
+"""Corpus-curation operators round 7b: rule-based quality gating
+(C4-style), boilerplate-prefix detection, and token-budget selection.
+
+These fill the three pipeline stages between the suite's existing signals
+and its existing samplers: a *rule gate* that drops documents for named,
+auditable reasons (vs [q:text_quality_score]'s single scalar),
+a *boilerplate detector* that finds template-prefix families the
+fingerprint dedup ([q:dedup_exact]) misses when tails differ, and a
+*budget selector* that turns "take the best N tokens per source" into a
+deterministic, resumable plan (vs [q:curation_weighted_sample]'s
+probability-proportional draw).
+
+All three are built-in-expression plans (zero Python UDFs): tokenization
+is `split`, rules are boolean columns, selection is one window. The only
+shuffles are per-source/per-prefix aggregations — O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- C4-style rule gate thresholds (each rule fails a real fraction of the
+# generated corpus at sf0.01: 106/34/28/240 of 500 docs respectively) ---
+_MIN_TOKENS = 30
+_WORDLEN_LO, _WORDLEN_HI = 3.5, 4.8
+_STOPWORD_MAX = 0.12
+_DIVERSITY_MIN = 0.45
+_STOPWORDS = ("a", "the")
+
+
+@query(
+    "text_c4_style_gate",
+    oracle=f"""
+    WITH d AS (SELECT source, text, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n
+               FROM documents),
+    r AS (SELECT source,
+            (n >= {_MIN_TOKENS}) AS ok_len,
+            ((length(text) - n + 1.0) / n
+               BETWEEN {_WORDLEN_LO} AND {_WORDLEN_HI}) AS ok_wordlen,
+            (len(list_filter(toks, t -> t = 'a' OR t = 'the')) * 1.0 / n
+               <= {_STOPWORD_MAX}) AS ok_stop,
+            (len(list_distinct(toks)) * 1.0 / n
+               >= {_DIVERSITY_MIN}) AS ok_div
+          FROM d)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS docs,
+      CAST(SUM(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_div
+               THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_short,
+      CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_wordlen,
+      CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_stopword,
+      CAST(SUM(CASE WHEN NOT ok_div THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_diversity,
+      round(SUM(CASE WHEN ok_len AND ok_wordlen AND ok_stop AND ok_div
+                THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) + 0.0 AS retention
+    FROM r GROUP BY 1
+    """,
+    tags=("llm", "text", "curation", "gate"),
+)
+def q_text_c4_style_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style RULE gate (Raffel et al. 2020's heuristic-filter stage):
+    each document passes four named boolean rules — minimum length,
+    mean-word-length band, stopword-ratio ceiling, lexical-diversity floor
+    — and the per-source report counts each rule's violations separately,
+    so a curation team sees WHY a feed loses documents, not just how many
+    ([q:text_quality_score] gives the scalar; this gives the audit trail).
+
+    Determinism: every rule compares a double that is ONE division of
+    exact integers (char/token/stopword/distinct counts), so both engines
+    compute bit-identical IEEE values and the boolean gates agree exactly;
+    aggregates are integer counts plus one rounded ratio.
+
+    Scale shape: rules are scan-local built-in expressions (split/filter/
+    array_distinct — no explode, no UDF); the only exchange is the final
+    per-source partial-aggregated groupBy. At 100 TB this runs at scan
+    speed with an O(|sources|) shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wordlen = (F.length("text") - n + F.lit(1.0)) / n
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) * F.lit(1.0) / n
+    )
+    diversity = F.size(F.array_distinct(toks)) * F.lit(1.0) / n
+    r = d.select(
+        "source",
+        (n >= _MIN_TOKENS).alias("ok_len"),
+        ((wordlen >= _WORDLEN_LO) & (wordlen <= _WORDLEN_HI)).alias(
+            "ok_wordlen"
+        ),
+        (stop_ratio <= _STOPWORD_MAX).alias("ok_stop"),
+        (diversity >= _DIVERSITY_MIN).alias("ok_div"),
+    )
+    ok_all = (
+        F.col("ok_len") & F.col("ok_wordlen") & F.col("ok_stop") & F.col("ok_div")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        cnt(ok_all).alias("kept"),
+        cnt(~F.col("ok_len")).alias("fail_short"),
+        cnt(~F.col("ok_wordlen")).alias("fail_wordlen"),
+        cnt(~F.col("ok_stop")).alias("fail_stopword"),
+        cnt(~F.col("ok_div")).alias("fail_diversity"),
+        (
+            F.round(
+                F.sum(F.when(ok_all, 1).otherwise(0)) * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("retention"),
+    )
+
+
+_PREFIX_TOKENS = 8
+
+
+@query(
+    "dedup_boilerplate_prefix",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, source,
+                 md5(array_to_string(
+                   (string_split(text, ' '))[1:{_PREFIX_TOKENS}], ' '))
+                   AS prefix_hash
+               FROM documents)
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    tags=("llm", "dedup", "boilerplate"),
+)
+def q_dedup_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix families: documents sharing an identical
+    first-8-token prefix — the Common-Crawl template signal
+    (headers, navigation, license banners) that whole-document
+    fingerprinting ([q:dedup_exact]) misses whenever the tails differ and
+    shingle MinHash ([q:dedup_minhash_lsh_pairs]) under-weights because
+    the shared region is a small fraction of the doc. One row per prefix
+    family with ≥2 members: size, source spread (cross-source families
+    are template reuse, single-source are feed boilerplate), and the
+    doc-id bracket for drill-down.
+
+    Scale shape: prefix hash is scan-local (slice + md5, no explode);
+    the groupBy on the hash is the standard exact-dedup exchange with
+    map-side partial aggregation, and the HAVING collapses the output to
+    family rows only. O(distinct prefixes) shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, _PREFIX_TOKENS), " ")
+    )
+    return (
+        d.select("doc_id", "source", prefix.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+_TOKEN_BUDGET = 800
+
+
+@query(
+    "curation_token_budget",
+    oracle=f"""
+    WITH d AS (SELECT source, doc_id,
+                      len(string_split(text, ' ')) AS ntok,
+                      md5(CAST(doc_id AS VARCHAR)) AS pri
+               FROM documents),
+    w AS (SELECT source, ntok,
+            SUM(ntok) OVER (PARTITION BY source ORDER BY pri
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+          FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_kept,
+           round(SUM(ntok) / {_TOKEN_BUDGET}.0, 6) + 0.0
+             AS budget_utilization
+    FROM w WHERE cum <= {_TOKEN_BUDGET} GROUP BY 1
+    """,
+    tags=("llm", "curation", "budget"),
+)
+def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: each source contributes documents in a
+    DETERMINISTIC pseudo-random order (md5 of the doc id — a seeded
+    shuffle both engines reproduce bit-for-bit) until its cumulative
+    token count reaches the per-source budget (800 tokens).
+    This is how a training-mix target ("equal token budget per feed",
+    [q:training_mix_weights] computes the weights) becomes an actual
+    document list — resumable, because re-running with a larger budget
+    KEEPS every previously selected doc and extends the prefix (the
+    selection order is a pure function of doc ids).
+
+    Determinism: the running sum is exact integers ordered by unique md5
+    keys — no ties, no float accumulation.
+
+    Scale shape: ONE window per source (shuffle by source, sort by hash
+    key within); counts/sums are exact ints. At extreme per-source
+    cardinality the same selection can run as a two-pass quantile cut
+    (find the hash threshold whose prefix sums to the budget, then
+    filter), trading the sort for two scans — the window form is the
+    simpler plan and the per-source sort is bounded by the largest
+    single feed, not the corpus."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("ntok"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = d.withColumn("cum", F.sum("ntok").over(w)).where(
+        F.col("cum") <= _TOKEN_BUDGET
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_kept"),
+        F.sum("ntok").cast("long").alias("tokens_kept"),
+        (
+            F.round(F.sum("ntok") / F.lit(float(_TOKEN_BUDGET)), 6) + F.lit(0.0)
+        ).alias("budget_utilization"),
+    )

@@ -873,3 +873,54 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "mapindex_scan_intersect",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE source = 'src3'
+      AND len(string_split(text, ' ')) BETWEEN 25 AND 60
+    """,
+    tags=("mapindex", "scan", "intersect"),
+)
+def q_mapindex_scan_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-INTERSECTION scan — the reference planner's composite
+    answer when no single index covers a conjunctive predicate (N1QL
+    IntersectScan; the reference's scan machinery serves each index
+    independently, index.go:137-156, and the query layer intersects doc
+    ids): two secondary indexes over `documents` (one on `source`, one
+    on the token-count expression), each range-scanned on its own key
+    with `ordered=False` (the aggregating-consumer contract — pay the
+    range FILTER, skip the ordered-delivery sort), intersected on doc id.
+
+    Scale shape: each scan is a key-range read of its index (partition-
+    pruned under the durable bucketed layout; the corpus text is never
+    touched), and the intersection is one doc_id equi-join between two
+    already-small filtered sides — AQE broadcasts the smaller. This is
+    the selective-conjunction plan that beats a full-table scan whenever
+    both predicates are individually selective; with `ordered=False` on
+    both sides there is no wasted sort Exchange."""
+    eng = MapIndexEngine(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    eng.create_index(
+        IndexDefn(
+            name="idx_doc_source", bucket="documents", sec_exprs=("source",)
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    eng.create_index(
+        IndexDefn(
+            name="idx_doc_ntok",
+            bucket="documents",
+            sec_exprs=("size(split(text, ' '))",),
+        ),
+        docs,
+        doc_id_col="doc_id",
+    )
+    a = eng.scan("idx_doc_source", low="src3", high="src3", ordered=False)
+    b = eng.scan("idx_doc_ntok", low=25, high=60, ordered=False)
+    return a.select("doc_id").join(
+        b.select("doc_id"), "doc_id", "semi"
+    )

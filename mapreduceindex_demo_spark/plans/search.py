@@ -627,3 +627,71 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rt").cast("long").alias("rank_text"),
         F.col("rv").cast("long").alias("rank_vec"),
     )
+
+
+_SNIP_TERM = "vector"
+_SNIP_RADIUS = 3
+_SNIP_TOPK = 10
+
+
+@query(
+    "search_snippet_highlight",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, toks,
+                 list_position(toks, '{_SNIP_TERM}') AS p,
+                 len(list_filter(toks, t -> t = '{_SNIP_TERM}')) AS tf
+          FROM d WHERE list_contains(toks, '{_SNIP_TERM}'))
+    SELECT doc_id, CAST(tf AS BIGINT) AS tf,
+           CAST(p AS BIGINT) AS first_pos,
+           array_to_string(
+             toks[GREATEST(1, p - {_SNIP_RADIUS})
+                  : GREATEST(1, p - {_SNIP_RADIUS}) + {2 * _SNIP_RADIUS}],
+             ' ') AS snippet
+    FROM m ORDER BY tf DESC, doc_id LIMIT {_SNIP_TOPK}
+    """,
+    tags=("search", "snippet"),
+)
+def q_search_snippet_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet generation — the result-page half of the search surface:
+    for the top-k docs by term frequency, return the +/-3-token window
+    around the FIRST occurrence of the query term (the keyword-in-context
+    display every retrieval UI shows under a hit). Completes the family:
+    [q:search_bm25_topk] ranks, this renders.
+
+    Scale shape: match detection, tf, first-position, and the snippet
+    slice are all scan-local built-in array expressions over the token
+    array (array_contains / filter / array_position / slice — no explode,
+    no UDF), so the corpus pass is whole-stage-codegen'd; the only
+    exchange is the k-row TakeOrderedAndProject heap merge. Window
+    clamping at both text edges matches the oracle exactly: start =
+    max(1, p-3), fixed 7-token length, both engines clamp the tail at
+    the array end.
+
+    Determinism: tf and position are exact ints; the (tf DESC, doc_id)
+    order is total."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    m = d.where(F.array_contains("toks", _SNIP_TERM)).select(
+        "doc_id",
+        "toks",
+        F.array_position("toks", _SNIP_TERM).alias("p"),
+        F.size(
+            F.filter("toks", lambda t: t == F.lit(_SNIP_TERM))
+        ).cast("long").alias("tf"),
+    )
+    start = F.greatest(F.lit(1), F.col("p") - _SNIP_RADIUS)
+    return (
+        m.select(
+            "doc_id",
+            "tf",
+            F.col("p").cast("long").alias("first_pos"),
+            F.array_join(
+                F.slice("toks", start, 2 * _SNIP_RADIUS + 1), " "
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(_SNIP_TOPK)
+    )
