@@ -25,6 +25,7 @@ from mapreduceindex_demo_spark.plans import subqueries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import curation_ops  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import vector_ops  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -62,9 +63,14 @@ PRIORITY_50 = [
     # --- mapindex delegation (≥5 in-window): the three r6-single view
     # rows get their second confirmation; expr_build/bins are the
     # family's stalest multi rows (last green r4) ---
-    "mapindex_reduce_view",
     "mapindex_reduce_view_durable",
-    "mapindex_sketch_view",
+    # NEW this session (zero external rows): per-source embedding-centroid
+    # drift monitor (exact micro-unit integer statistics) and MMR
+    # diversified top-k (fixed-k greedy, lazily chained — no collects).
+    # Displace mapindex_reduce_view / mapindex_sketch_view (both r6-green;
+    # family in-window count stays ≥5).
+    "embedding_source_centroids",
+    "similarity_mmr_rerank",
     # NEW this session (zero external rows): index-intersection scan —
     # two secondary indexes ANDed on doc id (N1QL IntersectScan shape).
     # Displaces expr_build/bins (both multiply-green, last r4; family
