@@ -178,3 +178,67 @@ def decode_features(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
 
     prepared = df.select(F.col(doc_id), media_container().alias("media"))
     return prepared.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+#: nearest-neighbor 2x downsample output schema
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, n_out_pixels int, "
+    "out_byte_sum bigint, out_mean_byte double, out_pos_checksum bigint"
+)
+_CHECKSUM_MOD = 1_000_000_007
+
+
+def resize_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Resize for image-shaped payloads: nearest-neighbor 2x downsample
+    (keep every even row and even column of the gray8 raster), the third
+    op of the decode / feature-extract / resize / frame-sample quartet.
+    Same plumbing contract as `decode_features`: container assembly stays
+    JVM-side, the Arrow-batched mapInPandas stage decodes and vectorizes
+    per partition (no shuffle, no driver), and a real resampling kernel
+    (PIL.Image.resize, cv2.resize) slots in where the numpy mask is.
+
+    The output is summarized, not re-emitted as bytes: dimensions, pixel
+    count, byte sum, half-up-rounded mean, and a POSITIONAL checksum
+    (sum over output order of byte*(position+1) mod 1e9+7) — the checksum
+    pins the resample's exact output SEQUENCE, so a wrong row stride or a
+    transposed mask cannot pass. Partial last rows follow the container
+    contract (mask on pixel index, not on a padded rectangle)."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "out_width", "out_height", "n_out_pixels",
+                    "out_byte_sum", "out_mean_byte", "out_pos_checksum",
+                )
+            }
+            for did, blob in zip(pdf[doc_id], pdf["media"]):
+                codec, width, px = decode_media(blob)
+                arr = np.frombuffer(px, dtype=np.uint8)
+                n = arr.size
+                idx = np.arange(n)
+                mask = ((idx // width) % 2 == 0) & ((idx % width) % 2 == 0)
+                out = arr[mask].astype(np.int64)
+                m = out.size
+                s = int(out.sum()) if m else 0
+                chk = (
+                    int((out * (np.arange(m) + 1)).sum() % _CHECKSUM_MOD)
+                    if m
+                    else 0
+                )
+                rows["doc_id"].append(did)
+                rows["out_width"].append(-(-width // 2))
+                rows["out_height"].append((-(-n // width) + 1) // 2)
+                rows["n_out_pixels"].append(m)
+                rows["out_byte_sum"].append(s)
+                micro = (2 * s * 1_000_000 + m) // (2 * m) if m else 0
+                rows["out_mean_byte"].append(micro / 1_000_000.0)
+                rows["out_pos_checksum"].append(chk)
+            yield pd.DataFrame(rows)
+
+    prepared = df.select(F.col(doc_id), media_container().alias("media"))
+    return prepared.mapInPandas(resize, RESIZE_SCHEMA)

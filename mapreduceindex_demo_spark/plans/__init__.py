@@ -63,7 +63,10 @@ PRIORITY_50 = [
     # --- mapindex delegation (≥5 in-window): the three r6-single view
     # rows get their second confirmation; expr_build/bins are the
     # family's stalest multi rows (last green r4) ---
-    "mapindex_reduce_view_durable",
+    # NEW this session (zero external rows): the UnionScan twin of the
+    # intersect scan below. Displaces mapindex_reduce_view_durable
+    # (r6-green); family in-window count stays 5 with the union.
+    "mapindex_scan_union",
     # NEW this session (zero external rows): per-source embedding-centroid
     # drift monitor (exact micro-unit integer statistics) and MMR
     # diversified top-k (fixed-k greedy, lazily chained — no collects).
@@ -90,8 +93,10 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "embedding_int8_quantization",
     "balanced_source_sample",
-    # --- r3-single family guard (multimodal) ---
-    "multimodal_binary_stats",
+    # NEW this session (zero external rows): the resize op completing the
+    # multimodal decode/extract/resize/frame-sample quartet. Displaces
+    # multimodal_binary_stats (r3-green + parity) as the family guard.
+    "multimodal_resize_downsample",
     # --- NEW this session (zero external rows — must be in-window):
     # C4-style rule gate with per-rule violation counts, boilerplate
     # prefix-family detector, deterministic token-budget selection, and

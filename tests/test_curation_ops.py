@@ -109,3 +109,26 @@ def test_scan_intersect_matches_direct_predicate(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_scan_union_matches_direct_predicate_and_dedupes(spark):
+    got = [
+        r.doc_id
+        for r in QUERIES["mapindex_scan_union"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert len(got) == len(set(got)), "union scan must dedupe overlap"
+    d = load_table(spark, PARITY_SF_DIR, "documents")
+    want = {
+        r.doc_id
+        for r in d.where(
+            (F.col("source") == "src3")
+            | F.size(F.split(F.col("text"), " ")).between(80, 99)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert set(got) == want
+    # the overlap is real: union output < sum of the two sides
+    a = d.where(F.col("source") == "src3").count()
+    b = d.where(F.size(F.split(F.col("text"), " ")).between(80, 99)).count()
+    assert len(got) < a + b
