@@ -449,3 +449,55 @@ def test_keep_best_drop_list_is_anti_join(spark):
     )
     assert "LeftAnti" in plan, plan
     assert _n(plan, r"CartesianProduct") == 0, plan
+
+
+def test_c4_gate_is_scan_local_single_exchange(spark):
+    """The rule gate's four boolean columns are built-in array/length
+    expressions — no explode (Generate), no UDF; the per-source aggregate
+    is the only hash exchange, partial-aggregated map-side."""
+    plan = _final_plan(QUERIES["text_c4_style_gate"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bGenerate\b") == 0, plan
+    assert _n(plan, r"Exchange hashpartitioning") == 1, plan
+    assert _n(plan, r"BatchEvalPython|ArrowEvalPython") == 0, plan
+
+
+def test_token_budget_single_source_window(spark):
+    """Budget selection = ONE window over the source partitioning; the
+    final per-source aggregate rides a second exchange at most."""
+    plan = _final_plan(QUERIES["curation_token_budget"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"\bWindow\b") == 1, plan
+    assert _n(plan, r"Exchange hashpartitioning") <= 2, plan
+
+
+def test_boilerplate_prefix_two_phase_distinct(spark):
+    """Prefix hashing is scan-local (slice + md5, no Generate); the
+    count-distinct-source aggregate runs as Spark's standard two-phase
+    expansion — partial agg on (prefix, source), then (prefix) — so BOTH
+    exchanges carry map-side-combined rows, never raw documents."""
+    plan = _final_plan(
+        QUERIES["dedup_boilerplate_prefix"].fn(spark, PARITY_SF_DIR)
+    )
+    assert _n(plan, r"\bGenerate\b") == 0, plan
+    assert _n(plan, r"Exchange hashpartitioning") == 2, plan
+    assert _n(plan, r"partial_count") >= 1, plan
+
+
+def test_centroid_monitor_has_no_float_average(spark):
+    """The drift monitor's served means must come from exact integer sums
+    (micro-units) — no avg() aggregate may appear in the physical plan,
+    and the statistics join back to the element stream as a broadcast,
+    never a SortMergeJoin."""
+    plan = _final_plan(
+        QUERIES["embedding_source_centroids"].fn(spark, PARITY_SF_DIR)
+    )
+    assert "avg(" not in plan.lower(), plan
+    assert _n(plan, r"SortMergeJoin") == 0, plan
+    assert _n(plan, r"BroadcastHashJoin") >= 1, plan
+
+
+def test_scan_union_distinct_is_partial_aggregated(spark):
+    """UnionScan's dedupe is a two-phase (partial + final) hash aggregate —
+    map-side combine before the only exchange."""
+    plan = _final_plan(QUERIES["mapindex_scan_union"].fn(spark, PARITY_SF_DIR))
+    assert _n(plan, r"Exchange hashpartitioning") == 1, plan
+    assert _n(plan, r"HashAggregate") >= 2, plan
