@@ -97,10 +97,13 @@ def main() -> None:
         )
 
     probe_after = _probe(spark)
-    # min of the two: a co-running workload (the r4/r5 contamination mode)
-    # is sustained and elevates BOTH probes; the suite's own GC pressure
-    # only inflates the after-probe, which must not self-flag.
-    probe = min(probe_before, probe_after)
+    # max of the two (r7 verdict): contention at EITHER end of the run can
+    # pollute timings — BENCH_r07 shipped a 1.57x-reference before-probe
+    # under a clean flag because only the after-probe was checked. The old
+    # min() rationale (suite GC inflating the after-probe shouldn't
+    # self-flag) proved theoretical: a flagged-noisy artifact is re-run on
+    # a quiet machine either way, and a falsely-clean one is worse.
+    probe = max(probe_before, probe_after)
     noisy = probe > 1.5 * _PROBE_REF_SEC
     if noisy:
         print(

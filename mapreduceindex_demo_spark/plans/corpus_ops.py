@@ -257,9 +257,16 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.array_sort(F.collect_set("b")).alias("bits"))
     )
+    # truth join carries NO static broadcast hint: `keys` is
+    # data-dependent (all orders above a price predicate), and the
+    # round-6 policy is to never hint a side AQE can't demote — at bench
+    # scales AQE still broadcasts it from runtime bytes; at 100 TB it
+    # degrades gracefully to a shuffle join instead of an OOM. The Bloom
+    # BITSET broadcast above stays hinted: it is ≤ m=8192 positions by
+    # construction, a constant bound.
     probed = (
         li.crossJoin(F.broadcast(bits))
-        .join(F.broadcast(keys), F.col("l_orderkey") == F.col("k"), "left")
+        .join(keys, F.col("l_orderkey") == F.col("k"), "left")
         .select(
             F.when(
                 sum(

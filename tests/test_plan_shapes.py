@@ -501,3 +501,17 @@ def test_scan_union_distinct_is_partial_aggregated(spark):
     plan = _final_plan(QUERIES["mapindex_scan_union"].fn(spark, PARITY_SF_DIR))
     assert _n(plan, r"Exchange hashpartitioning") == 1, plan
     assert _n(plan, r"HashAggregate") >= 2, plan
+
+
+def test_bloom_prune_truth_join_unhinted_and_fact_unshuffled(spark):
+    """r8 policy fix: the Bloom-prune truth join's key side is
+    data-dependent (orders above a price predicate) so it must carry NO
+    static broadcast hint — AQE decides from runtime bytes and can demote
+    to a shuffle join at scale. Only the two constant-bounded sides stay
+    hinted: the ≤8192-position bitset and the 1-row key count. And the
+    whole query must never shuffle the fact table."""
+    df = QUERIES["sketch_bloom_prune"].fn(spark, PARITY_SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plan = _final_plan(df)
+    assert _n(plan, r"Exchange hashpartitioning") == 0, plan

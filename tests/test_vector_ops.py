@@ -100,3 +100,115 @@ def test_mmr_matches_numpy_greedy_and_diversifies(spark):
     plain = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_K]
     assert [r.vec_id for r in rows] != plain
     assert len({r.vec_id for r in rows}) == _MMR_K
+
+
+def _fold_sum(vals):
+    """In-order left fold, mirroring F.aggregate / DuckDB list_reduce."""
+    acc = 0.0
+    for v in vals:
+        acc += float(v)
+    return acc
+
+
+def _cos6(a, b):
+    num = _fold_sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(_fold_sum(x * x for x in a)) * math.sqrt(
+        _fold_sum(y * y for y in b)
+    )
+    return round(num / den, 6)
+
+
+def test_pq_adc_matches_numpy(spark):
+    """Third implementation of the PQ-ADC pipeline: seeds -> one Lloyd
+    pass on the bounded sample -> corpus coding -> ADC table -> top-k,
+    every subspace distance floored to exact integer micro-units."""
+    from mapreduceindex_demo_spark.plans.vector_ops import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SAMPLE,
+        _PQ_SUB,
+        _PQ_TOPK,
+    )
+
+    ids, embs = _embeddings()
+    byid = {v: embs[i] for i, v in enumerate(ids)}
+
+    def subv(vid, s):
+        return byid[vid][s * _PQ_SUB : (s + 1) * _PQ_SUB]
+
+    def dm(a, b):
+        return int(math.floor(1_000_000 * _fold_sum((x - y) * (x - y) for x, y in zip(a, b))))
+
+    # seed codebook: subvectors of vec_id 1.._PQ_K
+    seeds = {s: {cid: subv(cid, s) for cid in range(1, _PQ_K + 1)} for s in range(_PQ_M)}
+    # one Lloyd pass over the bounded sample
+    members: dict[tuple[int, int], list] = {}
+    for vid in [v for v in ids if 1 <= v <= _PQ_SAMPLE]:
+        for s in range(_PQ_M):
+            sv = subv(vid, s)
+            best = min(seeds[s], key=lambda cid: (dm(sv, seeds[s][cid]), cid))
+            members.setdefault((s, best), []).append(sv)
+    codebook = {
+        (s, cid): [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(_PQ_SUB)]
+        for (s, cid), mem in members.items()
+    }
+    # code the corpus + ADC lookup table for the query vector
+    dtab = {
+        (s, cid): dm(subv(0, s), cv) for (s, cid), cv in codebook.items()
+    }
+    micro = {}
+    for vid in ids:
+        if vid == 0:
+            continue
+        total = 0
+        for s in range(_PQ_M):
+            sv = subv(vid, s)
+            cands = [(cid, cv) for (cs, cid), cv in codebook.items() if cs == s]
+            code = min(cands, key=lambda t: (dm(sv, t[1]), t[0]))[0]
+            total += dtab[(s, code)]
+        micro[vid] = total
+    expect = sorted(micro, key=lambda v: (micro[v], v))[:_PQ_TOPK]
+
+    rows = QUERIES["similarity_pq_adc_ann"].fn(spark, PARITY_SF_DIR).collect()
+    assert [r.vec_id for r in rows] == expect
+    for r in rows:
+        assert abs(r.approx_dist - round(micro[r.vec_id] / 1_000_000.0, 6)) < 1e-9
+    # ADC is an approximation of true distance, not equal to it: at least
+    # one ranked distance must differ from the exact subspace-sum distance
+    exact0 = {
+        v: sum(dm(subv(v, s), subv(0, s)) for s in range(_PQ_M)) for v in expect
+    }
+    assert any(micro[v] != exact0[v] for v in expect)
+
+
+def test_projection_recall_matches_numpy(spark):
+    """Third implementation of the JL-projection recall contract: project
+    64 -> 8 dims through the deterministic integer plane family, compare
+    projected-space top-20 against exact top-20."""
+    from mapreduceindex_demo_spark.plans.vector_ops import _PROJ_DIMS, _PROJ_K
+
+    ids, embs = _embeddings()
+    byid = {v: embs[i] for i, v in enumerate(ids)}
+    planes = [
+        [float((((i - 1) * 31 + j * 17) % 7) - 3) for i in range(1, 65)]
+        for j in range(_PROJ_DIMS)
+    ]
+
+    def proj(v):
+        return [_fold_sum(x * w for x, w in zip(v, p)) for p in planes]
+
+    q = byid[0]
+    corpus = [v for v in ids if v != 0]
+    exact = sorted(corpus, key=lambda v: (-_cos6(byid[v], q), v))[:_PROJ_K]
+    pq_ = proj(q)
+    projected = sorted(corpus, key=lambda v: (-_cos6(proj(byid[v]), pq_), v))[:_PROJ_K]
+    n_overlap = len(set(exact) & set(projected))
+
+    rows = QUERIES["similarity_projection_recall"].fn(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_overlap == n_overlap
+    assert abs(getattr(r, f"recall_at_{_PROJ_K}") - round(n_overlap / _PROJ_K, 6)) < 1e-9
+    assert r.proj_dims == _PROJ_DIMS
+    # the contract is meaningful only if the projection is lossy-but-useful
+    assert 0 < n_overlap < _PROJ_K
