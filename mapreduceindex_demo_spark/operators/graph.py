@@ -85,3 +85,71 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over an undirected edge list, ALL-INTEGER: returns
+    ``(node, rank_e12)`` after ``iters`` power iterations.
+
+    Cross-engine determinism is the design constraint: float PageRank sums
+    contributions in shuffle order, so two engines (or two runs) disagree
+    in ulps and a value-hash comparison fails. Here rank mass lives on an
+    integer grid (``scale`` units = total mass 1.0) and every step is
+    integer arithmetic — contribution = (r·damping_pct·w) div (100·outw),
+    teleport base = ((100−damping_pct)·scale) div (100·N) — so the fixed
+    point is bit-identical on any engine with 64-bit integer division.
+    Flooring leaks ≤1 unit of mass per edge per round (≤ |E|·iters /
+    scale ≈ 1e-6 of total mass here): PageRank's ORDERING is insensitive
+    to this uniform-downward bias, and determinism is worth more than the
+    12th decimal of mass conservation.
+
+    Scale shape (Pregel-on-DataFrames): the edge list (with each source's
+    out-weight attached) is localCheckpointed ONCE — the caller's edge
+    derivation runs exactly once, not once per round — and each iteration
+    is one equi-join of the rank frame to the edges plus one
+    map-side-combinable groupBy(dst) SUM: per round the shuffle carries
+    O(|E|) contributions and O(|V|) partial sums, nothing ever collects
+    to the driver (N and the teleport base ride a 1-row broadcast). At
+    100 TB this is exactly GraphX/Pregel's communication pattern, minus
+    the RDD API. Overflow bound: r ≤ scale, so r·damping_pct·w needs
+    w ≤ 9.2e18/(scale·100) ≈ 1e5 per edge — aggregate heavier multi-edges
+    before calling.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")))
+    )
+    outw = sym.groupBy("u").agg(F.sum("w").alias("outw"))
+    e = (
+        sym.join(outw, "u")
+        .select("u", "v", "w", "outw")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    nrow = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nrow.select(
+        F.expr(f"({100 - damping_pct} * CAST({scale} AS BIGINT)) div (100 * n)").alias("base")
+    )
+    ranks = nodes.crossJoin(F.broadcast(nrow)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) div n").alias("r")
+    )
+    for _ in range(iters):
+        contrib = e.join(ranks, e.u == ranks.node).select(
+            F.col("v").alias("node"),
+            F.expr(f"(r * {damping_pct} * w) div (100 * outw)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").cast("long").alias("rc"))
+            .crossJoin(F.broadcast(base))
+            .select("node", (F.col("base") + F.col("rc")).alias("r"))
+        )
+    return ranks.select("node", F.col("r").alias("rank_e12"))

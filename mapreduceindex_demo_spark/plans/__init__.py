@@ -27,6 +27,7 @@ from mapreduceindex_demo_spark.plans import search  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import curation_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import vector_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import corpus_ops  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import graph_queries  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -52,6 +53,10 @@ PRIORITY_50 = [
     # the two r7 snapshot orphans: zero external rows -> MUST be in-window
     "similarity_pq_adc_ann",
     "similarity_projection_recall",
+    # NEW this round (zero external rows): all-integer weighted PageRank —
+    # the second iterative/Pregel operator beside connected components.
+    # Displaces the r1-single top_orders_per_customer (keeps its r1 green).
+    "graph_pagerank_topk",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -87,8 +92,9 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (23 of 24; top_returning_customers keeps its
-    # committed r1 green and waits for r9 — the window is full) ---
+    # --- the r1-single rows (22 of 24; top_returning_customers and
+    # top_orders_per_customer keep their committed r1 greens and wait for
+    # r9 — new-this-round queries take their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -111,7 +117,6 @@ PRIORITY_50 = [
     "rollup_returnflag_status",
     "shipments_within_90_days",
     "top100_expensive_items",
-    "top_orders_per_customer",
 ]
 
 
