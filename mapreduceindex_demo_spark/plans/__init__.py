@@ -57,6 +57,10 @@ PRIORITY_50 = [
     # the second iterative/Pregel operator beside connected components.
     # Displaces the r1-single top_orders_per_customer (keeps its r1 green).
     "graph_pagerank_topk",
+    # NEW this round (zero external rows): per-source shingle novelty —
+    # the acquisition-side twin of the dedup family. Displaces the
+    # r1-single top_returning_customers (keeps its r1 green).
+    "text_shingle_novelty",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -92,9 +96,10 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (22 of 24; top_returning_customers and
-    # top_orders_per_customer keep their committed r1 greens and wait for
-    # r9 — new-this-round queries take their slots) ---
+    # --- the r1-single rows (21 of 24; top_returning_customers,
+    # top_orders_per_customer and top100_expensive_items keep their
+    # committed r1 greens and wait for r9 — new-this-round queries take
+    # their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -116,7 +121,6 @@ PRIORITY_50 = [
     "priority_distinct_customers",
     "rollup_returnflag_status",
     "shipments_within_90_days",
-    "top100_expensive_items",
 ]
 
 
