@@ -61,6 +61,11 @@ PRIORITY_50 = [
     # the acquisition-side twin of the dedup family. Displaces the
     # r1-single top_returning_customers (keeps its r1 green).
     "text_shingle_novelty",
+    # NEW this round (zero external rows): IVF-PQ composed ANN; its
+    # refactor also touched similarity_pq_adc_ann (shared
+    # _pq_codes_and_dtab), which is in-window above anyway. Displaces
+    # the r1-single shipments_within_90_days (keeps its r1 green).
+    "similarity_ivf_pq_ann",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -96,10 +101,10 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (21 of 24; top_returning_customers,
-    # top_orders_per_customer and top100_expensive_items keep their
-    # committed r1 greens and wait for r9 — new-this-round queries take
-    # their slots) ---
+    # --- the r1-single rows (20 of 24; top_returning_customers,
+    # top_orders_per_customer, top100_expensive_items and
+    # shipments_within_90_days keep their committed r1 greens and wait
+    # for r9 — new-this-round queries take their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -120,7 +125,6 @@ PRIORITY_50 = [
     "part_string_functions",
     "priority_distinct_customers",
     "rollup_returnflag_status",
-    "shipments_within_90_days",
 ]
 
 

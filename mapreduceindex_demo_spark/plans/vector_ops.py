@@ -468,6 +468,51 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("ee")
     )
+    codes, dtab = _pq_codes_and_dtab(e)
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("dm").alias("micro"))
+    )
+    return (
+        adc.orderBy(F.asc("micro"), F.asc("vec_id"))
+        .limit(_PQ_TOPK)
+        .select(
+            "vec_id",
+            (
+                F.round(F.col("micro").cast("double") / F.lit(1000000.0), 6)
+                + F.lit(0.0)
+            ).alias("approx_dist"),
+        )
+    )
+
+
+def _sqdist_micro(a: F.Column, b: F.Column) -> F.Column:
+    """floor(1e6 · Σ (a[i]−b[i])²) as bigint — the in-order fold squared-L2
+    in exact micro-units (the Spark twin of _duck_sqdist_micro)."""
+    return F.floor(
+        F.lit(1000000)
+        * F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    ).cast("long")
+
+
+def _pq_codes_and_dtab(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PQ index pieces shared by [q:similarity_pq_adc_ann] (flat ADC
+    ranking) and [q:similarity_ivf_pq_ann] (cell-pruned ADC ranking):
+    train the per-subspace codebooks on the bounded sample (seeds = first
+    k subvectors, one Lloyd pass, 6-dp-grid re-center), then return
+
+    - ``codes``: (vec_id, s, cid) — every corpus vector's per-subspace
+      code (the 4-byte/vector index artifact);
+    - ``dtab``: (s, cid, dm) — the query vector's m×k ADC lookup table,
+      every entry an exact micro-unit bigint.
+    """
+    from pyspark.sql import Window
+
     sub = e.select(
         "vec_id",
         F.posexplode(
@@ -476,19 +521,6 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s", "sv"),
     )
-
-    def sqdist_micro(a: F.Column, b: F.Column) -> F.Column:
-        return F.floor(
-            F.lit(1000000)
-            * F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).cast("long")
-
-    from pyspark.sql import Window
-
     seeds = sub.where(F.col("vec_id").between(1, _PQ_K)).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
@@ -498,7 +530,7 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample.join(F.broadcast(seeds), "s")
         .select(
             "vec_id", "s", "sv", "cid",
-            sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"),
+            _sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -516,7 +548,7 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(codebook), "s")
         .select(
             "vec_id", "s", "cid",
-            sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"),
+            _sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"),
         )
         .groupBy("vec_id", "s")
         .agg(F.min(F.struct("dm", "cid")).getField("cid").alias("cid"))
@@ -524,12 +556,133 @@ def q_pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtab = (
         sub.where(F.col("vec_id") == 0)
         .join(F.broadcast(codebook), "s")
-        .select("s", "cid", sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"))
+        .select("s", "cid", _sqdist_micro(F.col("sv"), F.col("cv")).alias("dm"))
     )
+    return codes, dtab
+
+
+# ==========================================================================
+# IVF-PQ: coarse cell pruning × product-quantized ADC ranking (FAISS
+# IndexIVFPQ shape, by_residual=false)
+# ==========================================================================
+
+
+def _ivf_pq_oracle() -> str:
+    from mapreduceindex_demo_spark.plans.llm import (
+        _IVF_CENTROIDS,
+        _IVF_NPROBE,
+        _duck_ivf_iter,
+    )
+
+    subs = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, ee[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}] AS sv"
+        f" FROM e0"
+        for s in range(_PQ_M)
+    )
+    d = _duck_sqdist_micro("ps.sv", "pc0.cv")
+    d1 = _duck_sqdist_micro("ps.sv", "pc1.cv")
+    dq = _duck_sqdist_micro("qs.sv", "pc1.cv")
+    return f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+                FROM embeddings),
+    corpus AS (SELECT * FROM e0 WHERE vec_id <> 0),
+    c0 AS (SELECT vec_id AS cid, ee AS ce FROM corpus
+           WHERE vec_id BETWEEN 1 AND {_IVF_CENTROIDS}),
+    {_duck_ivf_iter(1, 'c0')},
+    {_duck_ivf_iter(2, 'c1')},
+    sims AS (SELECT e0.vec_id, e0.ee, c2.cid,
+      round({_duck_dot('ee', 'ce')}
+            / (sqrt({_duck_dot('ee', 'ee')}) * sqrt({_duck_dot('ce', 'ce')})), 6)
+        + 0.0 AS csim
+      FROM e0 CROSS JOIN c2),
+    ranked AS (SELECT *, row_number()
+        OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims),
+    probes AS (SELECT cid AS pcid FROM ranked
+               WHERE vec_id = 0 AND rn <= {_IVF_NPROBE}),
+    assign AS (SELECT vec_id, cid AS ccid FROM ranked
+               WHERE vec_id <> 0 AND rn = 1),
+    ps AS ({subs}),
+    pc0 AS (SELECT s, vec_id AS cid, sv AS cv FROM ps
+            WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+    pa1 AS (SELECT ps.vec_id, ps.s, ps.sv, pc0.cid, {d} AS dm
+            FROM ps JOIN pc0 ON ps.s = pc0.s
+            WHERE ps.vec_id BETWEEN 1 AND {_PQ_SAMPLE}),
+    pb1 AS (SELECT * FROM (SELECT *, row_number()
+        OVER (PARTITION BY vec_id, s ORDER BY dm, cid) AS rn FROM pa1)
+      WHERE rn = 1),
+    pg1 AS (SELECT s, cid, list(sv ORDER BY vec_id) AS vs
+            FROM pb1 GROUP BY s, cid),
+    pc1 AS (SELECT s, cid, list_transform(range(1, {_PQ_SUB} + 1),
+        d -> round(list_reduce(list_transform(vs, v -> v[d]), (x, y) -> x + y)
+             / len(vs), 6) + 0.0) AS cv
+      FROM pg1),
+    codes AS (SELECT vec_id, s, cid FROM (
+        SELECT ps.vec_id, ps.s, pc1.cid, row_number()
+          OVER (PARTITION BY ps.vec_id, ps.s ORDER BY {d1}, pc1.cid) AS rn
+        FROM ps JOIN pc1 ON ps.s = pc1.s
+        WHERE ps.vec_id <> 0)
+      WHERE rn = 1),
+    dtab AS (SELECT qs.s, pc1.cid, {dq} AS dm
+             FROM (SELECT * FROM ps WHERE vec_id = 0) qs
+             JOIN pc1 ON qs.s = pc1.s),
+    cand AS (SELECT codes.vec_id, codes.s, codes.cid
+             FROM codes JOIN assign USING (vec_id)
+             JOIN probes ON assign.ccid = probes.pcid),
+    adc AS (SELECT cand.vec_id, CAST(SUM(dtab.dm) AS BIGINT) AS micro
+            FROM cand JOIN dtab ON cand.s = dtab.s AND cand.cid = dtab.cid
+            GROUP BY cand.vec_id)
+    SELECT vec_id, round(CAST(micro AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS approx_dist
+    FROM adc ORDER BY micro, vec_id LIMIT {_PQ_TOPK}
+    """
+
+
+@query(
+    "similarity_ivf_pq_ann",
+    oracle=_ivf_pq_oracle(),
+    tags=("llm", "similarity", "ivf", "pq", "ann"),
+)
+def q_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production composition (FAISS IndexIVFPQ,
+    by_residual=false): the trained coarse quantizer of
+    [q:similarity_ivf_ann] prunes the corpus to the query's nprobe=2
+    nearest cells, and ranking inside the probed cells is the
+    [q:similarity_pq_adc_ann] lookup-table sum over the 4-byte/vector
+    codes — so the serving path touches nprobe/k of the CODES table and
+    never a raw vector. This is the fourth ANN index and the one real
+    systems deploy at billion scale: IVF bounds the scan, PQ bounds the
+    bytes; both quantizers train on bounded samples, both ranking
+    arithmetic paths are exact integer micro-units.
+
+    Scale shape: coarse probe = one broadcast of k trained centroids +
+    an equi-join on cell id (the IVF contract); PQ ranking = the
+    candidate-pruned codes join the broadcast m×k table (16 rows) and
+    sum per vector — the candidate set carries NO broadcast hint (it
+    grows as n·nprobe/k; the round-6 hint-free policy), while the
+    bounded dtab does. Composition reuses _pq_codes_and_dtab verbatim —
+    index artifacts are shared between the flat and the cell-pruned
+    server, exactly how a deployment amortizes one build across
+    serving strategies."""
+    from mapreduceindex_demo_spark.plans.llm import (
+        _IVF_NPROBE,
+        _ivf_ranked_assignments,
+    )
+
+    e, ranked = _ivf_ranked_assignments(spark, sf_dir)
+    probes = ranked.where(
+        (F.col("vec_id") == 0) & (F.col("rn") <= _IVF_NPROBE)
+    ).select(F.col("cid").alias("pcid"))
+    cand = (
+        ranked.where((F.col("vec_id") != 0) & (F.col("rn") == 1))
+        .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+        .select("vec_id")
+    )
+    codes, dtab = _pq_codes_and_dtab(e)
     adc = (
-        codes.join(F.broadcast(dtab), ["s", "cid"])
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dtab), ["s", "cid"])
         .groupBy("vec_id")
-        .agg(F.sum("dm").alias("micro"))
+        .agg(F.sum("dm").cast("long").alias("micro"))
     )
     return (
         adc.orderBy(F.asc("micro"), F.asc("vec_id"))

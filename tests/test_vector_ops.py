@@ -212,3 +212,96 @@ def test_projection_recall_matches_numpy(spark):
     assert r.proj_dims == _PROJ_DIMS
     # the contract is meaningful only if the projection is lossy-but-useful
     assert 0 < n_overlap < _PROJ_K
+
+
+def test_ivf_pq_matches_numpy(spark):
+    """Third implementation of the IVF-PQ composition: Python-trained
+    coarse quantizer (2 Lloyd passes, 6-dp grid) prunes to nprobe cells,
+    PQ codes + ADC table rank the survivors."""
+    from mapreduceindex_demo_spark.plans.llm import (
+        _IVF_CENTROIDS,
+        _IVF_ITERS,
+        _IVF_NPROBE,
+    )
+    from mapreduceindex_demo_spark.plans.vector_ops import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SAMPLE,
+        _PQ_SUB,
+        _PQ_TOPK,
+    )
+
+    ids, embs = _embeddings()
+    byid = {v: embs[i] for i, v in enumerate(ids)}
+    corpus = sorted(v for v in ids if v != 0)
+
+    # --- coarse quantizer: seeds = first k corpus vectors, 2 Lloyd passes
+    cents = {cid: list(byid[cid]) for cid in corpus[:_IVF_CENTROIDS]}
+
+    def assign(v):
+        return max(
+            cents, key=lambda cid: (_cos6(byid[v], cents[cid]), -cid)
+        )
+
+    for _ in range(_IVF_ITERS):
+        members: dict[int, list] = {}
+        for v in corpus:
+            members.setdefault(assign(v), []).append(byid[v])
+        cents = {
+            cid: [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(64)]
+            for cid, mem in members.items()
+        }
+    probes = sorted(
+        cents, key=lambda cid: (-_cos6(byid[0], cents[cid]), cid)
+    )[:_IVF_NPROBE]
+    cand = [v for v in corpus if assign(v) in probes]
+    assert 0 < len(cand) < len(corpus)  # pruning actually pruned
+
+    # --- PQ pieces (same recomputation as test_pq_adc_matches_numpy)
+    def subv(vid, s):
+        return byid[vid][s * _PQ_SUB : (s + 1) * _PQ_SUB]
+
+    def dm(a, b):
+        return int(math.floor(1_000_000 * _fold_sum((x - y) * (x - y) for x, y in zip(a, b))))
+
+    seeds = {s: {cid: subv(cid, s) for cid in range(1, _PQ_K + 1)} for s in range(_PQ_M)}
+    members2: dict[tuple[int, int], list] = {}
+    for vid in [v for v in ids if 1 <= v <= _PQ_SAMPLE]:
+        for s in range(_PQ_M):
+            sv = subv(vid, s)
+            best = min(seeds[s], key=lambda cid: (dm(sv, seeds[s][cid]), cid))
+            members2.setdefault((s, best), []).append(sv)
+    codebook = {
+        (s, cid): [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(_PQ_SUB)]
+        for (s, cid), mem in members2.items()
+    }
+    dtab = {(s, cid): dm(subv(0, s), cv) for (s, cid), cv in codebook.items()}
+    micro = {}
+    for vid in cand:
+        total = 0
+        for s in range(_PQ_M):
+            sv = subv(vid, s)
+            cands = [(cid, cv) for (cs, cid), cv in codebook.items() if cs == s]
+            code = min(cands, key=lambda t: (dm(sv, t[1]), t[0]))[0]
+            total += dtab[(s, code)]
+        micro[vid] = total
+    expect = sorted(micro, key=lambda v: (micro[v], v))[:_PQ_TOPK]
+
+    rows = QUERIES["similarity_ivf_pq_ann"].fn(spark, PARITY_SF_DIR).collect()
+    assert [r.vec_id for r in rows] == expect
+    for r in rows:
+        assert abs(r.approx_dist - round(micro[r.vec_id] / 1_000_000.0, 6)) < 1e-9
+
+
+def test_ivf_pq_hints_only_bounded_sides(spark):
+    """The hint-free policy, pinned: the composed plan hints ONLY
+    constant-bounded sides — trained centroids (k rows, once per Lloyd
+    pass + once for ranking), probe list (nprobe rows), PQ seeds +
+    codebook + ADC table (m·k rows each) — and the data-dependent
+    candidate set carries NO hint. The analyzed TREE duplicates shared
+    hinted subtrees (the centroid chain appears under both the probe and
+    the assignment branch), so the textual count is 12; a 13th hint
+    appearing here means someone hinted a data-dependent side."""
+    df = QUERIES["similarity_ivf_pq_ann"].fn(spark, PARITY_SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 12, analyzed
