@@ -66,6 +66,9 @@ PRIORITY_50 = [
     # _pq_codes_and_dtab), which is in-window above anyway. Displaces
     # the r1-single shipments_within_90_days (keeps its r1 green).
     "similarity_ivf_pq_ann",
+    # NEW this round (zero external rows): Pareto-frontier skyline gate.
+    # Displaces the r1-single order_priority_check (keeps its r1 green).
+    "curation_pareto_frontier",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -101,10 +104,11 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (20 of 24; top_returning_customers,
-    # top_orders_per_customer, top100_expensive_items and
-    # shipments_within_90_days keep their committed r1 greens and wait
-    # for r9 — new-this-round queries take their slots) ---
+    # --- the r1-single rows (19 of 24; top_returning_customers,
+    # top_orders_per_customer, top100_expensive_items,
+    # shipments_within_90_days and order_priority_check keep their
+    # committed r1 greens and wait for r9 — new-this-round queries take
+    # their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -117,7 +121,6 @@ PRIORITY_50 = [
     "nation_trade_by_year",
     "order_conditional_functions",
     "order_date_functions",
-    "order_priority_check",
     "order_quartiles",
     "orderless_customers",
     "orders_above_customer_average",

@@ -242,3 +242,112 @@ def q_curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ntok") / F.lit(float(_TOKEN_BUDGET)), 6) + F.lit(0.0)
         ).alias("budget_utilization"),
     )
+
+
+# ==========================================================================
+# Pareto frontier (skyline) over quality × length
+# ==========================================================================
+
+#: local-skyline buckets — any disjoint partitioning is correct (the
+#: skyline operator is distributive: the global skyline is a subset of the
+#: union of per-partition skylines), so the bucket count only tunes
+#: parallelism of the local pass
+_SKY_BUCKETS = 32
+
+
+@query(
+    "curation_pareto_frontier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+        len(string_split(text, ' ')) AS ntok,
+        len(list_distinct(string_split(text, ' '))) AS ndis,
+        n_chars
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(round(round(LEAST(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+                         * (CAST(ndis AS DOUBLE) / CAST(ntok AS DOUBLE)), 6)
+                   * 1000000, 0) AS BIGINT) AS qm
+      FROM t)
+    SELECT p.doc_id, p.source, p.n_chars,
+           round(CAST(p.qm AS DOUBLE) / 1000000.0, 6) + 0.0 AS quality
+    FROM s p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s o
+      WHERE o.qm >= p.qm AND o.n_chars >= p.n_chars
+        AND (o.qm > p.qm OR o.n_chars > p.n_chars))
+    """,
+    tags=("curation", "skyline", "pareto"),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (SKYLINE, Börzsönyi et al. 2001) of the corpus
+    under two maximize-criteria — quality score and length: the documents
+    no other document beats on BOTH axes (strict in at least one). The
+    multi-objective version of the suite's single-scalar gates: a
+    curation team keeps the frontier when it won't collapse quality and
+    volume into one weighted number. Exact-tie points (same quality, same
+    length) don't dominate each other — both stay, matching the NOT
+    EXISTS oracle.
+
+    The skyline trick that avoids all-pairs: sort by quality, and a doc
+    is dominated iff some strictly-higher-quality doc is at least as
+    long (a running MAX over the strictly-greater range — RANGE BETWEEN
+    1 FOLLOWING AND UNBOUNDED on the quality axis) or some equal-quality
+    doc is strictly longer (the RANGE CURRENT ROW frame). Two window
+    functions replace the O(n²) self-join.
+
+    Scale shape (distributive two-phase, the classic distributed
+    skyline): phase 1 computes that window pass WITHIN each of 32
+    disjoint hash buckets — local skylines, fully parallel, one bucketed
+    exchange; phase 2 re-runs the identical pass globally over only the
+    local survivors (frontier-sized input: the one global-ordered window
+    in the plan sees |local skylines| rows, never the corpus — the
+    'tiny window' pattern the curated_training_set plan test pins).
+    Quality is the 6-dp-rounded score lifted to exact integer
+    micro-units, so every dominance comparison is integer."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    ndis = F.size(F.array_distinct(F.split("text", " ")))
+    s = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.round(
+                F.least(ntok.cast("double") / 100.0, F.lit(1.0))
+                * (ndis.cast("double") / ntok.cast("double")),
+                6,
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("qm"),
+    )
+
+    def skyline_pass(df: DataFrame, *part) -> DataFrame:
+        base = Window.partitionBy(*part) if part else Window.partitionBy()
+        hi = base.orderBy(F.asc("qm")).rangeBetween(1, Window.unboundedFollowing)
+        eq = base.orderBy(F.asc("qm")).rangeBetween(0, 0)
+        return (
+            df.withColumn("mx_hi", F.max("n_chars").over(hi))
+            .withColumn("mx_eq", F.max("n_chars").over(eq))
+            .where(
+                (F.col("mx_hi").isNull() | (F.col("mx_hi") < F.col("n_chars")))
+                & (F.col("mx_eq") <= F.col("n_chars"))
+            )
+            .drop("mx_hi", "mx_eq")
+        )
+
+    local = skyline_pass(
+        s.withColumn("b", F.pmod(F.col("doc_id"), F.lit(_SKY_BUCKETS))), "b"
+    ).drop("b")
+    return skyline_pass(local).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.round(F.col("qm").cast("double") / 1000000.0, 6) + F.lit(0.0)).alias(
+            "quality"
+        ),
+    )
