@@ -44,8 +44,8 @@ PRIORITY_50 = [
     # --- r8 rotation. Zero-external-green queries (the two r7
     # snapshot-commit orphans — the r8 verdict's top item) are in-window
     # by the machine-enforced rule; the rest of the window maximizes
-    # SECOND confirmations oldest-first: all but one of the 24 remaining
-    # r1-single rows (their only green predates seven rounds of testdata
+    # SECOND confirmations oldest-first: 18 of the 24 remaining r1-single
+    # rows (their only green predates seven rounds of testdata
     # regeneration) plus the six oldest r3-single family guards rotate
     # IN; the multiply-confirmed r7 rows rotate OUT. Family constraints
     # (tests/test_coverage_integrity.py) and the changed-stays-in rule
@@ -69,6 +69,10 @@ PRIORITY_50 = [
     # NEW this round (zero external rows): Pareto-frontier skyline gate.
     # Displaces the r1-single order_priority_check (keeps its r1 green).
     "curation_pareto_frontier",
+    # NEW this round (zero external rows): linear multi-touch attribution,
+    # the batch interval-join sibling of the as-of join. Displaces the
+    # r1-single rollup_returnflag_status (keeps its r1 green).
+    "purchase_linear_attribution",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -104,11 +108,11 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (19 of 24; top_returning_customers,
+    # --- the r1-single rows (18 of 24; top_returning_customers,
     # top_orders_per_customer, top100_expensive_items,
-    # shipments_within_90_days and order_priority_check keep their
-    # committed r1 greens and wait for r9 — new-this-round queries take
-    # their slots) ---
+    # shipments_within_90_days, order_priority_check and
+    # rollup_returnflag_status keep their committed r1 greens and wait
+    # for r9 — new-this-round queries take their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -127,7 +131,6 @@ PRIORITY_50 = [
     "orders_column_profile",
     "part_string_functions",
     "priority_distinct_customers",
-    "rollup_returnflag_status",
 ]
 
 
