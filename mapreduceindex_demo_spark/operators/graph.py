@@ -123,9 +123,16 @@ def pagerank(
     w ≤ 9.2e18/(scale·100) ≈ 1e5 per edge — aggregate heavier multi-edges
     before calling.
     """
+    # checkpoint the symmetrized list FIRST (the connected_components
+    # pattern): `edges` appears twice in the union and would otherwise
+    # also be re-instantiated under the out-weight aggregate — four
+    # evaluations of the caller's (possibly expensive) edge derivation.
+    # After this point everything derives from the checkpointed RDD and
+    # the derivation has run exactly once.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")))
+        .localCheckpoint(eager=True)
     )
     outw = sym.groupBy("u").agg(F.sum("w").alias("outw"))
     e = (

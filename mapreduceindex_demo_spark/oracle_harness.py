@@ -1,0 +1,64 @@
+"""Shared DuckDB-side harness for the benchmark scripts.
+
+bench_sf1.py (replica crossover) and duck_suite.py (per-query sf0.1
+comparator) must stay METHODOLOGY-IDENTICAL for BASELINE.md tables to be
+comparable across rounds — same view construction (including the
+events epoch-nanos→µs-timestamp fixup the replica layout needs), same
+symmetric forced-checksum spelling. One definition, imported by both.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+from mapreduceindex_demo_spark.session import TABLE_NAMES
+
+
+def _glob(data_dir: str, name: str) -> str:
+    path = os.path.join(data_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        path += "/*.parquet"
+    return path
+
+
+def duck_connect(data_dir: str) -> "duckdb.DuckDBPyConnection":
+    """Connection with one view per engine table over ``data_dir``.
+
+    Replica harnesses store events.ts as epoch-nanos BIGINT (the
+    nanosAsLong layout bench_sf1 writes so load_table's conversion path
+    stays identical to the testdata); driver testdata stores
+    timestamp[us]. Either way the view exposes the µs timestamp the
+    oracles expect."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{_glob(data_dir, name)}')"
+        )
+    (ts_type,) = [
+        r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"
+    ]
+    if ts_type.upper() == "BIGINT":
+        con.execute("DROP VIEW events")
+        con.execute(
+            "CREATE VIEW events AS SELECT event_id, "
+            "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, "
+            "user_id, event_type, value, props "
+            f"FROM read_parquet('{_glob(data_dir, 'events')}')"
+        )
+    return con
+
+
+def duck_forced_sql(con: "duckdb.DuckDBPyConnection", oracle: str) -> str:
+    """The symmetric forced-checksum query: bit_xor over a hash of every
+    output column, so DuckDB fully materializes every value and pays no
+    result transfer — the mirror of the Spark side's
+    bit_xor(xxhash64(cast(.. as string), ...))."""
+    dcols = [r[0] for r in con.execute(f"DESCRIBE ({oracle})").fetchall()]
+    return (
+        "SELECT bit_xor(hash(concat_ws('|', "
+        + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in dcols)
+        + f"))) FROM ({oracle})"
+    )

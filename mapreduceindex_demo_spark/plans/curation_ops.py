@@ -306,24 +306,17 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     'tiny window' pattern the curated_training_set plan test pins).
     Quality is the 6-dp-rounded score lifted to exact integer
     micro-units, so every dominance comparison is integer."""
+    from mapreduceindex_demo_spark.functions import text as TX
+
     d = _t(spark, sf_dir, "documents")
-    ntok = F.size(F.split("text", " "))
-    ndis = F.size(F.array_distinct(F.split("text", " ")))
+    # the SAME scalar every other quality gate ranks on
+    # ([q:text_quality_score], [q:quality_percentile_gate]) — lifted to
+    # exact integer micro-units for the dominance comparisons
     s = d.select(
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.round(
-            F.round(
-                F.least(ntok.cast("double") / 100.0, F.lit(1.0))
-                * (ndis.cast("double") / ntok.cast("double")),
-                6,
-            )
-            * 1000000,
-            0,
-        )
-        .cast("long")
-        .alias("qm"),
+        F.round(TX.quality_score() * 1000000, 0).cast("long").alias("qm"),
     )
 
     def skyline_pass(df: DataFrame, *part) -> DataFrame:

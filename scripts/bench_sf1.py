@@ -27,9 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from mapreduceindex_demo_spark.oracle_harness import (  # noqa: E402
+    duck_connect,
+    duck_forced_sql,
+)
 from mapreduceindex_demo_spark.plans import QUERIES  # noqa: E402
 from mapreduceindex_demo_spark.session import (  # noqa: E402
     TABLE_NAMES,
@@ -122,27 +125,10 @@ def main() -> None:
     else:
         bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
 
-    # DuckDB side: same parquet, oracle SQL, all cores.
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(args.out, name + '.parquet')}/*.parquet')"
-            if os.path.isdir(os.path.join(args.out, name + ".parquet"))
-            else f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(args.out, name + '.parquet')}')"
-        )
-    # events ts arrives as epoch-nanos BIGINT here (same storage the Spark
-    # side reads); expose the same µs-timestamp view load_table produces
-    con.execute("DROP VIEW events")
-    events_glob = os.path.join(args.out, "events.parquet")
-    if os.path.isdir(events_glob):
-        events_glob += "/*.parquet"
-    con.execute(
-        "CREATE VIEW events AS SELECT event_id, "
-        "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, "
-        f"user_id, event_type, value, props FROM read_parquet('{events_glob}')"
-    )
+    # DuckDB side: same parquet, oracle SQL, all cores — view construction
+    # and forced-checksum spelling shared with scripts/duck_suite.py via
+    # oracle_harness so the two tables stay methodology-identical.
+    con = duck_connect(args.out)
 
     # Timing methodology (round-6 correction, BASELINE.md): the headline
     # numbers are SYMMETRIC FORCED timings — each engine runs a checksum
@@ -161,12 +147,7 @@ def main() -> None:
             + ", ".join(f"cast(`{c}` as string)" for c in cols)
             + ")) as checksum"
         )
-        dcols = [r[0] for r in con.execute(f"DESCRIBE ({q.oracle})").fetchall()]
-        d_force = (
-            "SELECT bit_xor(hash(concat_ws('|', "
-            + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in dcols)
-            + f"))) FROM ({q.oracle})"
-        )
+        d_force = duck_forced_sql(con, q.oracle)
         # Spark
         q.fn(spark, args.out).selectExpr(s_force).collect()  # warm
         s_runs, sf_runs = [], []

@@ -6,7 +6,9 @@ contention artifact on one query (nation_market_share_yearly, r7) needed a
 judge re-run to adjudicate. This script produces the per-query DuckDB
 split on the SAME testdata bench.py reads, with the same symmetric forced
 methodology (checksum aggregate over every output column — full
-materialization, no result transfer), so disputes self-adjudicate.
+materialization, no result transfer; one definition shared with
+bench_sf1.py via mapreduceindex_demo_spark.oracle_harness), so disputes
+self-adjudicate.
 
 Usage: python scripts/duck_suite.py [--sf-dir /root/testdata/sf0.1]
 Prints a markdown table + one JSON line for BASELINE.md.
@@ -22,37 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import duckdb  # noqa: E402
-
+from mapreduceindex_demo_spark.oracle_harness import (  # noqa: E402
+    duck_connect,
+    duck_forced_sql,
+)
 from mapreduceindex_demo_spark.plans import QUERIES  # noqa: E402
-from mapreduceindex_demo_spark.session import TABLE_NAMES  # noqa: E402
-
-
-def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-        )
-    # replica harnesses store events.ts as epoch-nanos BIGINT; testdata
-    # stores timestamp[us]. Expose the same µs-timestamp view either way.
-    (ts_type,) = [
-        r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"
-    ]
-    if ts_type.upper() == "BIGINT":
-        con.execute("DROP VIEW events")
-        path = os.path.join(sf_dir, "events.parquet")
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(
-            "CREATE VIEW events AS SELECT event_id, "
-            "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, "
-            f"user_id, event_type, value, props FROM read_parquet('{path}')"
-        )
-    return con
 
 
 def main() -> None:
@@ -61,17 +37,12 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    con = connect(args.sf_dir)
+    con = duck_connect(args.sf_dir)
     bench = {n: q for n, q in QUERIES.items() if q.bench and q.oracle}
 
     rows, timings = [], {}
     for name, q in bench.items():
-        dcols = [r[0] for r in con.execute(f"DESCRIBE ({q.oracle})").fetchall()]
-        forced = (
-            "SELECT bit_xor(hash(concat_ws('|', "
-            + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in dcols)
-            + f"))) FROM ({q.oracle})"
-        )
+        forced = duck_forced_sql(con, q.oracle)
         con.execute(forced).fetchall()  # warm
         runs = []
         for _ in range(args.reps):

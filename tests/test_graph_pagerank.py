@@ -77,15 +77,28 @@ def test_pagerank_mass_and_ordering_properties(trade_edges):
 
 
 def test_pagerank_one_join_one_aggregate_per_iteration(spark):
-    """Pregel shape: each of the 5 power iterations contributes exactly one
-    rank-frame equi-join and one combinable groupBy(dst) aggregation; the
-    edge derivation never reappears (checkpointed once)."""
-    df = QUERIES["graph_pagerank_topk"].fn(spark, PARITY_SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    plan = plan.split("== Initial Plan ==")[0]
+    """Pregel shape, enforced: each of the 5 power iterations contributes
+    exactly ONE rank-frame equi-join and one two-phase (map-side partial +
+    final) groupBy(dst) aggregation; the only nested-loop joins are the
+    1-row N/base broadcasts; the edge derivation never reappears
+    (checkpointed once — the plan scans ExistingRDD, never lineitem)."""
     import re
 
-    # the checkpointed edge list appears as scans, not as the
-    # lineitem/orders join: the fact tables are read zero times here
+    from mapreduceindex_demo_spark.plans.graph_queries import _PR_ITERS
+
+    df = QUERIES["graph_pagerank_topk"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    equi = sum(
+        len(re.findall(p, plan))
+        for p in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert equi == _PR_ITERS, plan
+    # 1-row crossJoins only: nrow (once) + teleport base (once/iteration)
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == _PR_ITERS + 1, plan
+    # two-phase aggregate per iteration (partial + final) — the map-side
+    # combine that keeps the per-round shuffle at O(|V|) partial sums
+    assert len(re.findall(r"HashAggregate", plan)) >= 2 * _PR_ITERS, plan
     assert len(re.findall(r"Scan ExistingRDD", plan)) >= 1, plan
     assert "lineitem" not in plan, plan
