@@ -28,6 +28,8 @@ from mapreduceindex_demo_spark.plans import curation_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import vector_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import corpus_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import graph_queries  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import timeseries_ops  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import quality_audit  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -73,6 +75,24 @@ PRIORITY_50 = [
     # the batch interval-join sibling of the as-of join. Displaces the
     # r1-single rollup_returnflag_status (keeps its r1 green).
     "purchase_linear_attribution",
+    # NEW this round, second session (zero external rows): exact triangle
+    # census via degree-ordered orientation — the third graph operator.
+    # Displaces the r1-single orderless_customers (keeps its r1 green).
+    "graph_triangle_count",
+    # NEW this round, second session (zero external rows): calendar-spine
+    # gap fill + LOCF — the time-series/hypertable resampling class.
+    # Displaces the r1-single orders_above_customer_average.
+    "events_gap_fill_hourly",
+    # NEW this round, second session (zero external rows): Deequ-style
+    # constraint audit. Displaces the r1-single orders_column_profile.
+    "quality_constraint_audit",
+    # NEW this round, second session (zero external rows): sign-binarized
+    # Hamming ANN, the 1-bit end of the quantized-retrieval ladder.
+    # Displaces the r1-single part_string_functions.
+    "similarity_hamming_ann",
+    # NEW this round, second session (zero external rows): PMI collocation
+    # mining. Displaces the r1-single priority_distinct_customers.
+    "text_pmi_collocations",
     # changed THIS round (hint-free broadcast policy applied to the truth
     # join — stays in for external re-verification)
     "sketch_bloom_prune",
@@ -108,11 +128,14 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (18 of 24; top_returning_customers,
+    # --- the r1-single rows (13 of 24; top_returning_customers,
     # top_orders_per_customer, top100_expensive_items,
-    # shipments_within_90_days, order_priority_check and
-    # rollup_returnflag_status keep their committed r1 greens and wait
-    # for r9 — new-this-round queries take their slots) ---
+    # shipments_within_90_days, order_priority_check,
+    # rollup_returnflag_status, orderless_customers,
+    # orders_above_customer_average, orders_column_profile,
+    # part_string_functions and priority_distinct_customers keep their
+    # committed r1 greens and wait for r9 — new-this-round queries take
+    # their slots) ---
     "big_spender_customers",
     "cube_status_priority",
     "customer_order_stats",
@@ -126,11 +149,6 @@ PRIORITY_50 = [
     "order_conditional_functions",
     "order_date_functions",
     "order_quartiles",
-    "orderless_customers",
-    "orders_above_customer_average",
-    "orders_column_profile",
-    "part_string_functions",
-    "priority_distinct_customers",
 ]
 
 

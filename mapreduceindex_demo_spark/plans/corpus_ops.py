@@ -376,3 +376,112 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("novelty_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 8b: PMI collocation mining over the document corpus
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_CNT = 5
+_PMI_TOPK = 20
+#: the PMI formula, spelled ONCE and identically for both engines: all three
+#: counts are exact BIGINTs cast to double, multiplied in the same
+#: association order, one ln(), rounded to the 6-dp grid.
+_PMI_EXPR = (
+    "round(ln((CAST(cnt2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+    " / (CAST(n2 AS DOUBLE) * CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6)"
+    " + 0.0"
+)
+
+_PMI_ORACLE = f"""
+    WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+    big AS (SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM tk),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM big GROUP BY 1),
+    c1 AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    u AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM c1 GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(cnt1) AS BIGINT) FROM u) AS n1,
+                   (SELECT CAST(SUM(cnt2) AS BIGINT) FROM c2) AS n2),
+    scored AS (
+      SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+             cnt2, ux.cnt1 AS cx, uy.cnt1 AS cy, tot.n1, tot.n2
+      FROM c2
+      JOIN u ux ON ux.term = split_part(gram, ' ', 1)
+      JOIN u uy ON uy.term = split_part(gram, ' ', 2)
+      CROSS JOIN tot
+      WHERE cnt2 >= {_PMI_MIN_CNT})
+    SELECT w1, w2, cnt2 AS pair_cnt, {_PMI_EXPR} AS pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("llm", "text", "collocation", "pmi"),
+)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990), minimum pair count 5 — the statistic
+    that separates REAL multiword units ("los angeles") from merely
+    frequent pairs ("of the"), which is why tokenizer-vocabulary and
+    phrase-mining passes (word2vec's phrase join, BPE seeding) run it
+    over the corpus before training. Completes the n-gram statistics
+    ladder: [q:frequent_bigrams_per_lang] counts pairs,
+    [q:text_bigram_logprob] scores documents under the pair LM, and this
+    ranks the pairs themselves by association strength.
+
+    PMI = ln(p(xy) / (p(x)·p(y))) computed on exact integer counts as
+    ln(cnt2·N1² / (N2·cx·cy)) in one shared double expression, so both
+    engines evaluate the identical IEEE product chain (the
+    [q:text_bigram_logprob] ln-parity precedent) and ties on the 6-dp
+    grid break on (w1, w2).
+
+    Scale shape: bigram extraction is the zero-shuffle Generate family;
+    pair and unigram counts are combiner-friendly groupBys; the scoring
+    join is pair-table × two unigram lookups (AQE broadcasts the unigram
+    table when it fits — vocabulary, not corpus, sized) and the corpus
+    totals ride a 1-row broadcast; top-k is a TakeOrdered, no global
+    sort. Nothing is ever quadratic in vocabulary — only observed
+    adjacent pairs are scored."""
+    d = _t(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    bg = F.expr(
+        f"CASE WHEN size({w}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
+    )
+    big = d.select(F.explode(bg).alias("gram"))
+    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+    u = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt1"))
+    )
+    tot = u.agg(F.sum("cnt1").cast("long").alias("n1")).crossJoin(
+        F.broadcast(c2.agg(F.sum("cnt2").cast("long").alias("n2")))
+    )
+    scored = (
+        c2.where(F.col("cnt2") >= _PMI_MIN_CNT)
+        .select(
+            F.substring_index("gram", " ", 1).alias("w1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+            "cnt2",
+        )
+        .join(u.select(F.col("term").alias("w1"), F.col("cnt1").alias("cx")), "w1")
+        .join(u.select(F.col("term").alias("w2"), F.col("cnt1").alias("cy")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("cnt2").alias("pair_cnt"),
+            F.expr(_PMI_EXPR).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )

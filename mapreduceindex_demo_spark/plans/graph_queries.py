@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceindex_demo_spark.operators.graph import pagerank
+from mapreduceindex_demo_spark.operators.graph import pagerank, triangle_stats
 from mapreduceindex_demo_spark.plans.registry import query
 from mapreduceindex_demo_spark.session import load_table
 
@@ -69,6 +69,88 @@ def _pr_oracle() -> str:
     ORDER BY r DESC, node
     LIMIT {_PR_TOPK}
     """
+
+
+_TRI_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN x.deg <= y.deg THEN und.a ELSE und.b END AS s,
+                 CASE WHEN x.deg <= y.deg THEN und.b ELSE und.a END AS t
+          FROM und JOIN deg x ON x.n = und.a JOIN deg y ON y.n = und.b),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT e1.s AS x, e2.t AS z
+                  FROM o e1 JOIN o e2 ON e1.t = e2.s) w
+            JOIN o c ON c.s = w.x AND c.t = w.z),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE round(3.0 * CAST(n_triangles AS DOUBLE)
+                           / CAST(n_wedges AS DOUBLE), 9) + 0.0
+           END AS global_clustering
+    FROM base CROSS JOIN ecnt CROSS JOIN tri
+    """
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRI_ORACLE,
+    tags=("graph", "triangle", "clustering"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-occurrence graph (parts joined
+    by appearing in the same order) — nodes, edges, wedges, triangles and
+    the global clustering coefficient 3·T/W in one row. Co-occurrence
+    triangles are the standard community-density signal for corpus/link
+    graphs (e.g. pruning auto-generated link farms whose clustering is
+    near 0 or near 1); the trade tables stand in for the link graph the
+    same way they do for [q:graph_pagerank_topk].
+
+    Like PageRank and connected components this is engine-completeness
+    work past the reference surface — its only loop is the per-document
+    map pipeline (SURVEY §2.2), with no graph operator anywhere.
+
+    All four counts are BIGINT and the clustering coefficient is one
+    double division rounded to 9dp, so cross-engine hash parity is exact.
+    See operators/graph.py::triangle_stats for the degree-ordered
+    orientation that bounds the wedge join's fan-out by the oriented
+    out-degree (≤ √(2|E|)) — the "curse of the last reducer" fix that
+    makes the plan survive heavy-hitter nodes at 100 TB."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    stats = triangle_stats(pairs)
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN 0.0 "
+            "ELSE round(3.0 * CAST(n_triangles AS DOUBLE) "
+            "/ CAST(n_wedges AS DOUBLE), 9) + 0.0 END"
+        ).alias("global_clustering"),
+    )
 
 
 @query(

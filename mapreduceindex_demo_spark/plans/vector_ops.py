@@ -17,7 +17,7 @@ grid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceindex_demo_spark.functions import similarity as S
@@ -694,4 +694,118 @@ def q_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("approx_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8b: 1-bit (sign) binarized embeddings + Hamming-distance ANN
+# ---------------------------------------------------------------------------
+
+_HAM_WORDS = _DIM // 32  # sign bits packed 32 per BIGINT word
+_HAM_NQ = 5  # query vectors: vec_id < _HAM_NQ
+_HAM_TOPK = 10
+
+
+def _spark_pack_word(j: int) -> str:
+    """Spark SQL expr packing sign bits 32j..32j+31 of ``embedding`` into a
+    BIGINT (bit b set iff component > 0). Each bit is distinct so ``+`` is
+    exactly bitwise OR and the word stays < 2^32 — no sign-bit hazards."""
+    return (
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc + "
+        f"IF(element_at(embedding, 32 * {j} + b + 1) > 0, "
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))"
+    )
+
+
+def _duck_pack_word(j: int) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(0, 32), b -> CASE WHEN "
+        f"embedding[32 * {j} + b + 1] > 0 THEN (CAST(1 AS BIGINT) << b) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+def _ham_oracle() -> str:
+    words = ",\n        ".join(
+        f"{_duck_pack_word(j)} AS w{j}" for j in range(_HAM_WORDS)
+    )
+    dist = " + ".join(
+        f"bit_count(xor(q.qw{j}, s.w{j}))" for j in range(_HAM_WORDS)
+    )
+    qcols = ", ".join(f"w{j} AS qw{j}" for j in range(_HAM_WORDS))
+    return f"""
+    WITH sig AS (SELECT vec_id,
+        {words}
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {qcols} FROM sig
+          WHERE vec_id < {_HAM_NQ}),
+    d AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+                 CAST({dist} AS BIGINT) AS hamming_dist
+          FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, hamming_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming_dist, neighbor_id) AS BIGINT) AS rnk
+    FROM d
+    QUALIFY rnk <= {_HAM_TOPK}
+    """
+
+
+@query(
+    "similarity_hamming_ann",
+    oracle=_ham_oracle(),
+    tags=("llm", "similarity", "hamming", "binarization", "ann"),
+)
+def q_similarity_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest neighbors under sign-binarized Hamming distance for
+    the five lowest-id query vectors — the 1-bit extreme of the quantized
+    retrieval ladder the suite already climbs ([q:embedding_int8_quantization]
+    8-bit, [q:similarity_pq_adc_ann] sub-byte codebooks). Sign-bit
+    binarization (Charikar's SimHash applied to the identity projection)
+    keeps cosine neighborhoods ~intact while shrinking vectors 32× and
+    turning distance into XOR + popcount — the cheapest rerank-candidate
+    generator there is, and entirely integer so cross-engine parity is
+    exact (no cosine ulps anywhere).
+
+    Scale shape: signatures are a scan-local projection (dim/32 BIGINT
+    words per vector, packed by a zero-shuffle fold); the query side is
+    {_HAM_NQ} rows broadcast into the candidate scan, so the distance
+    pass is one embarrassingly-parallel map over signatures, then a
+    per-query top-k window on a (query, dist)-sorted shuffle of
+    O(N·nq) SMALL rows (3 ints each — ~100× less shuffle than float
+    vectors). At 100 TB: identical plan with the signature table stored
+    (8 B/vector at dim 64 — RAM-resident even at 1e10 vectors), or
+    bucketed multi-index Hamming (split words into bands, equi-join per
+    band — the [q:similarity_lsh_ann] shape) when even one scan is too
+    much. Docstring formula check: tests recompute via NumPy sign+XOR."""
+    e = _t(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        *[
+            F.expr(_spark_pack_word(j)).alias(f"w{j}")
+            for j in range(_HAM_WORDS)
+        ],
+    )
+    q = sig.where(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{j}").alias(f"qw{j}") for j in range(_HAM_WORDS)],
+    )
+    dist = None
+    for j in range(_HAM_WORDS):
+        term = F.expr(f"bit_count(qw{j} ^ w{j})")
+        dist = term if dist is None else dist + term
+    pairs = (
+        sig.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.cast("long").alias("hamming_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _HAM_TOPK)
     )

@@ -1,0 +1,90 @@
+"""Independent recomputation of the triangle census — a third
+implementation (pure-Python adjacency sets) beside the Spark plan and the
+DuckDB oracle, plus orientation-invariance and plan-shape checks."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mapreduceindex_demo_spark.plans import QUERIES
+from tests.conftest import PARITY_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def part_edges() -> set[tuple[int, int]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM read_parquet('{PARITY_SF_DIR}/lineitem.parquet'))
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    return {(a, b) for a, b in rows}
+
+
+def _census(edges: set[tuple[int, int]]):
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    # orient by the total order (degree, node); adjacency = out-neighbors
+    out: dict[int, set[int]] = {n: set() for n in deg}
+    for a, b in edges:
+        if (deg[a], a) <= (deg[b], b):
+            out[a].add(b)
+        else:
+            out[b].add(a)
+    tri = 0
+    for a in out:
+        for b in out[a]:
+            tri += len(out[a] & out[b])
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(deg), len(edges), wedges, tri
+
+
+def test_triangle_census_matches_python(spark, part_edges):
+    n_nodes, n_edges, n_wedges, n_tri = _census(part_edges)
+    rows = QUERIES["graph_triangle_count"].fn(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        n_nodes,
+        n_edges,
+        n_wedges,
+        n_tri,
+    )
+    assert abs(r.global_clustering - round(3.0 * n_tri / n_wedges, 9)) < 1e-12
+    # the graph is non-trivial at every testdata scale
+    assert n_tri > 0 and 0.0 < r.global_clustering < 1.0
+
+
+def test_triangle_count_is_orientation_invariant(part_edges):
+    """The census must not depend on the orientation rule: naive id-order
+    orientation (no degree ordering) counts the same triangles."""
+    deg_nodes, _, _, expect = _census(part_edges)
+    out: dict[int, set[int]] = {}
+    for a, b in part_edges:  # a < b by construction
+        out.setdefault(a, set()).add(b)
+    tri = 0
+    for a in out:
+        for b in out[a]:
+            tri += len(out[a] & out.get(b, set()))
+    assert tri == expect
+
+
+def test_triangle_plan_equi_joins_only_and_single_edge_derivation(spark):
+    """Degree joins + wedge join + closing join are all equi-joins (the
+    1-row count combiners are the only nested-loop joins), and the
+    oriented edge list is checkpointed ONCE — the plan scans ExistingRDD
+    for e1/e2/closing instead of re-deriving the pair join three times."""
+    df = QUERIES["graph_triangle_count"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "lineitem" not in plan, plan

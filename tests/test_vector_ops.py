@@ -305,3 +305,63 @@ def test_ivf_pq_hints_only_bounded_sides(spark):
     df = QUERIES["similarity_ivf_pq_ann"].fn(spark, PARITY_SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 12, analyzed
+
+
+def test_hamming_ann_matches_numpy_sign_xor(spark):
+    from mapreduceindex_demo_spark.plans.vector_ops import (
+        _HAM_NQ,
+        _HAM_TOPK,
+        _HAM_WORDS,
+    )
+
+    ids, embs = _embeddings()
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    bits = (embs[order] > 0).astype(np.uint64)  # (n, 64) sign bits
+    # pack 32 bits per word, LSB-first — must match _spark_pack_word
+    words = np.zeros((len(ids), _HAM_WORDS), dtype=np.uint64)
+    for j in range(_HAM_WORDS):
+        for b in range(32):
+            words[:, j] |= bits[:, 32 * j + b] << np.uint64(b)
+
+    got = (
+        QUERIES["similarity_hamming_ann"].fn(spark, PARITY_SF_DIR).collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+
+    assert set(by_q) == set(range(_HAM_NQ))
+    idx = {v: i for i, v in enumerate(ids)}
+    for qid, rows in by_q.items():
+        qw = words[idx[qid]]
+        dists = [
+            (
+                int(
+                    sum(
+                        bin(int(qw[j]) ^ int(words[i, j])).count("1")
+                        for j in range(_HAM_WORDS)
+                    )
+                ),
+                vid,
+            )
+            for i, vid in enumerate(ids)
+            if vid != qid
+        ]
+        expect = sorted(dists)[:_HAM_TOPK]
+        rows = sorted(rows, key=lambda r: r.rnk)
+        assert [(r.hamming_dist, r.neighbor_id) for r in rows] == expect
+        assert [r.rnk for r in rows] == list(range(1, _HAM_TOPK + 1))
+
+
+def test_hamming_ann_plan_broadcasts_query_side_no_sort_join(spark):
+    """The candidate pass must be a broadcast of the 5-row query side into
+    the signature scan — never a shuffle join or cartesian of float
+    vectors. Signature packing is scan-local (no exchange before the
+    distance filter)."""
+    df = QUERIES["similarity_hamming_ann"].fn(spark, PARITY_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
