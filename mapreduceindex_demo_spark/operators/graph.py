@@ -113,9 +113,16 @@ def triangle_stats(
 
     Scale shape: two groupBys (dedup + degree), two broadcast-able degree
     joins, one wedge equi-join on the pivot node, one closing-edge
-    equi-join on (x, z); the oriented edge list is localCheckpointed once
-    and scanned three times (e1/e2/closing) instead of re-deriving the
-    caller's edge lineage per branch.
+    equi-join on (x, z); the edge list and its orientation are
+    ``persist()``-ed — each is scanned by three downstream branches
+    (deg/orient/count and e1/e2/closing) and the cache blocks Catalyst
+    from re-deriving the caller's edge lineage per branch. Deliberately
+    NOT ``localCheckpoint``: there is no iterative lineage to cut here
+    (unlike :func:`pagerank`), and eager checkpoint blocks pin executor
+    memory until JVM GC drops the plan — repeated invocations in one
+    session (a bench loop, a notebook) accumulated ~200 MB per call and
+    OOM'd an 8 GB driver at ~sf1, while persisted blocks are evictable
+    under memory pressure and cost the same single evaluation.
     """
     und = (
         edges.select(
@@ -124,7 +131,7 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -141,7 +148,7 @@ def triangle_stats(
             F.when(F.col("da") <= F.col("db"), F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(F.col("da") <= F.col("db"), F.col("b")).otherwise(F.col("a")).alias("t"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     e1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))

@@ -30,6 +30,7 @@ from mapreduceindex_demo_spark.plans import corpus_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import graph_queries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import timeseries_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import quality_audit  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import setsim  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -136,11 +137,24 @@ PRIORITY_50 = [
     # part_string_functions and priority_distinct_customers keep their
     # committed r1 greens and wait for r9 — new-this-round queries take
     # their slots) ---
-    "big_spender_customers",
-    "cube_status_priority",
-    "customer_order_stats",
+    # NEW this round, third session (zero external rows): exact
+    # prefix-filtered set-similarity join — the lossless threshold-dedup
+    # twin of the LSH family. Displaces the r1-single
+    # big_spender_customers (keeps its r1 green).
+    "dedup_setsim_prefix_join",
+    # NEW this round, third session (zero external rows): SCD Type-2
+    # interval build + point-in-time temporal join. Displaces the
+    # r1-single cube_status_priority (keeps its r1 green).
+    "events_scd2_temporal_join",
+    # NEW this round, third session (zero external rows): smoothed
+    # target encoding — the categorical feature-engineering class.
+    # Displaces the r1-single customer_order_stats (keeps its r1 green).
+    "feature_target_encoding",
     "customer_rolling_30d_spend",
-    "document_array_functions",
+    # NEW this round, third session (zero external rows): PSI numeric
+    # drift monitor. Displaces the r1-single document_array_functions
+    # (keeps its r1 green).
+    "quality_psi_drift",
     "forecast_revenue_change",
     "lineitem_math_functions",
     "lineitem_percentiles",

@@ -344,3 +344,81 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality"
         ),
     )
+
+
+#: smoothing pseudo-count for target encoding (Micci-Barreca's m)
+_TE_M = 50
+
+_TARGET_ENC_ORACLE = f"""
+    WITH j AS (SELECT p.p_brand,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    b AS (SELECT p_brand, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS ret
+          FROM j GROUP BY 1),
+    g AS (SELECT COUNT(*) AS nn, CAST(SUM(r) AS BIGINT) AS rr FROM j)
+    SELECT p_brand, n AS n_lines, ret AS n_returns,
+           round(CAST(ret AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0
+             AS raw_rate,
+           round(CAST(ret * nn + {_TE_M} * rr AS DOUBLE)
+                 / CAST((n + {_TE_M}) * nn AS DOUBLE), 6) + 0.0 AS enc_rate
+    FROM b CROSS JOIN g ORDER BY p_brand
+    """
+
+
+@query(
+    "feature_target_encoding",
+    oracle=_TARGET_ENC_ORACLE,
+    tags=("curation", "feature-engineering", "target-encoding"),
+)
+def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (Micci-Barreca,
+    SIGKDD Explorations 2001 — the leakage-safe categorical encoder every
+    tabular-ML feature pipeline ships): each part brand's return rate
+    shrunk toward the global prior by a pseudo-count of m=50,
+    ``enc = (returns + m*prior) / (n + m)``. Computed as ONE exact
+    integer rational ``(ret*N + m*R) / ((n+m)*N)`` — products of exact
+    BIGINT counts, a single final IEEE division — so no float
+    accumulation order exists on either engine (the int64 products stay
+    exact to ~sf100's N² / |brands| ≈ 1.4e16, well under 2^63; beyond
+    that the spelling switches to the prior-as-double form).
+
+    Scale shape: one fact pass — lineitem joins the part dimension
+    (AQE-broadcast at bench scale, the standard dim edge at 100 TB), the
+    per-brand rollup is a |brands|-row combiner groupBy, and the global
+    prior is a 1-row broadcast cross join. Encoded rate and raw rate are
+    served side by side so the shrinkage is visible: rare brands pull
+    toward the prior, common brands keep their empirical rate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("r"),
+    )
+    b = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("ret")
+    )
+    g = j.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("r").alias("rr")
+    )
+    m = F.lit(_TE_M)
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "p_brand",
+            F.col("n").alias("n_lines"),
+            F.col("ret").alias("n_returns"),
+            (
+                F.round(F.col("ret").cast("double") / F.col("n").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("raw_rate"),
+            (
+                F.round(
+                    (F.col("ret") * F.col("nn") + m * F.col("rr")).cast("double")
+                    / ((F.col("n") + m) * F.col("nn")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("enc_rate"),
+        )
+        .orderBy("p_brand")
+    )

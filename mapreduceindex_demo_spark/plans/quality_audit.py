@@ -19,7 +19,7 @@ sits on a rounding boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduceindex_demo_spark.plans.registry import query
@@ -145,3 +145,137 @@ def q_quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_matched = n
         ) AS (check_name, metric, threshold, pass)"""
     )
+
+
+#: PSI bin count (the industry-standard 10 equi-width bins)
+_PSI_BINS = 10
+
+_PSI_ORACLE = f"""
+    WITH span AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2
+                    AS mid_us,
+                  MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    obs AS (SELECT CAST(LEAST({_PSI_BINS - 1},
+                   CAST(floor((value - vmin) / (vmax - vmin)
+                              * {_PSI_BINS}.0) AS BIGINT)) AS INTEGER)
+                     AS bin,
+                   CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END
+                     AS is_exp
+            FROM events CROSS JOIN span),
+    c AS (SELECT bin, CAST(SUM(is_exp) AS BIGINT) AS ce,
+                 CAST(COUNT(*) - SUM(is_exp) AS BIGINT) AS ca
+          FROM obs GROUP BY 1),
+    spine AS (SELECT CAST(unnest(range(0, {_PSI_BINS})) AS INTEGER) AS bin),
+    filled AS (SELECT s.bin, COALESCE(ce, 0) AS expected_cnt,
+                      COALESCE(ca, 0) AS actual_cnt
+               FROM spine s LEFT JOIN c ON c.bin = s.bin),
+    t AS (SELECT bin, expected_cnt, actual_cnt,
+                 SUM(expected_cnt) OVER () AS te,
+                 SUM(actual_cnt) OVER () AS ta FROM filled),
+    x AS (SELECT bin, expected_cnt, actual_cnt,
+                 CAST(expected_cnt + 1 AS DOUBLE)
+                   / CAST(te + {_PSI_BINS} AS DOUBLE) AS p,
+                 CAST(actual_cnt + 1 AS DOUBLE)
+                   / CAST(ta + {_PSI_BINS} AS DOUBLE) AS q
+          FROM t),
+    y AS (SELECT bin, expected_cnt, actual_cnt,
+                 round((p - q) * ln(p / q), 6) + 0.0 AS psi_contrib
+          FROM x),
+    z AS (SELECT bin, expected_cnt, actual_cnt, psi_contrib,
+                 SUM(CAST(round(psi_contrib * 1000000.0) AS BIGINT))
+                   OVER () AS tot_micro FROM y)
+    SELECT bin, expected_cnt, actual_cnt, psi_contrib,
+           round(CAST(tot_micro AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS psi_total
+    FROM z ORDER BY bin
+    """
+
+
+@query(
+    "quality_psi_drift",
+    oracle=_PSI_ORACLE,
+    tags=("quality", "drift", "psi", "monitoring"),
+)
+def q_quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the stream's first and second
+    halves (split at the timestamp midpoint) over 10 equi-width value
+    bins — the credit-risk-standard drift monitor
+    (``PSI = sum (p_i - q_i) * ln(p_i / q_i)``; < 0.1 stable, > 0.25
+    shifted) that complements the KL-based TOKEN drift family
+    ([q:text_unigram_drift]) with the NUMERIC-feature drift every
+    model-serving pipeline watches.
+
+    Determinism: the period split is integer epoch-microsecond
+    arithmetic; bin edges derive from the global min/max in one shared
+    1-row aggregate, so the binning expression is a pure function both
+    engines evaluate identically; zero bins are Laplace-smoothed with
+    integer +1 pseudo-counts (never an epsilon constant); each bin's
+    contribution is exact-integer ratios through one ln; and the suite
+    total folds 6-dp micro-unit INTEGERS, so no float summation order
+    exists.
+
+    Scale shape: one 1-row span broadcast, ONE conditional-sum combiner
+    groupBy over the fact stream (10 groups — the map-side partial
+    collapses each task to <= 10 rows), a 10-row spine left join, and
+    10-row windows. At 100 TB the plan is a single scan at memory
+    bandwidth; everything after the partial aggregate is constant-size.
+    The streaming twin keys the same rollup by arrival day
+    ([q:streaming_drift_daily])."""
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    span = e.agg(
+        F.expr("(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) div 2").alias(
+            "mid_us"
+        ),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    b = _PSI_BINS
+    obs = e.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(b - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * F.lit(float(b))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("is_exp"),
+    )
+    c = obs.groupBy("bin").agg(
+        F.sum("is_exp").alias("ce"),
+        (F.count(F.lit(1)) - F.sum("is_exp")).alias("ca"),
+    )
+    spine = spark.range(0, b).select(F.col("id").cast("int").alias("bin"))
+    filled = spine.join(c, "bin", "left").select(
+        "bin",
+        F.coalesce("ce", F.lit(0)).alias("expected_cnt"),
+        F.coalesce("ca", F.lit(0)).alias("actual_cnt"),
+    )
+    w_all = Window.partitionBy()
+    p = (F.col("expected_cnt") + 1).cast("double") / (
+        F.sum("expected_cnt").over(w_all) + F.lit(b)
+    ).cast("double")
+    q = (F.col("actual_cnt") + 1).cast("double") / (
+        F.sum("actual_cnt").over(w_all) + F.lit(b)
+    ).cast("double")
+    y = filled.select(
+        "bin",
+        "expected_cnt",
+        "actual_cnt",
+        (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias("psi_contrib"),
+    )
+    tot = F.sum(
+        F.round(F.col("psi_contrib") * F.lit(1000000.0)).cast("long")
+    ).over(Window.partitionBy())
+    return y.select(
+        "bin",
+        "expected_cnt",
+        "actual_cnt",
+        "psi_contrib",
+        (F.round(tot.cast("double") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "psi_total"
+        ),
+    ).orderBy("bin")

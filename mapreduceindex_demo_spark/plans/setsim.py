@@ -1,0 +1,164 @@
+"""Exact set-similarity self-join with prefix filtering (round 8c).
+
+The LOSSLESS alternative to LSH for threshold dedup: find every document
+pair whose shingle-set Jaccard is >= tau, without ever materializing the
+all-pairs (or even the all-positive-overlap-pairs) universe. The prefix
+principle (Chaudhuri et al. SSJoin, ICDE'06; Bayardo et al. All-Pairs,
+WWW'07; Xiao et al. PPJoin, WWW'08; Vernica et al.'s MapReduce set-
+similarity join, SIGMOD'10 — the published MapReduce formulation this
+engine re-expresses declaratively): order every document's tokens by ONE
+global total order (ascending document frequency, ties by token), keep
+only the first ``|s| - ceil(tau*|s|) + 1`` tokens as the document's
+*prefix*, and join documents on shared PREFIX tokens only. Any pair with
+``jac >= tau`` must share a prefix token — if all of a's prefix missed b,
+at most ``ceil(tau*|a|) - 1 < tau*|a| <= |a ∩ b|`` tokens of a could
+remain to overlap b, a contradiction — so candidate generation is exact,
+and a verification join computes the true intersection for candidates
+only.
+
+Why this matters at 100 TB: the inverted-index intersection
+([q:dedup_ngram_jaccard_top20]) pays sum_token k*(k-1)/2 over EVERY
+token; frequency-ascending prefixes confine the join to each document's
+RAREST tokens, so the heavy-hitter posting lists — the quadratic term,
+the "curse of the last reducer" — never enter any join. MinHash/LSH
+([q:dedup_minhash_lsh_pairs]) answers the same question
+probabilistically with false negatives; this operator is the exact twin
+the recall contracts calibrate against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduceindex_demo_spark.functions import dedup as D
+from mapreduceindex_demo_spark.plans.llm import _DUCK_GRAMS_CTE
+from mapreduceindex_demo_spark.plans.registry import query
+from mapreduceindex_demo_spark.session import load_table
+
+#: Jaccard threshold tau as an exact rational (1/2), so the qualifying
+#: test ``inter/union >= tau`` is the INTEGER comparison
+#: ``inter * TAU_DEN >= TAU_NUM * union`` — no float threshold can
+#: flake a borderline pair differently across engines.
+TAU_NUM, TAU_DEN = 1, 2
+
+_SETSIM_ORACLE = (
+    "WITH "
+    + _DUCK_GRAMS_CTE
+    + f""",
+    ex AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ic
+              FROM ex a JOIN ex b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ic AS inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(CAST(ic AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - ic AS DOUBLE), 6) + 0.0 AS jac
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ic * {TAU_DEN} >= {TAU_NUM} * (sa.sz + sb.sz - ic)
+    ORDER BY jac DESC, doc_a, doc_b
+    """
+)
+
+
+@query(
+    "dedup_setsim_prefix_join",
+    # The oracle is the NAIVE exact join (all positive-overlap pairs,
+    # thresholded) — deliberately: the operator's claim is that prefix
+    # filtering is lossless, so the optimized plan must return row-for-row
+    # the same pairs the brute-force spelling does.
+    oracle=_SETSIM_ORACLE,
+    tags=("llm", "dedup", "setsim", "prefix-filter"),
+)
+def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL document pairs with word-3-gram-shingle Jaccard >= 1/2, found
+    by the prefix-filtered set-similarity join: (1) one global
+    doc-frequency table orders the token universe rarest-first, (2) each
+    document keeps its ``|s| - ceil(|s|/2) + 1`` rarest shingles as a
+    prefix, (3) candidates come from an equi-join on PREFIX shingles
+    only, (4) a verification join counts the true intersection for
+    candidates and applies the exact integer threshold
+    ``2*inter >= size_a + size_b - inter``. Lossless by the prefix
+    principle (module docstring), so the result equals the naive
+    all-overlapping-pairs oracle exactly.
+
+    Scale shape: every join is an equi-join on either ``gram`` or
+    ``doc_id`` — never a cross product. The doc-frequency table is
+    vocabulary-sized; the rank window rides one ``doc_id`` exchange; the
+    candidate join touches only prefix postings, whose lists are the
+    SHORT tail of the frequency distribution by construction (at sf0.01:
+    candidate pairs ~1.6k vs 11.5k positive-overlap pairs vs 125k
+    all-pairs), and the verification fan-out is |candidates| x avg doc
+    size. The frequent-token posting lists — the quadratic blowup every
+    inverted-index intersection pays — appear in NO join. At 100 TB the
+    doc-frequency pass is one combiner groupBy, and candidates stay
+    near-linear in real duplication, which is what makes the exact
+    answer affordable where LSH would otherwise be forced."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(D.shingles())).alias("gram")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length |s| - ceil(tau*|s|) + 1 in exact integer arithmetic:
+    # ceil(n*num/den) = (n*num + den - 1) div den
+    plen = (
+        F.col("sz")
+        - F.floor(
+            (F.col("sz") * TAU_NUM + F.lit(TAU_DEN - 1)) / F.lit(TAU_DEN)
+        )
+        + F.lit(1)
+    )
+    rk = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        ex.join(docfreq, "gram")
+        .withColumn("rk", F.row_number().over(rk))
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= plen)
+        .select("doc_id", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = ex.select(F.col("doc_id").alias("doc_a"), "gram")
+    tb = ex.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("inter") * TAU_DEN >= TAU_NUM * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.round(
+                    F.col("inter").cast("double") / union_sz.cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("jac"),
+        )
+        .orderBy(F.desc("jac"), "doc_a", "doc_b")
+    )

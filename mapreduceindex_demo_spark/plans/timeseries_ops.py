@@ -103,3 +103,113 @@ def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_ffill"),
         F.col("obs_micro").isNull().alias("is_gap"),
     )
+
+
+_SCD2_ORACLE = """
+    WITH ch AS (SELECT user_id, ts AS valid_from, MAX(value) AS v
+                FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+    dim AS (SELECT user_id, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from) AS valid_to,
+              CASE WHEN v < 100 THEN 'bronze'
+                   WHEN v < 300 THEN 'silver'
+                   ELSE 'gold' END AS tier
+            FROM ch),
+    f AS (SELECT user_id, ts,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS micro
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT coalesce(d.tier, 'pre_signup') AS tier, f.user_id, f.micro
+          FROM f LEFT JOIN dim d
+            ON d.user_id = f.user_id AND f.ts >= d.valid_from
+               AND (d.valid_to IS NULL OR f.ts < d.valid_to))
+    SELECT tier, COUNT(*) AS n_purchases,
+           COUNT(DISTINCT user_id) AS n_users,
+           round(CAST(SUM(micro) AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS revenue,
+           round(CAST(SUM(micro) AS DOUBLE) / 1000000.0
+                 / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS avg_value
+    FROM j GROUP BY tier ORDER BY tier
+    """
+
+
+@query(
+    "events_scd2_temporal_join",
+    oracle=_SCD2_ORACLE,
+    tags=("timeseries", "scd2", "temporal-join", "events"),
+)
+def q_events_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build + point-in-time temporal join (the
+    Kimball slowly-changing-dimension pattern every warehouse needs):
+    the signup stream becomes a validity-interval dimension — per user,
+    each change opens ``[ts, next-change)`` (the last interval open-ended)
+    carrying a tier derived from the signup value — and each purchase
+    fact joins the ONE tier row valid at its timestamp. Purchases before
+    a user's first signup survive the left join as ``pre_signup``,
+    exactly like facts predating dimension history. Revenue rides the
+    integer micro-unit grid; both averages are one final division.
+
+    Scale shape: interval construction is the sessionization family's
+    single-exchange pass — one ``user_id`` partition drives the
+    dedup-groupBy AND the ``lead`` window. The temporal join is an
+    equi-join on ``user_id`` with the interval bounds as residual
+    predicates (the as-of family's batch sibling): both sides shuffle
+    once on the key, and per-key interval counts are bounded by change
+    frequency, never fact volume. The rollup's count-distinct is the
+    standard two-phase expansion. At 100 TB the dimension is |changes|
+    rows — orders of magnitude under the fact table — and nothing in the
+    plan is pairwise."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    ch = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    dim = ch.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.when(F.col("v") < 100, "bronze")
+        .when(F.col("v") < 300, "silver")
+        .otherwise("gold")
+        .alias("tier"),
+    )
+    f = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("long").alias("micro"),
+    )
+    j = f.join(
+        dim,
+        (dim["user_id"] == f["user_id"])
+        & (f["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (f["ts"] < dim["valid_to"])),
+        "left",
+    ).select(
+        F.coalesce(dim["tier"], F.lit("pre_signup")).alias("tier"),
+        f["user_id"].alias("user_id"),
+        "micro",
+    )
+    sum_d = F.sum("micro").cast("double")
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.round(sum_d / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+                "revenue"
+            ),
+            (
+                F.round(
+                    sum_d
+                    / F.lit(1000000.0)
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_value"),
+        )
+        .orderBy("tier")
+    )

@@ -79,12 +79,22 @@ def test_triangle_count_is_orientation_invariant(part_edges):
 def test_triangle_plan_equi_joins_only_and_single_edge_derivation(spark):
     """Degree joins + wedge join + closing join are all equi-joins (the
     1-row count combiners are the only nested-loop joins), and the
-    oriented edge list is checkpointed ONCE — the plan scans ExistingRDD
-    for e1/e2/closing instead of re-deriving the pair join three times."""
+    edge list + orientation are persisted ONCE — the plan reads the
+    in-memory cache for e1/e2/closing instead of re-deriving the pair
+    join three times (persist, not localCheckpoint: no iterative lineage
+    to cut, and evictable blocks can't accumulate into an OOM across
+    repeated invocations — the ~sf1 bench regression)."""
     df = QUERIES["graph_triangle_count"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
-    assert "lineitem" not in plan, plan
+    # consumer branches read the caches (cache semantics materialize the
+    # pair join exactly once; AQE renders repeated cache reads as
+    # Reused* nodes, so presence — not count — is the textual pin, and
+    # any FileScan text below an InMemoryTableScan is the cache's build
+    # description, not a re-scan)
+    assert "InMemoryTableScan" in plan, plan
+    # both shared frames (edge list + orientation) are actually cached
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert sum(1 for i in infos if i.isCached()) >= 2, infos

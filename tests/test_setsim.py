@@ -1,0 +1,113 @@
+"""Independent (pure-Python) recomputation of the prefix-filtered
+set-similarity join: the naive all-overlapping-pairs answer, the prefix
+candidate set (losslessness + selectivity), and the all-equi-join plan
+shape."""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+
+import pyarrow.parquet as pq
+
+from mapreduceindex_demo_spark.plans import QUERIES
+from mapreduceindex_demo_spark.plans.setsim import TAU_NUM, TAU_DEN
+from tests.conftest import PARITY_SF_DIR
+
+
+def _doc_sets() -> dict[int, frozenset]:
+    t = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    out = {}
+    for r in t:
+        tk = r["text"].split(" ")
+        if len(tk) < 3:
+            grams = {r["text"]}
+        else:
+            grams = {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        out[r["doc_id"]] = frozenset(grams)
+    return out
+
+
+def _naive_pairs(sets):
+    """Brute force over the inverted index: every positive-overlap pair's
+    exact Jaccard, thresholded with the exact rational tau."""
+    inv: dict[str, list[int]] = {}
+    for d, s in sets.items():
+        for g in s:
+            inv.setdefault(g, []).append(d)
+    inter: dict[tuple[int, int], int] = {}
+    for docs in inv.values():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                k = (docs[i], docs[j])
+                inter[k] = inter.get(k, 0) + 1
+    tau = Fraction(TAU_NUM, TAU_DEN)
+    out = {}
+    for (a, b), ic in inter.items():
+        union = len(sets[a]) + len(sets[b]) - ic
+        if Fraction(ic, union) >= tau:
+            out[(a, b)] = (ic, len(sets[a]), len(sets[b]))
+    return out, len(inter)
+
+
+def _prefix_candidates(sets):
+    """The candidate pairs the prefix filter generates, recomputed from
+    first principles with the same (doc-frequency asc, gram asc) order."""
+    df: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    inv: dict[str, list[int]] = {}
+    for d, s in sets.items():
+        ordered = sorted(s, key=lambda g: (df[g], g))
+        plen = len(s) - (len(s) * TAU_NUM + TAU_DEN - 1) // TAU_DEN + 1
+        for g in ordered[:plen]:
+            inv.setdefault(g, []).append(d)
+    cands = set()
+    for docs in inv.values():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                cands.add((docs[i], docs[j]))
+    return cands
+
+
+def test_setsim_matches_naive_python(spark):
+    sets = _doc_sets()
+    expect, n_overlap = _naive_pairs(sets)
+    rows = QUERIES["dedup_setsim_prefix_join"].fn(spark, PARITY_SF_DIR).collect()
+    got = {(r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b) for r in rows}
+    assert got == expect
+    for r in rows:
+        union = r.size_a + r.size_b - r.inter
+        assert abs(r.jac - round(r.inter / union, 6)) < 1e-12
+        assert r.inter * TAU_DEN >= TAU_NUM * union
+    # the threshold set must be non-trivial at test scale
+    assert len(rows) >= 10
+
+
+def test_prefix_filter_is_lossless_and_selective():
+    sets = _doc_sets()
+    expect, n_overlap = _naive_pairs(sets)
+    cands = _prefix_candidates(sets)
+    # losslessness: every qualifying pair is a prefix candidate
+    assert set(expect) <= cands
+    # selectivity: the candidate join is far smaller than the
+    # positive-overlap universe the naive inverted index materializes
+    assert len(cands) < n_overlap / 2, (len(cands), n_overlap)
+
+
+def test_setsim_plan_is_all_equi_joins(spark):
+    """Candidate generation and verification are equi-joins on gram /
+    doc_id — no cartesian or nested-loop node anywhere, and the rank
+    window rides a doc_id exchange."""
+    df = QUERIES["dedup_setsim_prefix_join"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"Window", plan), plan

@@ -136,3 +136,111 @@ def test_pmi_matches_python_counts(spark):
     for r, (pmi, a, b, cnt) in zip(got, expect):
         assert (r.w1, r.w2, r.pair_cnt) == (a, b, cnt)
         assert abs(r.pmi - pmi) < 2e-6, (r, pmi)
+
+
+def test_scd2_temporal_join_matches_bisect_python(spark):
+    """Third implementation of the SCD2 point-in-time join: per-user
+    sorted signup history + bisect per purchase."""
+    import bisect
+
+    e = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    ).to_pylist()
+    hist: dict[int, list[tuple]] = {}
+    for r in e:
+        if r["event_type"] == "signup":
+            hist.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    for h in hist.values():
+        h.sort()
+    agg: dict[str, list] = {}
+    for r in e:
+        if r["event_type"] != "purchase":
+            continue
+        h = hist.get(r["user_id"], [])
+        i = bisect.bisect_right([t for t, _ in h], r["ts"]) - 1
+        if i < 0:
+            tier = "pre_signup"
+        else:
+            v = h[i][1]
+            tier = "bronze" if v < 100 else ("silver" if v < 300 else "gold")
+        micro = int(np.floor(r["value"] * 1_000_000.0 + 0.5))
+        a = agg.setdefault(tier, [0, set(), 0])
+        a[0] += 1
+        a[1].add(r["user_id"])
+        a[2] += micro
+    rows = (
+        QUERIES["events_scd2_temporal_join"].fn(spark, PARITY_SF_DIR).collect()
+    )
+    assert {r.tier for r in rows} == set(agg)
+    # pre-history facts must exist at test scale so the left join's
+    # unmatched branch is actually exercised
+    assert "pre_signup" in agg
+    for r in rows:
+        n, users, micro = agg[r.tier]
+        assert (r.n_purchases, r.n_users) == (n, len(users)), r.tier
+        assert abs(r.revenue - round(micro / 1_000_000.0, 6)) < 1e-9
+        assert abs(r.avg_value - round(micro / 1_000_000.0 / n, 6)) < 1e-9
+
+
+def test_target_encoding_matches_fraction_python(spark):
+    from fractions import Fraction
+
+    li = pq.read_table(
+        f"{PARITY_SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag"],
+    ).to_pandas()
+    pt = pq.read_table(
+        f"{PARITY_SF_DIR}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    j["r"] = (j["l_returnflag"] == "R").astype(int)
+    N, R = len(j), int(j["r"].sum())
+    rows = QUERIES["feature_target_encoding"].fn(spark, PARITY_SF_DIR).collect()
+    by_brand = j.groupby("p_brand")["r"].agg(["count", "sum"])
+    assert {r.p_brand for r in rows} == set(by_brand.index)
+    m = 50
+    for r in rows:
+        n, ret = int(by_brand.loc[r.p_brand, "count"]), int(
+            by_brand.loc[r.p_brand, "sum"]
+        )
+        assert (r.n_lines, r.n_returns) == (n, ret), r.p_brand
+        assert abs(r.raw_rate - round(ret / n, 6)) < 1e-9
+        enc = Fraction(ret * N + m * R, (n + m) * N)
+        assert abs(r.enc_rate - round(float(enc), 6)) < 1e-9
+        # shrinkage direction: encoded rate sits between raw and prior
+        lo, hi = sorted([Fraction(ret, n), Fraction(R, N)])
+        assert lo <= enc <= hi, r.p_brand
+    # encoding must discriminate between brands at test scale
+    assert len({r.enc_rate for r in rows}) > 1
+
+
+def test_psi_drift_matches_python_counts(spark):
+    e = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet", columns=["ts", "value"]
+    ).to_pandas()
+    us = e["ts"].astype("int64")  # epoch micros
+    mid = (int(us.min()) + int(us.max())) // 2
+    v = e["value"].to_numpy()
+    vmin, vmax = float(v.min()), float(v.max())
+    bins = np.minimum(9, np.floor((v - vmin) / (vmax - vmin) * 10.0)).astype(
+        int
+    )
+    exp_mask = (us < mid).to_numpy()
+    ce = np.bincount(bins[exp_mask], minlength=10)
+    ca = np.bincount(bins[~exp_mask], minlength=10)
+    te, ta = int(ce.sum()), int(ca.sum())
+    contrib = []
+    for i in range(10):
+        p = (int(ce[i]) + 1) / (te + 10)
+        q = (int(ca[i]) + 1) / (ta + 10)
+        contrib.append(round((p - q) * math.log(p / q), 6))
+    tot = round(sum(int(round(c * 1_000_000.0)) for c in contrib) / 1e6, 6)
+    rows = QUERIES["quality_psi_drift"].fn(spark, PARITY_SF_DIR).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    for r in rows:
+        assert (r.expected_cnt, r.actual_cnt) == (int(ce[r.bin]), int(ca[r.bin]))
+        assert abs(r.psi_contrib - contrib[r.bin]) < 1e-9, r.bin
+        assert abs(r.psi_total - tot) < 1e-9
+    # both periods must be populated for the monitor to mean anything
+    assert te > 0 and ta > 0
