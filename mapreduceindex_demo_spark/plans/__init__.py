@@ -155,7 +155,11 @@ PRIORITY_50 = [
     # drift monitor. Displaces the r1-single document_array_functions
     # (keeps its r1 green).
     "quality_psi_drift",
-    "forecast_revenue_change",
+    # NEW this round, third session (zero external rows): sorted-
+    # neighborhood entity resolution — the record-linkage class.
+    # Displaces the r1-single forecast_revenue_change (keeps its r1
+    # green).
+    "er_sorted_neighborhood",
     "lineitem_math_functions",
     "lineitem_percentiles",
     "nation_presence_setops",

@@ -111,3 +111,59 @@ def test_setsim_plan_is_all_equi_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"Window", plan), plan
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_matches_python(spark):
+    rows = pq.read_table(
+        f"{PARITY_SF_DIR}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pylist()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(
+            (r["c_name"], r["c_custkey"])
+        )
+    expect = {}
+    for nk, recs in by_nation.items():
+        recs.sort()
+        compared = matches = 0
+        for i, (name, _) in enumerate(recs):
+            for j in range(i + 1, min(i + 4, len(recs))):
+                compared += 1
+                matches += _py_levenshtein(name, recs[j][0]) <= 2
+        expect[nk] = (len(recs), compared, matches)
+    got = QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR).collect()
+    assert {r.nationkey for r in got} == set(expect)
+    for r in got:
+        n, cmp_, m = expect[r.nationkey]
+        assert (r.n_records, r.n_compared, r.n_matches) == (n, cmp_, m), r
+        want = 0.0 if cmp_ == 0 else round(m / cmp_, 6)
+        assert abs(r.match_rate - want) < 1e-12
+    # the match rule must actually fire at test scale
+    assert sum(m for _, _, m in expect.values()) > 0
+
+
+def test_sorted_neighborhood_single_blocking_exchange(spark):
+    """Sort window, neighbor Generate, and rollup all ride ONE
+    hashpartitioning exchange on the blocking key; the n_records branch
+    adds its own partial-agg exchange; no join wider than the 25-row
+    nation frames."""
+    df = QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
