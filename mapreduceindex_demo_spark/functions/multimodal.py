@@ -242,3 +242,53 @@ def resize_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
 
     prepared = df.select(F.col(doc_id), media_container().alias("media"))
     return prepared.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+#: average-hash output schema (16 uppercase hex chars = 64 bits)
+AHASH_SCHEMA = "doc_id bigint, ahash string"
+
+
+def ahash(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash (aHash) per gray8 raster — the image
+    near-dup fingerprint (pHash family): map every pixel to one cell of
+    an 8x8 grid (cell_row = row*8 // height, cell_col = col // 2 on the
+    16-wide raster — a pure partition assignment, no boundary
+    arithmetic), set each cell's bit iff its mean is >= the raster mean,
+    and pack the 64 bits big-endian into 16 uppercase hex chars.
+
+    Determinism: the bit test is the exact integer cross-multiplication
+    ``cell_sum * n_pixels >= total_sum * cell_n`` (empty cells stay 0),
+    and packing is two 32-bit halves — no 64-bit sign wrap anywhere, so
+    the DuckDB oracle reproduces the hash byte-for-byte from the payload.
+    Same plumbing contract as `decode_features`: containers assembled
+    JVM-side, decoded by `decode_media` inside Arrow-batched mapInPandas
+    (a real pHash/dHash kernel slots into the numpy block), no shuffle,
+    no driver."""
+
+    def hash_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, blob in zip(pdf[doc_id], pdf["media"]):
+                _, width, px = decode_media(blob)
+                arr = np.frombuffer(px, dtype=np.uint8)
+                n = arr.size
+                h = -(-n // width)
+                idx = np.arange(n)
+                cell = ((idx // width) * 8 // h) * 8 + (idx % width) // 2
+                sums = np.bincount(cell, weights=arr, minlength=64)
+                cnts = np.bincount(cell, minlength=64)
+                total = int(arr.sum())
+                bits = (cnts > 0) & (
+                    sums.astype(np.int64) * n >= total * cnts
+                )
+                hi = sum(int(bits[k]) << (31 - k) for k in range(32))
+                lo = sum(int(bits[32 + k]) << (31 - k) for k in range(32))
+                ids.append(did)
+                hashes.append(f"{hi:08X}{lo:08X}")
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    prepared = df.select(F.col(doc_id), media_container().alias("media"))
+    return prepared.mapInPandas(hash_batch, AHASH_SCHEMA)

@@ -162,7 +162,11 @@ PRIORITY_50 = [
     "er_sorted_neighborhood",
     "lineitem_math_functions",
     "lineitem_percentiles",
-    "nation_presence_setops",
+    # NEW this round, third session (zero external rows): perceptual
+    # average-hash image dedup — the multimodal member of the dedup
+    # family. Displaces the r1-single nation_presence_setops (keeps its
+    # r1 green).
+    "multimodal_ahash_dedup",
     "nation_trade_by_year",
     "order_conditional_functions",
     "order_date_functions",

@@ -1,0 +1,88 @@
+"""Independent recomputation of the perceptual average-hash dedup: a
+pure-Python (no numpy bincount) aHash over the document payloads, the
+cluster rollup, and the zero-shuffle-before-groupBy plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow.parquet as pq
+
+from mapreduceindex_demo_spark.functions.multimodal import ahash
+from mapreduceindex_demo_spark.plans import QUERIES
+from mapreduceindex_demo_spark.session import load_table
+from tests.conftest import PARITY_SF_DIR
+
+
+def _py_ahash(payload: bytes) -> str:
+    n = len(payload)
+    h = -(-n // 16)
+    sums = [0] * 64
+    cnts = [0] * 64
+    total = 0
+    for i, v in enumerate(payload):
+        cell = ((i // 16) * 8 // h) * 8 + (i % 16) // 2
+        sums[cell] += v
+        cnts[cell] += 1
+        total += v
+    bits = [
+        1 if cnts[k] > 0 and sums[k] * n >= total * cnts[k] else 0
+        for k in range(64)
+    ]
+    hi = sum(bits[k] << (31 - k) for k in range(32))
+    lo = sum(bits[32 + k] << (31 - k) for k in range(32))
+    return f"{hi:08X}{lo:08X}"
+
+
+def test_ahash_matches_python(spark):
+    docs = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    expect = {r["doc_id"]: _py_ahash(r["text"].encode("utf-8")) for r in docs}
+    d = load_table(spark, PARITY_SF_DIR, "documents")
+    got = {r.doc_id: r.ahash for r in ahash(d).collect()}
+    assert got == expect
+
+
+def test_ahash_dedup_clusters_match_python(spark):
+    docs = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        groups.setdefault(_py_ahash(r["text"].encode("utf-8")), []).append(
+            r["doc_id"]
+        )
+    n_images = len(docs)
+    n_distinct = len(groups)
+    n_dup = sum(len(v) for v in groups.values() if len(v) > 1)
+    top = sorted(
+        ((len(v), h, min(v)) for h, v in groups.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    rows = QUERIES["multimodal_ahash_dedup"].fn(spark, PARITY_SF_DIR).collect()
+    assert [(r.group_size, r.ahash, r.canonical_doc) for r in rows] == top
+    for r in rows:
+        assert (r.n_images, r.n_distinct_hashes, r.n_dup_images) == (
+            n_images,
+            n_distinct,
+            n_dup,
+        )
+    # identical payloads must actually cluster at test scale
+    assert rows[0].group_size > 1
+    # and the hash must discriminate (not everything in one bucket)
+    assert n_distinct > n_images // 2
+
+
+def test_ahash_plan_zero_shuffle_before_group(spark):
+    """Hashing is partition-local (mapInPandas straight off the scan);
+    the only wide exchanges are the hash groupBy and the 1-row totals;
+    the totals ride a broadcast crossJoin, never a window over the
+    group table."""
+    df = QUERIES["multimodal_ahash_dedup"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
