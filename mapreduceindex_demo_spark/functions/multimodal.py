@@ -275,6 +275,10 @@ def ahash(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
                 _, width, px = decode_media(blob)
                 arr = np.frombuffer(px, dtype=np.uint8)
                 n = arr.size
+                if n == 0:  # empty raster: all-zero hash, like the
+                    ids.append(did)  # n-guards in the sibling kernels
+                    hashes.append("0" * 16)
+                    continue
                 h = -(-n // width)
                 idx = np.arange(n)
                 cell = ((idx // width) * 8 // h) * 8 + (idx % width) // 2

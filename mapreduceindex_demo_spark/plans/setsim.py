@@ -169,17 +169,20 @@ _SNM_W = 3
 #: edit-distance match threshold
 _SNM_DIST = 2
 
+_SNM_LEADS = ",\n             ".join(
+    f"lead(c_name, {i}) OVER w AS n{i}" for i in range(1, _SNM_W + 1)
+)
+_SNM_UNNEST = ", ".join(f"n{i}" for i in range(1, _SNM_W + 1))
+
 _SNM_ORACLE = f"""
     WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
     nb AS (SELECT c_nationkey, c_name,
-             lead(c_name, 1) OVER w AS n1,
-             lead(c_name, 2) OVER w AS n2,
-             lead(c_name, 3) OVER w AS n3
+             {_SNM_LEADS}
            FROM c
            WINDOW w AS (PARTITION BY c_nationkey
                         ORDER BY c_name, c_custkey)),
     p AS (SELECT c_nationkey, c_name, u.nbr
-          FROM nb, unnest([n1, n2, n3]) AS u(nbr)
+          FROM nb, unnest([{_SNM_UNNEST}]) AS u(nbr)
           WHERE u.nbr IS NOT NULL),
     m AS (SELECT c_nationkey, COUNT(*) AS n_compared,
                  CAST(SUM(CASE WHEN levenshtein(c_name, nbr) <= {_SNM_DIST}
