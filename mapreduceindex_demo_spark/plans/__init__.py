@@ -31,6 +31,7 @@ from mapreduceindex_demo_spark.plans import graph_queries  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import timeseries_ops  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import quality_audit  # noqa: F401,E402
 from mapreduceindex_demo_spark.plans import setsim  # noqa: F401,E402
+from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 
 #: The 50 queries the driver's correctness gate will check, in order.
 #: ROTATED each round: queries whose green driver row already exists in a
@@ -150,7 +151,11 @@ PRIORITY_50 = [
     # target encoding — the categorical feature-engineering class.
     # Displaces the r1-single customer_order_stats (keeps its r1 green).
     "feature_target_encoding",
-    "customer_rolling_30d_spend",
+    # NEW this round, fourth session (zero external rows): a-priori
+    # frequent-pair mining with lift. Displaces the r1-single
+    # customer_rolling_30d_spend (keeps its r1 green; the window_fns
+    # family rep stays customer_running_spend).
+    "basket_frequent_pairs",
     # NEW this round, third session (zero external rows): PSI numeric
     # drift monitor. Displaces the r1-single document_array_functions
     # (keeps its r1 green).
@@ -160,15 +165,24 @@ PRIORITY_50 = [
     # Displaces the r1-single forecast_revenue_change (keeps its r1
     # green).
     "er_sorted_neighborhood",
-    "lineitem_math_functions",
-    "lineitem_percentiles",
+    # NEW this round, fourth session (zero external rows): sliding
+    # two-window mean-shift change-point scan. Displaces the r1-single
+    # lineitem_math_functions (keeps its r1 green).
+    "events_changepoint_scan",
+    # NEW this round, fourth session (zero external rows): chi-squared
+    # term-vs-class feature selection. Displaces the r1-single
+    # lineitem_percentiles (keeps its r1 green).
+    "text_chisq_feature_select",
     # NEW this round, third session (zero external rows): perceptual
     # average-hash image dedup — the multimodal member of the dedup
     # family. Displaces the r1-single nation_presence_setops (keeps its
     # r1 green).
     "multimodal_ahash_dedup",
     "nation_trade_by_year",
-    "order_conditional_functions",
+    # NEW this round, fourth session (zero external rows): Benford
+    # first-digit forensic audit. Displaces the r1-single
+    # order_conditional_functions (keeps its r1 green).
+    "quality_benford_audit",
     "order_date_functions",
     "order_quartiles",
 ]
