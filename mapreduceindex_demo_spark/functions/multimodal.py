@@ -248,13 +248,16 @@ def resize_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
 AHASH_SCHEMA = "doc_id bigint, ahash string"
 
 
-def ahash(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+def ahash(
+    df: DataFrame, doc_id: str = "doc_id", width: int = MEDIA_WIDTH
+) -> DataFrame:
     """Perceptual average-hash (aHash) per gray8 raster — the image
     near-dup fingerprint (pHash family): map every pixel to one cell of
-    an 8x8 grid (cell_row = row*8 // height, cell_col = col // 2 on the
-    16-wide raster — a pure partition assignment, no boundary
-    arithmetic), set each cell's bit iff its mean is >= the raster mean,
-    and pack the 64 bits big-endian into 16 uppercase hex chars.
+    an 8x8 grid (cell_row = row*8 // height, cell_col = col*8 // width —
+    a pure partition assignment for ANY raster width, no boundary
+    arithmetic; on the default 16-wide container col*8//16 ≡ col//2),
+    set each cell's bit iff its mean is >= the raster mean, and pack the
+    64 bits big-endian into 16 uppercase hex chars.
 
     Determinism: the bit test is the exact integer cross-multiplication
     ``cell_sum * n_pixels >= total_sum * cell_n`` (empty cells stay 0),
@@ -281,7 +284,7 @@ def ahash(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
                     continue
                 h = -(-n // width)
                 idx = np.arange(n)
-                cell = ((idx // width) * 8 // h) * 8 + (idx % width) // 2
+                cell = ((idx // width) * 8 // h) * 8 + (idx % width) * 8 // width
                 sums = np.bincount(cell, weights=arr, minlength=64)
                 cnts = np.bincount(cell, minlength=64)
                 total = int(arr.sum())
@@ -294,5 +297,7 @@ def ahash(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
                 hashes.append(f"{hi:08X}{lo:08X}")
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
-    prepared = df.select(F.col(doc_id), media_container().alias("media"))
+    prepared = df.select(
+        F.col(doc_id), media_container(width=width).alias("media")
+    )
     return prepared.mapInPandas(hash_batch, AHASH_SCHEMA)

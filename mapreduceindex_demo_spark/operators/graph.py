@@ -21,6 +21,7 @@ changed row instead of counting all of them.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -122,7 +123,11 @@ def triangle_stats(
     memory until JVM GC drops the plan — repeated invocations in one
     session (a bench loop, a notebook) accumulated ~200 MB per call and
     OOM'd an 8 GB driver at ~sf1, while persisted blocks are evictable
-    under memory pressure and cost the same single evaluation.
+    under memory pressure and cost the same single evaluation. The level
+    is MEMORY_ONLY, not the MEMORY_AND_DISK default: nothing ever
+    unpersists these (the caller owns materialization), so under pressure
+    the blocks must be DROPPED (recompute is one cheap scan), not spilled
+    to unbounded local disk across repeated invocations.
     """
     und = (
         edges.select(
@@ -131,7 +136,7 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -148,7 +153,7 @@ def triangle_stats(
             F.when(F.col("da") <= F.col("db"), F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(F.col("da") <= F.col("db"), F.col("b")).otherwise(F.col("a")).alias("t"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     e1 = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = o.select(F.col("s").alias("y"), F.col("t").alias("z"))

@@ -130,14 +130,20 @@ PRIORITY_50 = [
     "dedup_minhash_signatures",
     "text_chunking",
     "text_bpe_token_stats",
-    # --- the r1-single rows (13 of 24; top_returning_customers,
+    # --- the r1-single rows (3 of 24 remain in-window after the
+    # third/fourth-session displacements: nation_trade_by_year,
+    # order_date_functions, order_quartiles; the 21 waiting for r9 —
+    # each keeping its committed r1 green — are top_returning_customers,
     # top_orders_per_customer, top100_expensive_items,
     # shipments_within_90_days, order_priority_check,
     # rollup_returnflag_status, orderless_customers,
     # orders_above_customer_average, orders_column_profile,
-    # part_string_functions and priority_distinct_customers keep their
-    # committed r1 greens and wait for r9 — new-this-round queries take
-    # their slots) ---
+    # part_string_functions, priority_distinct_customers, plus the ten
+    # displaced this round: big_spender_customers, cube_status_priority,
+    # customer_order_stats, customer_rolling_30d_spend,
+    # document_array_functions, forecast_revenue_change,
+    # lineitem_math_functions, lineitem_percentiles,
+    # nation_presence_setops, order_conditional_functions) ---
     # NEW this round, third session (zero external rows): exact
     # prefix-filtered set-similarity join — the lossless threshold-dedup
     # twin of the LSH family. Displaces the r1-single

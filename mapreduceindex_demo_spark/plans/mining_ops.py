@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -106,9 +107,14 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     second a-priori round (triples from frequent pairs) is the same join
     shape again."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # three differently-keyed consumers (basket count, item counts, the
+    # semi-join feeding both self-join sides) — cache the scan+distinct
+    # once (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     no = items.agg(F.countDistinct("ok").cast("long").alias("n"))
     ic = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
     freq = ic.crossJoin(F.broadcast(no)).where(

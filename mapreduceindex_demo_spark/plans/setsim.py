@@ -28,6 +28,7 @@ the recall contracts calibrate against.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -98,9 +99,12 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear in real duplication, which is what makes the exact
     answer affordable where LSH would otherwise be forced."""
     d = load_table(spark, sf_dir, "documents")
+    # five consumers (sizes, docfreq, prefix, ta, tb) keyed differently —
+    # without a cache the scan + shingle explode re-runs per branch
+    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(D.shingles())).alias("gram")
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     # prefix length |s| - ceil(tau*|s|) + 1 in exact integer arithmetic:

@@ -768,7 +768,7 @@ def q_similarity_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures are a scan-local projection (dim/32 BIGINT
     words per vector, packed by a zero-shuffle fold); the query side is
-    {_HAM_NQ} rows broadcast into the candidate scan, so the distance
+    nq=5 (`_HAM_NQ`) rows broadcast into the candidate scan, so the distance
     pass is one embarrassingly-parallel map over signatures, then a
     per-query top-k window on a (query, dist)-sorted shuffle of
     O(N·nq) SMALL rows (3 ints each — ~100× less shuffle than float

@@ -86,3 +86,45 @@ def test_ahash_plan_zero_shuffle_before_group(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+def test_ahash_generalizes_to_non_default_widths(spark):
+    """The kernel reads the raster width from the container header —
+    cell_col must be ``col*8 // width`` for ANY width, not the 16-wide
+    shortcut ``col // 2`` (regression: width-32 rasters aliased columns
+    past the 8x8 grid, silently dropping pixels from the hash)."""
+    import pandas as pd
+
+    def py_ahash_w(payload: bytes, width: int) -> str:
+        n = len(payload)
+        if n == 0:
+            return "0" * 16
+        h = -(-n // width)
+        sums, cnts, total = [0] * 64, [0] * 64, 0
+        for i, v in enumerate(payload):
+            cell = ((i // width) * 8 // h) * 8 + (i % width) * 8 // width
+            sums[cell] += v
+            cnts[cell] += 1
+            total += v
+        bits = [
+            1 if cnts[k] > 0 and sums[k] * n >= total * cnts[k] else 0
+            for k in range(64)
+        ]
+        hi = sum(bits[k] << (31 - k) for k in range(32))
+        lo = sum(bits[32 + k] << (31 - k) for k in range(32))
+        return f"{hi:08X}{lo:08X}"
+
+    texts = ["", "x", "the quick brown fox jumps over the lazy dog " * 9]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for width in (8, 16, 32, 100):
+        got = {r.doc_id: r.ahash for r in ahash(df, width=width).collect()}
+        expect = {
+            i: py_ahash_w(t.encode("utf-8"), width)
+            for i, t in enumerate(texts)
+        }
+        assert got == expect, width
+    # width must actually change the hash of a wide raster — otherwise
+    # this test couldn't catch a kernel that ignores the header width
+    long = texts[2].encode("utf-8")
+    assert py_ahash_w(long, 8) != py_ahash_w(long, 32)
