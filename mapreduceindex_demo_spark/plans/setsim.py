@@ -99,14 +99,24 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-linear in real duplication, which is what makes the exact
     answer affordable where LSH would otherwise be forced."""
     d = load_table(spark, sf_dir, "documents")
-    # five consumers (sizes, docfreq, prefix, ta, tb) keyed differently —
-    # without a cache the scan + shingle explode re-runs per branch
+    # the per-doc distinct gram ARRAY is the unit of verification (see
+    # inter below); the exploded row form feeds docfreq + prefix — two
+    # differently-keyed consumers, so cache the explode once
     # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(D.shingles())).alias("gram")
+    docs = d.select(
+        "doc_id", F.array_distinct(D.shingles()).alias("grams")
+    )
+    ex = docs.select(
+        "doc_id", F.explode("grams").alias("gram")
     ).persist(StorageLevel.MEMORY_ONLY)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # set size and frequency rank ride ONE doc_id window exchange (the
+    # round-8 window-over-rejoin lesson): a separate sizes groupBy + two
+    # per-side joins at the end measured ~2x slower — the join spelling
+    # re-shuffles AND re-runs the upstream subtree per branch
+    wd = Window.partitionBy("doc_id")
+    rk = F.row_number().over(wd.orderBy("df", "gram"))
+    sz = F.count(F.lit(1)).over(wd)
     # prefix length |s| - ceil(tau*|s|) + 1 in exact integer arithmetic:
     # ceil(n*num/den) = (n*num + den - 1) div den
     plen = (
@@ -116,41 +126,64 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
-    rk = Window.partitionBy("doc_id").orderBy("df", "gram")
     prefix = (
         ex.join(docfreq, "gram")
-        .withColumn("rk", F.row_number().over(rk))
-        .join(sizes, "doc_id")
+        .select("doc_id", "gram", rk.alias("rk"), sz.alias("sz"))
         .where(F.col("rk") <= plen)
-        .select("doc_id", "gram")
+        .select("doc_id", "gram", "sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # sizes travel WITH the candidate pair (same distinct cardinality —
+    # sz is functionally dependent on doc_id), enabling the LENGTH
+    # FILTER in the join predicate: jac >= tau forces
+    # min(|a|,|b|) >= tau * max(|a|,|b|) (exact integer
+    # cross-multiplication) — size-mismatched pairs never survive
+    # verification, so pruning them here is lossless (PPJoin's filter)
     cand = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * TAU_DEN
+                >= TAU_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
         )
         .distinct()
     )
-    ta = ex.select(F.col("doc_id").alias("doc_a"), "gram")
-    tb = ex.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # verification by array_intersect on the per-doc gram arrays — two
+    # doc-id equi-joins attach the arrays, the intersection count is
+    # compute-only (JVM hash-set per row). The explode-join spelling
+    # (cand ⋈ grams(doc_a) ⋈ grams(doc_b) on (doc, gram) + groupBy)
+    # measured 30.2 s of a 32.5 s total at ~sf0.3: it fans |cand| ×
+    # grams-per-doc (~190M rows) through an exchange; the array form
+    # moves each gram set ONCE per side
+    ga = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    gb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("inter"),
+        )
+    )
     union_sz = F.col("size_a") + F.col("size_b") - F.col("inter")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(F.col("inter") * TAU_DEN >= TAU_NUM * union_sz)
+        inter.where(F.col("inter") * TAU_DEN >= TAU_NUM * union_sz)
         .select(
             "doc_a",
             "doc_b",

@@ -111,6 +111,16 @@ def test_setsim_plan_is_all_equi_joins(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"Window", plan), plan
+    # verification is compute-only array_intersect over attached gram
+    # arrays — the explode-join spelling (|cand| x grams-per-doc rows
+    # through an exchange) spilled past single-node disk at x10 replicas
+    assert "array_intersect" in plan, plan
+    # the only explode is the one feeding docfreq/prefix — it renders
+    # once per consuming branch of the cached frame (docfreq, the two
+    # prefix self-join sides, the shared subtree = 4); the verification
+    # joins attach ARRAYS and must not add Generates (the explode-join
+    # spelling showed 6)
+    assert len(re.findall(r"\bGenerate\b", plan)) <= 4, plan
 
 
 def _py_levenshtein(a: str, b: str) -> int:
