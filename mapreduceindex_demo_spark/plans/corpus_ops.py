@@ -22,6 +22,7 @@ top-k has a total tiebreak.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -455,11 +456,18 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
     )
     big = d.select(F.explode(bg).alias("gram"))
-    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+    # c2 feeds two consumers (the n2 total, the scored pairs) and u
+    # three (the n1 total, both unigram lookups) — cache each groupBy
+    # result or its explode subtree re-runs per branch (MEMORY_ONLY:
+    # evictable, never unpersisted — the triangle rule)
+    c2 = big.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt2")
+    ).persist(StorageLevel.MEMORY_ONLY)
     u = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt1"))
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     tot = u.agg(F.sum("cnt1").cast("long").alias("n1")).crossJoin(
         F.broadcast(c2.agg(F.sum("cnt2").cast("long").alias("n2")))
