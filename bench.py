@@ -22,6 +22,10 @@ from mapreduceindex_demo_spark.session import get_spark
 # stamped "noisy": true so a polluted artifact can never masquerade as a
 # regression — or an improvement. Re-calibrate only on hardware changes.
 _PROBE_REF_SEC = 0.13  # calibrated: quiet-machine medians 0.09-0.145s
+#: full-pass retries when the sentinel trips (r8 verdict item 4) and the
+#: cool-down between them — transient co-running work usually drains fast
+_MAX_ATTEMPTS = 2
+_RETRY_COOLDOWN_SEC = 30
 
 
 def _probe(spark, reps: int = 5) -> float:
@@ -36,16 +40,8 @@ def _probe(spark, reps: int = 5) -> float:
     return round(sorted(runs)[len(runs) // 2], 4)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = -1.0  # unknown scale; still run and report timings
-    spark = get_spark(app_name="mri-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
+    """One full timing pass; returns the artifact dict (incl. noisy flag)."""
     probe_before = _probe(spark)
     # Warm-up: run every bench query once AT THE TARGET SF so whole-stage
     # codegen/JIT is compiled, table schemas are resolved (plan cache), and
@@ -113,24 +109,53 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "forced_queries": forced,
-                "forced_total": round(sum(forced.values()), 4),
-                "sf": sf,
-                "probe_sec": probe,
-                "probe_before_sec": probe_before,
-                "probe_after_sec": probe_after,
-                "probe_ref_sec": _PROBE_REF_SEC,
-                "noisy": noisy,
-            }
-        )
-    )
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "forced_queries": forced,
+        "forced_total": round(sum(forced.values()), 4),
+        "sf": sf,
+        "probe_sec": probe,
+        "probe_before_sec": probe_before,
+        "probe_after_sec": probe_after,
+        "probe_ref_sec": _PROBE_REF_SEC,
+        "noisy": noisy,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # unknown scale; still run and report timings
+    spark = get_spark(app_name="mri-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
+    # Noisy-retry (r8 verdict item 4): BENCH_r08 shipped contention-tainted
+    # because the sentinel tripped on the only pass taken. Run up to
+    # _MAX_ATTEMPTS full passes; emit the first clean one, else the pass
+    # with the lowest probe — the artifact is only born noisy when the
+    # machine never went quiet for an entire attempt.
+    attempts = []
+    for attempt in range(_MAX_ATTEMPTS):
+        result = _measure(spark, bench_queries, sf_dir, sf)
+        attempts.append(result)
+        if not result["noisy"]:
+            break
+        if attempt + 1 < _MAX_ATTEMPTS:
+            print(
+                f"# retrying after {_RETRY_COOLDOWN_SEC}s cool-down "
+                f"(attempt {attempt + 1} noisy)",
+                file=sys.stderr,
+            )
+            time.sleep(_RETRY_COOLDOWN_SEC)
+    best = min(attempts, key=lambda r: r["probe_sec"])
+    best["attempts"] = len(attempts)
+    print(json.dumps(best))
     spark.stop()
 
 

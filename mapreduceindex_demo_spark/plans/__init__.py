@@ -95,9 +95,10 @@ PRIORITY_50 = [
     # NEW this round, second session (zero external rows): PMI collocation
     # mining. Displaces the r1-single priority_distinct_customers.
     "text_pmi_collocations",
-    # changed THIS round (hint-free broadcast policy applied to the truth
-    # join — stays in for external re-verification)
-    "sketch_bloom_prune",
+    # NEW this round (r9, zero external rows): a-priori round 2 — frequent
+    # triples from frequent pairs (the r8 verdict's item 7). Displaces
+    # sketch_bloom_prune (greens r6 + r8; no family constraint).
+    "basket_frequent_triples",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",

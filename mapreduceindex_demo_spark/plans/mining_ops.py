@@ -3,8 +3,8 @@
 Four operator classes the engine's analytics surface was still missing:
 
 - **Frequent-itemset mining** (`basket_frequent_pairs`): the a-priori
-  market-basket class — co-occurring item pairs above a RELATIVE support
-  threshold, scored with lift. The canonical MapReduce-era workload the
+  market-basket class — co-occurring item pairs above an absolute minsup
+  floor (Agrawal-Srikant's original formulation), scored with lift. The canonical MapReduce-era workload the
   reference's map/reduce surface gestures at (SURVEY §2.2 M1/M2) but
   never ships as a query.
 - **Change-point detection** (`events_changepoint_scan`): per-series
@@ -41,21 +41,27 @@ from mapreduceindex_demo_spark.session import load_table
 # basket_frequent_pairs
 # --------------------------------------------------------------------------
 
-#: an item is "frequent" if it appears in >= 1/500 of baskets — a RELATIVE
-#: threshold, so the a-priori prune stays meaningful at every scale factor.
-_ITEM_SUP_DEN = 500
+#: an item is "frequent" if it appears in >= this many baskets — the
+#: classic ABSOLUTE minsup of Agrawal-Srikant. Round 8 shipped a relative
+#: floor (c * 500 >= n); measured against TPC-H-shaped data that is a
+#: scale BUG, not a lever: the part universe grows linearly with SF while
+#: each part's basket count stays ~30 at every SF, so the relative floor
+#: admits half the items at sf0.01 and ZERO at sf0.1+ (and the ~sf1
+#: replica harness therefore timed an empty output — r8 verdict items
+#: "What's missing #4"/"next #6"). Absolute minsup is scale-stable here
+#: and is the original formulation.
+_ITEM_MIN_COUNT = 32
 #: pairs below this absolute co-occurrence count are noise, not patterns
-#: (the classic minsup floor); the SCALE lever is the item-level relative
-#: prune above, which bounds the pair-generation fan-out
-_PAIR_MIN_COUNT = 3
+#: (the classic minsup floor); the SCALE lever is the item-level prune
+#: above, which bounds the pair-generation fan-out
+_PAIR_MIN_COUNT = 2
 
 _BASKET_ORACLE = f"""
     WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                    FROM lineitem),
     no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
     ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
-    freq AS (SELECT pk, c FROM ic CROSS JOIN no
-             WHERE c * {_ITEM_SUP_DEN} >= n),
+    freq AS (SELECT pk, c FROM ic WHERE c >= {_ITEM_MIN_COUNT}),
     fi AS (SELECT i.ok, i.pk FROM items i
            WHERE EXISTS (SELECT 1 FROM freq f WHERE f.pk = i.pk)),
     pairs AS (SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS pc
@@ -85,18 +91,19 @@ _BASKET_ORACLE = f"""
 )
 def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori frequent-pair mining over order baskets: the top-20
-    co-purchased part pairs above a relative support floor, scored with
+    co-purchased part pairs above an absolute minsup floor, scored with
     lift (``P(ab) / (P(a)P(b))``) — the market-basket workload
     (Agrawal-Srikant) every co-occurrence recommender starts from.
 
-    Determinism: support counts are BIGINT; the item support threshold is
-    an exact integer cross-multiplication (``c * 500 >= n``), never a
-    float ratio, and the pair floor is an integer min-count; support and
+    Determinism: support counts are BIGINT; the item and pair floors are
+    integer min-counts (absolute minsup — the Agrawal-Srikant original;
+    see the `_ITEM_MIN_COUNT` note for why a relative floor is a scale
+    bug on data whose item universe grows with volume); support and
     lift are single IEEE divisions of exact integers rounded to 6dp; the
     top-20 orders on (pair_count DESC, p1, p2) — a total order.
 
     Scale shape: the a-priori prune is the point — only items above the
-    1/500 support floor enter pair generation, so the within-basket
+    minsup floor enter pair generation, so the within-basket
     self-join's fan-out is bounded by the FREQUENT-item basket width, not
     the raw one. The self-join is an equi-join on the basket key (one
     shuffle, per-key quadratic only in frequent items per basket — single
@@ -117,9 +124,7 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     no = items.agg(F.countDistinct("ok").cast("long").alias("n"))
     ic = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    freq = ic.crossJoin(F.broadcast(no)).where(
-        F.col("c") * _ITEM_SUP_DEN >= F.col("n")
-    )
+    freq = ic.where(F.col("c") >= _ITEM_MIN_COUNT)
     fi = items.join(freq.select("pk"), "pk", "left_semi")
     pairs = (
         fi.alias("x")
@@ -161,6 +166,175 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pair_count"), "p1", "p2").limit(20)
+
+
+# --------------------------------------------------------------------------
+# basket_frequent_triples — a-priori round 2 (round 9)
+# --------------------------------------------------------------------------
+
+#: item floor: an event type is frequent in >= 1/20 (5%) of user-day
+#: baskets; pair floor 1/50 (2%); triple floor 1/100 (1%). RELATIVE floors
+#: are correct HERE (contrast `_ITEM_MIN_COUNT`): behavioral mixes
+#: replicate with volume — more users exhibit the same per-user patterns —
+#: so per-itemset support is a scale-invariant fraction of baskets, where
+#: lineitem's part universe grows with scale and dilutes any ratio.
+_TRI_ITEM_DEN = 20
+_TRI_PAIR_DEN = 50
+_TRI_DEN = 100
+
+_TRIPLES_ORACLE = f"""
+    WITH fi0 AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                        event_type AS it
+                 FROM events),
+    nb AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n
+           FROM fi0),
+    ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM fi0 GROUP BY 1),
+    fitems AS (SELECT it FROM ic CROSS JOIN nb
+               WHERE c * {_TRI_ITEM_DEN} >= n),
+    fi AS (SELECT f.user_id, f.d, f.it FROM fi0 f
+           WHERE EXISTS (SELECT 1 FROM fitems w WHERE w.it = f.it)),
+    pc AS (SELECT a.it AS x, b.it AS y, CAST(COUNT(*) AS BIGINT) AS c
+           FROM fi a JOIN fi b
+             ON a.user_id = b.user_id AND a.d = b.d AND a.it < b.it
+           GROUP BY 1, 2),
+    fp AS (SELECT x, y FROM pc CROSS JOIN nb
+           WHERE c * {_TRI_PAIR_DEN} >= n),
+    tc AS (SELECT a.it AS e1, b.it AS e2, c3.it AS e3,
+                  CAST(COUNT(*) AS BIGINT) AS tc
+           FROM fi a
+           JOIN fi b ON a.user_id = b.user_id AND a.d = b.d
+                    AND a.it < b.it
+           JOIN fi c3 ON a.user_id = c3.user_id AND a.d = c3.d
+                     AND b.it < c3.it
+           WHERE EXISTS (SELECT 1 FROM fp WHERE fp.x = a.it AND fp.y = b.it)
+             AND EXISTS (SELECT 1 FROM fp WHERE fp.x = a.it AND fp.y = c3.it)
+             AND EXISTS (SELECT 1 FROM fp WHERE fp.x = b.it AND fp.y = c3.it)
+           GROUP BY 1, 2, 3)
+    SELECT e1, e2, e3, tc AS triple_count,
+           round(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS support
+    FROM tc CROSS JOIN nb
+    WHERE tc * {_TRI_DEN} >= n
+    ORDER BY triple_count DESC, e1, e2, e3
+    """
+
+
+@query(
+    "basket_frequent_triples",
+    oracle=_TRIPLES_ORACLE,
+    tags=("mining", "itemsets", "apriori", "basket", "triples"),
+)
+def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori ROUND 2 — frequent triples from frequent pairs, the
+    level-wise step that gives the algorithm its name (Agrawal-Srikant
+    VLDB'94 §2.1.1 candidate generation): an itemset of size 3 can only
+    be frequent if ALL THREE of its size-2 subsets are, so the triple
+    count touches only baskets and item combinations that survived round
+    1. Domain: behavioral itemsets — which event-type combinations
+    co-occur within a user-day basket — with relative support floors
+    (scale-invariant for behavioral data; the `_TRI_ITEM_DEN` note
+    contrasts this with the pairs query's absolute floor).
+
+    Scale shape: the same join shape as [q:basket_frequent_pairs], one
+    level deeper — the three-way within-basket self-join is an equi-join
+    chain on the basket key whose fan-out is bounded by the FREQUENT-item
+    basket width (level-1 prune), and each added leg is filtered by a
+    frequent-PAIR semi-join before aggregation (level-2 prune), so the
+    enumerated-triples stream is candidate-bounded, never the raw
+    within-basket cube. Item/pair tables are item-universe-sized — AQE
+    broadcasts them; the basket-count side is 1 row. At 100 TB the
+    level-wise prune is what keeps round k affordable: the candidate set
+    shrinks geometrically while the per-basket join stays linear in
+    surviving items."""
+    ev = load_table(spark, sf_dir, "events")
+    # distinct (basket, item) feeds four consumers (item counts, pair
+    # counts, and two extra legs of the triple join) — cache it once
+    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
+    fi0 = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.col("event_type").alias("it"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    nb = fi0.agg(
+        F.countDistinct(F.struct("user_id", "d")).cast("long").alias("n")
+    )
+    ic = fi0.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fitems = (
+        ic.crossJoin(F.broadcast(nb))
+        .where(F.col("c") * _TRI_ITEM_DEN >= F.col("n"))
+        .select("it")
+    )
+    fi = fi0.join(fitems, "it", "left_semi")
+    pc = (
+        fi.alias("a")
+        .join(
+            fi.alias("b"),
+            [
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.d") == F.col("b.d"),
+                F.col("a.it") < F.col("b.it"),
+            ],
+        )
+        .groupBy(F.col("a.it").alias("x"), F.col("b.it").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fp = (
+        pc.crossJoin(F.broadcast(nb))
+        .where(F.col("c") * _TRI_PAIR_DEN >= F.col("n"))
+        .select("x", "y")
+    )
+    triples = (
+        fi.alias("a")
+        .join(
+            fi.alias("b"),
+            [
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.d") == F.col("b.d"),
+                F.col("a.it") < F.col("b.it"),
+            ],
+        )
+        .join(
+            fi.alias("c3"),
+            [
+                F.col("a.user_id") == F.col("c3.user_id"),
+                F.col("a.d") == F.col("c3.d"),
+                F.col("b.it") < F.col("c3.it"),
+            ],
+        )
+        .select(
+            F.col("a.it").alias("e1"),
+            F.col("b.it").alias("e2"),
+            F.col("c3.it").alias("e3"),
+        )
+    )
+    # the three level-2 semi-joins: every size-2 subset must be frequent
+    for lhs, rhs in (("e1", "e2"), ("e1", "e3"), ("e2", "e3")):
+        triples = triples.join(
+            F.broadcast(fp),
+            (F.col(lhs) == F.col("x")) & (F.col(rhs) == F.col("y")),
+            "left_semi",
+        )
+    tc = triples.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    return (
+        tc.crossJoin(F.broadcast(nb))
+        .where(F.col("tc") * _TRI_DEN >= F.col("n"))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            F.col("tc").alias("triple_count"),
+            (
+                F.round(F.col("tc").cast("double") / F.col("n").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("support"),
+        )
+        .orderBy(F.desc("triple_count"), "e1", "e2", "e3")
+    )
 
 
 # --------------------------------------------------------------------------

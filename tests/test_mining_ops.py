@@ -18,7 +18,7 @@ from mapreduceindex_demo_spark.plans.mining_ops import (
     _BENFORD,
     _CHI_MIN_DF,
     _CP_W,
-    _ITEM_SUP_DEN,
+    _ITEM_MIN_COUNT,
     _PAIR_MIN_COUNT,
 )
 from tests.conftest import PARITY_SF_DIR
@@ -46,7 +46,7 @@ def _py_frequent_pairs():
     item_cnt: Counter = Counter()
     for items in baskets.values():
         item_cnt.update(items)
-    freq = {pk for pk, c in item_cnt.items() if c * _ITEM_SUP_DEN >= n}
+    freq = {pk for pk, c in item_cnt.items() if c >= _ITEM_MIN_COUNT}
     pair_cnt: Counter = Counter()
     for items in baskets.values():
         fi = sorted(i for i in items if i in freq)
@@ -94,6 +94,66 @@ def test_frequent_pairs_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     # the within-basket self-join must key on the basket id
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+# --------------------------------------------------------------------------
+# basket_frequent_triples — a-priori round 2
+# --------------------------------------------------------------------------
+
+
+def test_frequent_triples_match_python_levelwise(spark):
+    """Pure-Python level-wise a-priori (items -> pairs -> candidate
+    triples -> counts), the third implementation beside plan and oracle.
+    Also asserts the level-2 prune is structurally exercised: every
+    reported triple's three sub-pairs are frequent."""
+    from itertools import combinations
+
+    from mapreduceindex_demo_spark.plans.mining_ops import (
+        _TRI_DEN,
+        _TRI_ITEM_DEN,
+        _TRI_PAIR_DEN,
+    )
+
+    ev = pq.read_table(
+        f"{PARITY_SF_DIR}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).to_pandas()
+    ev["d"] = ev["ts"].dt.floor("D")
+    baskets: dict[tuple, set] = defaultdict(set)
+    for u, d, et in zip(ev["user_id"], ev["d"], ev["event_type"]):
+        baskets[(u, d)].add(et)
+    n = len(baskets)
+    item_cnt: Counter = Counter()
+    for its in baskets.values():
+        item_cnt.update(its)
+    fitems = {it for it, c in item_cnt.items() if c * _TRI_ITEM_DEN >= n}
+    pair_cnt: Counter = Counter()
+    tri_cnt: Counter = Counter()
+    for its in baskets.values():
+        fs = sorted(i for i in its if i in fitems)
+        for p in combinations(fs, 2):
+            pair_cnt[p] += 1
+    fpairs = {p for p, c in pair_cnt.items() if c * _TRI_PAIR_DEN >= n}
+    for its in baskets.values():
+        fs = sorted(i for i in its if i in fitems)
+        for t in combinations(fs, 3):
+            if all(sp in fpairs for sp in combinations(t, 2)):
+                tri_cnt[t] += 1
+    expect = sorted(
+        (
+            (t[0], t[1], t[2], c, round(c / n, 6))
+            for t, c in tri_cnt.items()
+            if c * _TRI_DEN >= n
+        ),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )
+    got = QUERIES["basket_frequent_triples"].fn(spark, PARITY_SF_DIR).collect()
+    assert len(got) == len(expect) > 0
+    for g, e in zip(got, expect):
+        assert (g.e1, g.e2, g.e3, g.triple_count) == e[:4], (g, e)
+        assert abs(g.support - e[4]) < 1e-9
+    for g in got:
+        for sp in combinations((g.e1, g.e2, g.e3), 2):
+            assert sp in fpairs
 
 
 # --------------------------------------------------------------------------
