@@ -128,3 +128,56 @@ def test_ahash_generalizes_to_non_default_widths(spark):
     # this test couldn't catch a kernel that ignores the header width
     long = texts[2].encode("utf-8")
     assert py_ahash_w(long, 8) != py_ahash_w(long, 32)
+
+
+def test_ahash_neardup_matches_bruteforce_python(spark):
+    """Hamming-radius near-dup: pure-Python brute force over distinct
+    hashes is the recall contract — the banded multi-index must find
+    EVERY pair within radius (lossless by pigeonhole at radius < bands).
+    Also checks the pigeonhole premise itself on real pairs: every
+    qualifying pair shares at least one exact 16-bit band."""
+    from mapreduceindex_demo_spark.plans.llm import _AHASH_BANDS, _AHASH_RADIUS
+
+    docs = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        groups.setdefault(_py_ahash(r["text"].encode("utf-8")), []).append(
+            r["doc_id"]
+        )
+    uniq = sorted(groups)
+    expect = []
+    for i, ha in enumerate(uniq):
+        for hb in uniq[i + 1 :]:
+            d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
+            if d <= _AHASH_RADIUS:
+                expect.append(
+                    (
+                        ha,
+                        hb,
+                        d,
+                        len(groups[ha]),
+                        len(groups[hb]),
+                        min(groups[ha]),
+                        min(groups[hb]),
+                    )
+                )
+    expect.sort(key=lambda t: (t[2], t[0], t[1]))
+    rows = QUERIES["multimodal_ahash_neardup"].fn(spark, PARITY_SF_DIR).collect()
+    got = [
+        (r.hash_a, r.hash_b, r.hamming_dist, r.size_a, r.size_b, r.canon_a, r.canon_b)
+        for r in rows
+    ]
+    assert got == expect
+    # non-trivial at test scale, and distance 0 is impossible by ha < hb
+    # over DISTINCT hashes (exact dups belong to multimodal_ahash_dedup)
+    assert len(got) > 0
+    assert all(1 <= r.hamming_dist <= _AHASH_RADIUS for r in rows)
+    # the pigeonhole premise, checked concretely
+    for ha, hb, *_ in expect:
+        shared = sum(
+            ha[4 * b : 4 * b + 4] == hb[4 * b : 4 * b + 4]
+            for b in range(_AHASH_BANDS)
+        )
+        assert shared >= 1, (ha, hb)
