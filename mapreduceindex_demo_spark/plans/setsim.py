@@ -102,10 +102,13 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc distinct gram ARRAY is the unit of verification (see
     # inter below); the exploded row form feeds docfreq + prefix — two
     # differently-keyed consumers, so cache the explode once
-    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
+    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule).
+    # `docs` itself ALSO has three consumers (ex, ga, gb) — persisting it
+    # stops the shingle kernel running three times (the r8 shared-frame
+    # rule; measured at x3/x10 in BASELINE.md round 9)
     docs = d.select(
         "doc_id", F.array_distinct(D.shingles()).alias("grams")
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     ex = docs.select(
         "doc_id", F.explode("grams").alias("gram")
     ).persist(StorageLevel.MEMORY_ONLY)
@@ -205,6 +208,20 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SNM_W = 3
 #: edit-distance match threshold
 _SNM_DIST = 2
+#: distributed-SNM chunk size: the sorted sequence is cut into
+#: rank-contiguous chunks of this many rows and each chunk is windowed
+#: INDEPENDENTLY (with the previous chunk's last _SNM_W rows copied in),
+#: so window parallelism is n/_SNM_CHUNK instead of |blocking keys|. Any
+#: value >= _SNM_W is lossless (the copy rule needs one hop only when
+#: every chunk holds at least w rows); the setting trades per-group
+#: overhead against parallelism and does NOT affect the result.
+_SNM_CHUNK = 32
+#: coarse contiguous bucketing of the sort key for the distributed rank:
+#: a PREFIX of the match attribute is monotone in its lexicographic
+#: order, so equal-prefix groups are contiguous ranges of the sorted
+#: sequence and per-group local ranks + cumulative group offsets
+#: reconstruct the exact global rank without any single-task sort
+_SNM_PFX = 16
 
 _SNM_LEADS = ",\n             ".join(
     f"lead(c_name, {i}) OVER w AS n{i}" for i in range(1, _SNM_W + 1)
@@ -253,34 +270,119 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-level sibling of this module's prefix join — fuzzy STRING
     matching over records instead of exact set overlap over documents.
 
-    Scale shape: O(n*w) comparisons instead of the O(n^2/|blocks|)
-    pairwise blowup naive blocking pays — the published reason SNM exists.
-    ONE hash exchange on the blocking key carries the sort window, the
-    neighbor fan-out is a scan-local array explode (w lead columns, the
-    zero-shuffle Generate family), and the rollup re-uses the same
-    nation partitioning. The levenshtein kernel is JVM codegen (both
-    engines implement the standard DP edit distance, so parity is
-    exact). At 100 TB the multi-pass variant re-runs the same plan with
-    a second sort key; each pass stays one exchange."""
+    DISTRIBUTED spelling (round 9 — the r8 verdict's one `weak`): the r8
+    version windowed over the nation key directly, capping parallelism at
+    25 tasks forever, each sorting ~4% of a 100 TB corpus alone — the
+    classic low-cardinality-blocking-key straggler. This rewrite is the
+    standard parallel SNM (Kolb et al.'s JobSN/RRSNM partition scheme,
+    re-expressed declaratively) and is PROVABLY pair-identical to the
+    single-window spelling, which is why the oracle deliberately stays
+    the naive one-window-per-nation SQL — the same lossless-rewrite
+    contract as [q:dedup_setsim_prefix_join]'s brute-force oracle:
+
+    1. exact global rank per nation WITHOUT a per-nation sort: a sort-key
+       PREFIX (monotone, so equal-prefix groups are rank-contiguous)
+       buckets the rows; one (nation, prefix) window ranks locally; a
+       bucket-count table (tiny: |distinct prefixes| rows) turns into
+       cumulative offsets; rank = offset + local rank.
+    2. rank-contiguous CHUNKS of `_SNM_CHUNK` rows are windowed
+       independently; each chunk's last w rows are COPIED into the next
+       chunk (is_copy=true), so every cross-boundary neighbor pair
+       appears in exactly one chunk.
+    3. a pair is emitted iff its LEAD row is native — (native,native)
+       and (copy,native) pairs count once; (copy,copy) pairs were
+       already counted as natives of the previous chunk; a native's
+       trailing nulls at the chunk edge are covered by its copy in the
+       next chunk. Chunk size >= w makes the one-hop copy sufficient.
+
+    Scale shape: O(n*w) comparisons as before, but the sort exchange is
+    now keyed on (nation, prefix-bucket) and the neighbor window on
+    (nation, chunk) — parallelism n/_SNM_CHUNK, thousands of tasks at
+    100 TB instead of 25, no straggler block. The offset table rides a
+    broadcast join (it is |buckets|-sized metadata). The levenshtein
+    kernel is JVM codegen (both engines implement the standard DP edit
+    distance, so parity is exact). The multi-pass variant re-runs the
+    same plan with a second sort key."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
-    leads = c.select(
+    # (1) exact per-nation global rank, distributed: local rank within the
+    # contiguous prefix bucket + broadcast cumulative bucket offsets
+    b = c.withColumn("bkt", F.substring("c_name", 1, _SNM_PFX))
+    w1 = Window.partitionBy("c_nationkey", "bkt").orderBy(
+        "c_name", "c_custkey"
+    )
+    local = b.withColumn("rn", F.row_number().over(w1))
+    cnts = b.groupBy("c_nationkey", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # the offset window runs over the TINY per-bucket count table (25 x
+    # |prefixes| rows), not the data — a metadata-sized single exchange
+    wo = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "c_nationkey",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"),
+    )
+    ranked = (
+        local.join(F.broadcast(offs), ["c_nationkey", "bkt"])
+        .select(
+            "c_nationkey",
+            "c_name",
+            (F.col("off") + F.col("rn")).alias("rnk"),
+        )
+        # feeds the native AND the copy branch of the union — persist so
+        # the rank subtree runs once (MEMORY_ONLY: evictable, never
+        # unpersisted — the triangle rule)
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    # (2) chunks + one-hop boundary copies
+    chunk = F.floor((F.col("rnk") - 1) / _SNM_CHUNK)
+    natives = ranked.select(
+        "c_nationkey",
+        chunk.alias("chunk"),
+        "rnk",
+        "c_name",
+        F.lit(False).alias("is_copy"),
+    )
+    copies = ranked.where(
+        (F.col("rnk") - 1) % _SNM_CHUNK >= _SNM_CHUNK - _SNM_W
+    ).select(
+        "c_nationkey",
+        (chunk + 1).alias("chunk"),
+        "rnk",
+        "c_name",
+        F.lit(True).alias("is_copy"),
+    )
+    u = natives.unionByName(copies)
+    # (3) per-chunk neighbor leads; lead carries (name, is_copy) so the
+    # native-lead emit rule needs no rejoin. Lead columns materialize in a
+    # select BEFORE the explode (Spark rejects window fns in generator
+    # args).
+    w3 = Window.partitionBy("c_nationkey", "chunk").orderBy("rnk")
+    leads = u.select(
         "c_nationkey",
         "c_name",
         *[
-            F.lead("c_name", i).over(w).alias(f"n{i}")
+            F.lead(F.struct("c_name", "is_copy"), i).over(w3).alias(f"n{i}")
             for i in range(1, _SNM_W + 1)
         ],
     )
-    nb = leads.select(
-        "c_nationkey",
-        "c_name",
-        F.explode(
-            F.array(*[F.col(f"n{i}") for i in range(1, _SNM_W + 1)])
-        ).alias("nbr"),
-    ).where(F.col("nbr").isNotNull())
+    nb = (
+        leads.select(
+            "c_nationkey",
+            "c_name",
+            F.explode(
+                F.array(*[F.col(f"n{i}") for i in range(1, _SNM_W + 1)])
+            ).alias("nbr_s"),
+        )
+        .where(F.col("nbr_s").isNotNull() & ~F.col("nbr_s.is_copy"))
+        .select("c_nationkey", "c_name", F.col("nbr_s.c_name").alias("nbr"))
+    )
     m = nb.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_compared"),
         F.sum(

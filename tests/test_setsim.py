@@ -165,15 +165,38 @@ def test_sorted_neighborhood_matches_python(spark):
     assert sum(m for _, _, m in expect.values()) > 0
 
 
-def test_sorted_neighborhood_single_blocking_exchange(spark):
-    """Sort window, neighbor Generate, and rollup all ride ONE
-    hashpartitioning exchange on the blocking key; the n_records branch
-    adds its own partial-agg exchange; no join wider than the 25-row
-    nation frames."""
+def test_sorted_neighborhood_is_distributed_beyond_blocking_cardinality(spark):
+    """The r8 verdict's scale finding: windowing on the nation key alone
+    caps parallelism at 25 tasks forever. The distributed spelling must
+    (a) window the neighbor pass on (nation, chunk) — the plan's widest
+    sort exchange keys on the CHUNK column, not the 25-value nation key
+    alone — and (b) actually produce more than 25 sort groups at test
+    scale, so a 1000-executor cluster has real work units."""
+    from pyspark.sql import functions as F
+
+    from mapreduceindex_demo_spark.plans.setsim import _SNM_CHUNK, _SNM_W
+    from mapreduceindex_demo_spark.session import load_table
+
     df = QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
+    # offsets + attribute joins stay broadcast: nothing shuffle-joins
     assert "SortMergeJoin" not in plan, plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+    # the neighbor window partitions on (nation, chunk)
+    assert re.search(r"hashpartitioning\(c_nationkey#\d+L?, chunk#\d+L?", plan), plan
+    # more sort groups than the blocking-key cardinality
+    c = load_table(spark, PARITY_SF_DIR, "customer")
+    n_blocks = (
+        c.groupBy("c_nationkey")
+        .count()
+        .select(
+            F.sum(F.ceil(F.col("count") / _SNM_CHUNK)).alias("blocks")
+        )
+        .collect()[0][0]
+    )
+    assert n_blocks > 25, n_blocks
+    # the one-hop copy rule requires chunks at least as wide as the
+    # neighbor window
+    assert _SNM_CHUNK >= _SNM_W
