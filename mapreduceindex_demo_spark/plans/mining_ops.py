@@ -182,33 +182,41 @@ _TRI_ITEM_DEN = 20
 _TRI_PAIR_DEN = 50
 _TRI_DEN = 100
 
+#: NOTE the MATERIALIZED hints and join-based (not EXISTS) level-2 prune:
+#: fi feeds five consumers and fp three — without materialization DuckDB
+#: re-inlines the whole distinct+aggregate chain per reference, and the
+#: triple-EXISTS spelling blew past 7 MINUTES at ~sf1 (800k fi rows)
+#: where this join spelling runs in seconds. fp rows are UNIQUE (x, y)
+#: pairs, so inner joins preserve multiplicity exactly like EXISTS.
 _TRIPLES_ORACLE = f"""
-    WITH fi0 AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
-                        event_type AS it
-                 FROM events),
+    WITH fi0 AS MATERIALIZED (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type AS it
+        FROM events),
     nb AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n
            FROM fi0),
     ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM fi0 GROUP BY 1),
     fitems AS (SELECT it FROM ic CROSS JOIN nb
                WHERE c * {_TRI_ITEM_DEN} >= n),
-    fi AS (SELECT f.user_id, f.d, f.it FROM fi0 f
-           WHERE EXISTS (SELECT 1 FROM fitems w WHERE w.it = f.it)),
+    fi AS MATERIALIZED (
+        SELECT f.user_id, f.d, f.it FROM fi0 f
+        JOIN fitems w ON w.it = f.it),
     pc AS (SELECT a.it AS x, b.it AS y, CAST(COUNT(*) AS BIGINT) AS c
            FROM fi a JOIN fi b
              ON a.user_id = b.user_id AND a.d = b.d AND a.it < b.it
            GROUP BY 1, 2),
-    fp AS (SELECT x, y FROM pc CROSS JOIN nb
-           WHERE c * {_TRI_PAIR_DEN} >= n),
+    fp AS MATERIALIZED (
+        SELECT x, y FROM pc CROSS JOIN nb
+        WHERE c * {_TRI_PAIR_DEN} >= n),
     tc AS (SELECT a.it AS e1, b.it AS e2, c3.it AS e3,
                   CAST(COUNT(*) AS BIGINT) AS tc
            FROM fi a
            JOIN fi b ON a.user_id = b.user_id AND a.d = b.d
                     AND a.it < b.it
+           JOIN fp p1 ON p1.x = a.it AND p1.y = b.it
            JOIN fi c3 ON a.user_id = c3.user_id AND a.d = c3.d
                      AND b.it < c3.it
-           WHERE EXISTS (SELECT 1 FROM fp WHERE fp.x = a.it AND fp.y = b.it)
-             AND EXISTS (SELECT 1 FROM fp WHERE fp.x = a.it AND fp.y = c3.it)
-             AND EXISTS (SELECT 1 FROM fp WHERE fp.x = b.it AND fp.y = c3.it)
+           JOIN fp p2 ON p2.x = a.it AND p2.y = c3.it
+           JOIN fp p3 ON p3.x = b.it AND p3.y = c3.it
            GROUP BY 1, 2, 3)
     SELECT e1, e2, e3, tc AS triple_count,
            round(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS support

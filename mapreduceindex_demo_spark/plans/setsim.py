@@ -103,12 +103,16 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inter below); the exploded row form feeds docfreq + prefix — two
     # differently-keyed consumers, so cache the explode once
     # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule).
-    # `docs` itself ALSO has three consumers (ex, ga, gb) — persisting it
-    # stops the shingle kernel running three times (the r8 shared-frame
-    # rule; measured at x3/x10 in BASELINE.md round 9)
+    # `docs` itself ALSO has three consumers (ex, ga, gb) but is
+    # deliberately NOT persisted: the shared-frame rule was tried here
+    # (round 9, BASELINE.md) and MEASURED SLOWER — the per-doc gram
+    # arrays are the corpus re-materialized (~GBs at x10), so caching
+    # them evicts under memory pressure and the recompute-on-miss thrash
+    # turned the x10 run from ~37 s into 20+ minutes; re-running the
+    # cheap shingle kernel per consumer wins
     docs = d.select(
         "doc_id", F.array_distinct(D.shingles()).alias("grams")
-    ).persist(StorageLevel.MEMORY_ONLY)
+    )
     ex = docs.select(
         "doc_id", F.explode("grams").alias("gram")
     ).persist(StorageLevel.MEMORY_ONLY)
