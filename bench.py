@@ -12,6 +12,7 @@ import os
 import sys
 import time
 
+from mapreduceindex_demo_spark.oracle_harness import spark_forced_expr
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.session import get_spark
 
@@ -75,15 +76,11 @@ def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
             n = df.count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
-        cols = ", ".join(
-            f"cast(`{c}` as string)" for c in q.fn(spark, sf_dir).columns
-        )
+        force = spark_forced_expr(q.fn(spark, sf_dir).columns)
         fruns = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).selectExpr(
-                f"bit_xor(xxhash64({cols})) as checksum"
-            ).collect()
+            q.fn(spark, sf_dir).selectExpr(force).collect()
             fruns.append(time.perf_counter() - t0)
         forced[name] = round(sorted(fruns)[len(fruns) // 2], 4)
         print(

@@ -51,6 +51,39 @@ def duck_connect(data_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+def duck_hex_int(
+    col: str,
+    start: int = 1,
+    nibbles: int = 8,
+    alphabet: str = "0123456789abcdef",
+) -> str:
+    """DuckDB integer value of ``nibbles`` hex chars of ``col`` starting at
+    1-based ``start`` — the strpos-nibble idiom (DuckDB has no conv()).
+    THE one definition (round-9 review): plans/llm.py, plans/corpus_ops.py
+    and any future oracle build their hex→int SQL from here, so a fix to
+    the idiom can never silently miss a copy. Pass the uppercase alphabet
+    for uppercase-hex columns (e.g. the aHash); md5 output is lowercase."""
+    return " + ".join(
+        f"(strpos('{alphabet}', substr({col}, {start + p}, 1)) - 1)"
+        f" * {16 ** (nibbles - 1 - p)}"
+        for p in range(nibbles)
+    )
+
+
+def spark_forced_expr(cols: list[str]) -> str:
+    """The Spark side of the symmetric forced-checksum methodology: one
+    aggregate over a hash of every output column, fully materializing
+    every value with no driver transfer. The mirror of
+    :func:`duck_forced_sql`; bench.py, scripts/bench_sf1.py and
+    scripts/scaleout_curve.py all build their forcing expression here so
+    a methodology change can never fork the timing scripts."""
+    return (
+        "bit_xor(xxhash64("
+        + ", ".join(f"cast(`{c}` as string)" for c in cols)
+        + ")) as checksum"
+    )
+
+
 def duck_forced_sql(con: "duckdb.DuckDBPyConnection", oracle: str) -> str:
     """The symmetric forced-checksum query: bit_xor over a hash of every
     output column, so DuckDB fully materializes every value and pays no

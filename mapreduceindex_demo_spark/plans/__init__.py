@@ -68,7 +68,11 @@ PRIORITY_50 = [
     # (block, chunk) windows with w-row overlap replace the
     # 25-task-forever nation window (r8 item 2)
     "er_sorted_neighborhood",
-    # changed r9: persist the shared shingle frame (r8 item 5)
+    # changed r9 and reverted same round: the shared-shingle-frame persist
+    # (r8 item 5) was MEASURED at x3/x10 and rejected — x10 thrashed from
+    # ~41 s to 20+ min (BASELINE.md round 9); the shipped plan is
+    # code-identical to r8 plus the measurement comment, in-window for
+    # external re-confirmation of the final state
     "dedup_setsim_prefix_join",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",

@@ -26,6 +26,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduceindex_demo_spark.oracle_harness import duck_hex_int
 from mapreduceindex_demo_spark.plans.registry import query
 from mapreduceindex_demo_spark.session import load_table
 
@@ -36,18 +37,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _duck_hex8(col: str) -> str:
     """First-8-hex-chars → BIGINT for a DuckDB md5-hex column ``col``
-    (mirrors Spark's conv(substring(md5(..), 1, 8), 16, 10); DuckDB has no
-    conv(), so the nibbles expand positionally — the strpos idiom shared
-    with plans/llm.py's _DUCK_HEX8, parametrized on the column name)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr({col}, {p + 1}, 1)) - 1)"
-            f" * {16 ** (7 - p)}"
-            for p in range(8)
-        )
-        + ")"
-    )
+    (mirrors Spark's conv(substring(md5(..), 1, 8), 16, 10)); delegates
+    to the ONE shared strpos-nibble generator (oracle_harness.duck_hex_int,
+    round-9 review), parenthesized for safe embedding in % expressions."""
+    return "(" + duck_hex_int(col) + ")"
 
 
 # ==========================================================================

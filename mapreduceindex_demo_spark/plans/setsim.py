@@ -303,7 +303,15 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     now keyed on (nation, prefix-bucket) and the neighbor window on
     (nation, chunk) — parallelism n/_SNM_CHUNK, thousands of tasks at
     100 TB instead of 25, no straggler block. The offset table rides a
-    broadcast join (it is |buckets|-sized metadata). The levenshtein
+    broadcast join (it is |buckets|-sized metadata). CAVEAT the rank
+    stage inherits from its bucketing: `_SNM_PFX` must reach the
+    DISCRIMINATING characters of the match attribute — a corpus whose
+    values share a >=16-char common prefix (or pile up on one prefix)
+    puts a whole block in one bucket and the w1 window degenerates back
+    to the per-block single-task sort. The prefix length is a
+    per-attribute tuning knob exactly like the blocking key itself in
+    the SNM literature; result correctness never depends on it (any
+    bucketing yields the same pairs), only rank-stage parallelism does. The levenshtein
     kernel is JVM codegen (both engines implement the standard DP edit
     distance, so parity is exact). The multi-pass variant re-runs the
     same plan with a second sort key."""

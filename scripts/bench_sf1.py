@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from mapreduceindex_demo_spark.oracle_harness import (  # noqa: E402
     duck_connect,
     duck_forced_sql,
+    spark_forced_expr,
 )
 from mapreduceindex_demo_spark.plans import QUERIES  # noqa: E402
 from mapreduceindex_demo_spark.session import (  # noqa: E402
@@ -141,12 +142,7 @@ def main() -> None:
 
     rows = []
     for name, q in bench.items():
-        cols = q.fn(spark, args.out).columns
-        s_force = (
-            "bit_xor(xxhash64("
-            + ", ".join(f"cast(`{c}` as string)" for c in cols)
-            + ")) as checksum"
-        )
+        s_force = spark_forced_expr(q.fn(spark, args.out).columns)
         d_force = duck_forced_sql(con, q.oracle)
         # Spark
         q.fn(spark, args.out).selectExpr(s_force).collect()  # warm

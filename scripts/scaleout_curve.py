@@ -5,9 +5,12 @@ measurement gets its own JVM:
 
     python scripts/scaleout_curve.py <cpus> <query> <data_dir> [reps=3]
 
-Prints one JSON line with the per-rep forced timings and the median.
-Spark-only: the curve compares Spark against itself at 8 vs 32 slots;
-the DuckDB comparison lives in scripts/bench_sf1.py.
+Prints one JSON line with the per-rep forced timings, the median, and
+the same contention-sentinel fields bench.py stamps (probe_sec / noisy):
+a curve cell measured under co-running load must carry the flag, or a
+polluted datapoint could masquerade as a clean speedup. Spark-only: the
+curve compares Spark against itself at 8 vs 32 slots; the DuckDB
+comparison lives in scripts/bench_sf1.py.
 """
 
 from __future__ import annotations
@@ -25,24 +28,28 @@ def main() -> None:
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     os.environ["SPARK_GRAFT_CPUS"] = cpus
 
+    from bench import _PROBE_REF_SEC, _probe
+    from mapreduceindex_demo_spark.oracle_harness import spark_forced_expr
     from mapreduceindex_demo_spark.plans import QUERIES
     from mapreduceindex_demo_spark.session import get_spark
 
     spark = get_spark(app_name=f"scaleout-{name}-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     q = QUERIES[name]
-    cols = q.fn(spark, data).columns
-    force = (
-        "bit_xor(xxhash64("
-        + ", ".join(f"cast(`{c}` as string)" for c in cols)
-        + ")) as checksum"
-    )
+    force = spark_forced_expr(q.fn(spark, data).columns)
+    probe_before = _probe(spark)
     q.fn(spark, data).selectExpr(force).collect()  # warm (JIT + page cache)
     runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         q.fn(spark, data).selectExpr(force).collect()
         runs.append(round(time.perf_counter() - t0, 2))
+    probe_after = _probe(spark)
+    # NOTE: the probe reference was calibrated on a 32-thread session; a
+    # local[8] probe schedules the same 32 partitions over 8 slots, so
+    # compare against a slot-scaled reference to avoid self-flagging.
+    ref = _PROBE_REF_SEC * max(1.0, 32.0 / max(int(cpus), 1))
+    probe = max(probe_before, probe_after)
     print(
         json.dumps(
             {
@@ -51,6 +58,9 @@ def main() -> None:
                 "data": data,
                 "runs": runs,
                 "median": sorted(runs)[len(runs) // 2],
+                "probe_sec": probe,
+                "probe_ref_sec": round(ref, 4),
+                "noisy": probe > 1.5 * ref,
             }
         )
     )
