@@ -43,7 +43,6 @@ def _probe(spark, reps: int = 5) -> float:
 
 def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
     """One full timing pass; returns the artifact dict (incl. noisy flag)."""
-    probe_before = _probe(spark)
     # Warm-up: run every bench query once AT THE TARGET SF so whole-stage
     # codegen/JIT is compiled, table schemas are resolved (plan cache), and
     # the OS page cache holds the parquet files before timing. Timed runs
@@ -52,6 +51,12 @@ def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", sf_dir)
     for q in bench_queries.values():
         q.fn(spark, warm_dir).count()
+    # The sentinel probes bracket the TIMED region (round 9): probing
+    # before the warm-up measured cold-engine scheduling — a fresh
+    # session's first probe reads 0.2-0.26 s on a quiet machine (JIT/GC
+    # settling), tripping the sentinel on phantom contention. Timing
+    # starts here, so the bracket starts here.
+    probe_before = _probe(spark)
 
     # Median of 3 timed runs per query: single-run local-mode numbers swing
     # ±40% from GC/scheduler noise; the median is the steady-state figure.
