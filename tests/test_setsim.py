@@ -200,3 +200,101 @@ def test_sorted_neighborhood_is_distributed_beyond_blocking_cardinality(spark):
     # the one-hop copy rule requires chunks at least as wide as the
     # neighbor window
     assert _SNM_CHUNK >= _SNM_W
+
+
+# --------------------------------------------------------------------------
+# distributed-SNM scheme: property test of the rank/chunk/copy algebra
+# --------------------------------------------------------------------------
+
+
+def _snm_scheme_pairs(records, chunk_size, w):
+    """The distributed scheme in pure Python, mirroring the plan exactly:
+    global rank per block -> rank-contiguous chunks -> last-w rows copied
+    one chunk forward -> per-chunk leads -> emit iff the LEAD is native."""
+    from collections import defaultdict
+
+    by_block = defaultdict(list)
+    for blk, name, key in records:
+        by_block[blk].append((name, key))
+    pairs = []
+    for blk, recs in by_block.items():
+        recs.sort()
+        members = defaultdict(list)  # chunk -> [(rnk, name, is_copy)]
+        for i, (name, _) in enumerate(recs):
+            rnk = i + 1
+            c = (rnk - 1) // chunk_size
+            members[c].append((rnk, name, False))
+            if (rnk - 1) % chunk_size >= chunk_size - w:
+                members[c + 1].append((rnk, name, True))
+        for c, rows in members.items():
+            rows.sort()
+            for i, (_, name, _is_copy) in enumerate(rows):
+                for j in range(1, w + 1):
+                    if i + j < len(rows):
+                        _, nbr, nbr_copy = rows[i + j]
+                        if not nbr_copy:
+                            pairs.append((blk, name, nbr))
+    return sorted(pairs)
+
+
+def _snm_naive_pairs(records, w):
+    from collections import defaultdict
+
+    by_block = defaultdict(list)
+    for blk, name, key in records:
+        by_block[blk].append((name, key))
+    pairs = []
+    for blk, recs in by_block.items():
+        recs.sort()
+        for i, (name, _) in enumerate(recs):
+            for j in range(i + 1, min(i + w + 1, len(recs))):
+                pairs.append((blk, name, recs[j][0]))
+    return sorted(pairs)
+
+
+def test_snm_chunk_copy_scheme_is_pair_identical():
+    """Hypothesis: for ANY records, block skew, duplicate names and any
+    chunk size >= w, the chunk/copy scheme emits exactly the naive
+    single-sort neighbor pairs — the losslessness proof, fuzzed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec = st.tuples(
+        st.integers(0, 2),                      # block key (skewed, small)
+        st.text(alphabet="ab", min_size=0, max_size=4),  # name (ties likely)
+        st.integers(0, 10**6),                  # tiebreak key
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(rec, min_size=0, max_size=40, unique_by=lambda r: r[2]),
+        st.integers(3, 9),                      # chunk size >= w
+    )
+    def run(records, chunk_size):
+        w = 3
+        assert _snm_scheme_pairs(records, chunk_size, w) == _snm_naive_pairs(
+            records, w
+        )
+
+    run()
+
+
+def test_snm_spark_plan_lossless_at_tiny_chunks(spark, monkeypatch):
+    """Run the REAL Spark plan with chunk size 4 (every nation spans many
+    chunks at sf0.001, so boundary copies dominate) and compare against
+    the naive single-window DuckDB oracle — the end-to-end twin of the
+    pure-Python property above."""
+    import mapreduceindex_demo_spark.plans.setsim as ss
+    from mapreduceindex_demo_spark.oracle_harness import duck_connect
+
+    monkeypatch.setattr(ss, "_SNM_CHUNK", 4)
+    sf_dir = PARITY_SF_DIR.replace("sf0.01", "sf0.001")
+    got = sorted(
+        tuple(r) for r in QUERIES["er_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    )
+    con = duck_connect(sf_dir)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["er_sorted_neighborhood"].oracle).fetchall()
+    )
+    assert got == exp
