@@ -275,7 +275,13 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") * _TRI_ITEM_DEN >= F.col("n"))
         .select("it")
     )
-    fi = fi0.join(fitems, "it", "left_semi")
+    # fi feeds FIVE join legs (two pair sides, three triple sides) — an
+    # unpersisted fi re-ran the semi-join subtree per leg and the query
+    # executed 89 jobs at ~sf1 (stage-profiled round 9); with fi and fp
+    # cached it is ~11. Both are small: fi is basket-item-sized, fp is
+    # <= C(|items|, 2) rows. (MEMORY_ONLY: the shared-frame rule — pays
+    # for small frames, inverts for corpus-sized ones; BASELINE.md r9.)
+    fi = fi0.join(fitems, "it", "left_semi").persist(StorageLevel.MEMORY_ONLY)
     pc = (
         fi.alias("a")
         .join(
@@ -289,10 +295,13 @@ def q_basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.it").alias("x"), F.col("b.it").alias("y"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # fp feeds the three level-2 semi-joins — without the persist each leg
+    # re-ran the ENTIRE pair-counting chain (fi self-join + groupBy)
     fp = (
         pc.crossJoin(F.broadcast(nb))
         .where(F.col("c") * _TRI_PAIR_DEN >= F.col("n"))
         .select("x", "y")
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     triples = (
         fi.alias("a")
