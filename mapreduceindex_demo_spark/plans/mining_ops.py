@@ -124,8 +124,17 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     no = items.agg(F.countDistinct("ok").cast("long").alias("n"))
     ic = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    freq = ic.where(F.col("c") >= _ITEM_MIN_COUNT)
-    fi = items.join(freq.select("pk"), "pk", "left_semi")
+    # freq is item-universe-sized and feeds THREE legs (the fi semi-join
+    # and both scoring joins) — unpersisted, each leg re-ran the item
+    # groupBy over the 6M-row items table; fi likewise feeds both sides
+    # of the self-join (the triples-query lesson, applied back to round 1
+    # of the algorithm; official harness 6.44 -> 3.92 s at ~sf1)
+    freq = ic.where(F.col("c") >= _ITEM_MIN_COUNT).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    fi = items.join(freq.select("pk"), "pk", "left_semi").persist(
+        StorageLevel.MEMORY_ONLY
+    )
     pairs = (
         fi.alias("x")
         .join(
