@@ -329,7 +329,19 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     # the offset window runs over the TINY per-bucket count table (25 x
-    # |prefixes| rows), not the data — a metadata-sized single exchange
+    # |prefixes| rows), not the data — a metadata-sized single exchange.
+    # CAVEAT (round 10): "metadata-sized" holds only while |distinct
+    # prefix buckets| stays small relative to n. With zero-padded
+    # sequential keys like 'Customer#%09d' a 16-char prefix admits ~100
+    # rows per bucket, so bucket count grows ~n/100 and the broadcast
+    # would stop being metadata at the 100 TB target. `_SNM_PFX` is the
+    # knob: COARSEN it (shorter prefix => fewer, larger buckets) as n
+    # grows so |buckets| stays ~n/_SNM_CHUNK-independent metadata —
+    # rank-stage parallelism only needs |buckets| >> |blocks|, thousands
+    # of buckets suffice at any scale. A cluster deployment would size
+    # it from the key-length histogram (or fall back to a shuffle join
+    # past spark.sql.autoBroadcastJoinThreshold, which AQE does on its
+    # own when the size estimate exceeds the threshold).
     wo = (
         Window.partitionBy("c_nationkey")
         .orderBy("bkt")

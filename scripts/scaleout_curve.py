@@ -45,10 +45,15 @@ def main() -> None:
         q.fn(spark, data).selectExpr(force).collect()
         runs.append(round(time.perf_counter() - t0, 2))
     probe_after = _probe(spark)
-    # NOTE: the probe reference was calibrated on a 32-thread session; a
-    # local[8] probe schedules the same 32 partitions over 8 slots, so
-    # compare against a slot-scaled reference to avoid self-flagging.
-    ref = _PROBE_REF_SEC * max(1.0, 32.0 / max(int(cpus), 1))
+    # NOTE: the probe reference is SLOT-INVARIANT, measured, not modeled
+    # (round 10; the r9 version scaled it by 32/cpus, which over-relaxed
+    # the threshold ~4x at local[8] and could stamp a loaded curve cell
+    # clean). Empirical calibration on a quiet machine, fresh JVM per
+    # slot count: probe medians 0.10-0.17 s at 8, 16 AND 32 slots — the
+    # 32-partition no-op job is bound by per-task scheduler dispatch,
+    # which is largely serialized and does not scale with slot count, so
+    # the 32-slot reference applies at every slot count.
+    ref = _PROBE_REF_SEC
     probe = max(probe_before, probe_after)
     print(
         json.dumps(

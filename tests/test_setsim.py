@@ -5,10 +5,12 @@ shape."""
 
 from __future__ import annotations
 
+import os
 import re
 from fractions import Fraction
 
 import pyarrow.parquet as pq
+import pytest
 
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.setsim import TAU_NUM, TAU_DEN
@@ -288,7 +290,12 @@ def test_snm_spark_plan_lossless_at_tiny_chunks(spark, monkeypatch):
     from mapreduceindex_demo_spark.oracle_harness import duck_connect
 
     monkeypatch.setattr(ss, "_SNM_CHUNK", 4)
-    sf_dir = PARITY_SF_DIR.replace("sf0.01", "sf0.001")
+    # build the sf0.001 path explicitly (a substring replace on
+    # PARITY_SF_DIR silently no-ops under an env override without the
+    # 'sf0.01' substring and the test would run at the wrong scale)
+    sf_dir = os.path.join(os.path.dirname(PARITY_SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"sf0.001 testdata not present at {sf_dir}")
     got = sorted(
         tuple(r) for r in QUERIES["er_sorted_neighborhood"].fn(spark, sf_dir).collect()
     )
@@ -298,3 +305,57 @@ def test_snm_spark_plan_lossless_at_tiny_chunks(spark, monkeypatch):
         for r in con.execute(QUERIES["er_sorted_neighborhood"].oracle).fetchall()
     )
     assert got == exp
+
+
+def test_snm_all_shared_prefix_corpus_is_still_exact(spark, tmp_path):
+    """The documented `_SNM_PFX` degenerate case, machine-checked: when
+    every name shares a >=16-char common prefix, ALL of a block's rows
+    land in ONE prefix bucket — the rank stage loses its parallelism
+    (gracefully: one bucket per block) but the answer must stay exactly
+    the naive single-window result. Correctness may never depend on the
+    bucketing knob."""
+    from mapreduceindex_demo_spark.plans.setsim import (
+        _SNM_CHUNK,
+        _SNM_PFX,
+        _SNM_W,
+    )
+
+    pfx = "SharedCommonPrefix_"  # 19 chars > _SNM_PFX
+    assert len(pfx) > _SNM_PFX
+    # two skewed blocks, each spanning several chunks so the chunk/copy
+    # machinery is exercised UNDER the degenerate single-bucket rank
+    rows = []
+    k = 0
+    for nation, n in ((0, 3 * _SNM_CHUNK + 5), (1, _SNM_W + 1)):
+        for i in range(n):
+            k += 1
+            # suffixes engineered so some neighbor pairs match (lev<=2)
+            rows.append((k, f"{pfx}{i // 3:04d}x{i % 3}", nation))
+    spark.createDataFrame(
+        rows, "c_custkey INT, c_name STRING, c_nationkey INT"
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+
+    # every row of a block maps to the same bucket — the degeneracy premise
+    assert len({name[:_SNM_PFX] for _, name, _ in rows}) == 1
+
+    expect = {}
+    by_nation: dict[int, list] = {}
+    for ck, name, nk in rows:
+        by_nation.setdefault(nk, []).append((name, ck))
+    for nk, recs in by_nation.items():
+        recs.sort()
+        compared = matches = 0
+        for i, (name, _) in enumerate(recs):
+            for j in range(i + 1, min(i + _SNM_W + 1, len(recs))):
+                compared += 1
+                matches += _py_levenshtein(name, recs[j][0]) <= 2
+        expect[nk] = (len(recs), compared, matches)
+
+    got = QUERIES["er_sorted_neighborhood"].fn(spark, str(tmp_path)).collect()
+    assert {r.nationkey for r in got} == set(expect)
+    total_matches = 0
+    for r in got:
+        n, cmp_, m = expect[r.nationkey]
+        assert (r.n_records, r.n_compared, r.n_matches) == (n, cmp_, m), r
+        total_matches += m
+    assert total_matches > 0  # the fixture's match pairs are non-trivial
