@@ -45,35 +45,35 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r9 rotation (the r8 verdict's top item): clear the r1-era
-    # single-green tail. All 21 remaining r1-singles (the PRIORITY_50
-    # waiting list carried since r8) rotate IN for second external
-    # confirmations, plus the three r7-single mapindex rows and the six
-    # oldest r3-singles; multiply-confirmed r8 rows rotate OUT. Family
-    # constraints (tests/test_coverage_integrity.py) are honored below;
-    # choice-family guards pick the member with the OLDEST last green.
+    # --- r10 rotation: keep clearing the single-green tail (r9 verdict
+    # item 1) — all 3 r3-singles + all 8 r5-singles + 15 of the 19
+    # r6-singles get their second external confirmation; the remaining 4
+    # r6 singles (sketch_cms_heavy_hitters, streaming_drift_daily,
+    # training_mix_apply, zorder_box_aggregate) plus the r7/r8 tails are
+    # the r11 waiting list. Family constraints (tests/
+    # test_coverage_integrity.py) honored below; choice-family guards
+    # pick the member with the OLDEST last green.
     # ---
-    # NEW this round (zero external rows) + changed-this-round rows —
-    # in-window by the machine-enforced rule:
-    # a-priori round 2: frequent triples from frequent pairs (r8 item 7)
+    # NEW this round (zero external rows) — in-window by the machine-
+    # enforced rule:
+    # radius-3 pairs -> connected components -> dedup decision (r9
+    # verdict item 2: the image twin of the LSH->components text path)
+    "multimodal_ahash_clusters",
+    # multi-pass SNM under an independent reversed-name sort key (r9
+    # verdict item 5)
+    "er_snm_multipass",
+    # --- r9 singles kept for their second confirmation (r9 verdict
+    # item 8); multimodal_ahash_neardup also changed r10 (its banded
+    # pair kernel is now the shared _ahash_neardup_pairs helper) ---
     "basket_frequent_triples",
-    # changed r9: absolute minsup replaces the scale-buggy relative floor
-    # (r8 item 6)
-    "basket_frequent_pairs",
-    # NEW this round (zero external rows): Hamming-radius perceptual
-    # near-dup via the lossless 4x16-bit banded multi-index (r8 item 3);
-    # also the multimodal family rep
     "multimodal_ahash_neardup",
-    # changed r9: distributed sorted-neighborhood rewrite — composite
-    # (block, chunk) windows with w-row overlap replace the
-    # 25-task-forever nation window (r8 item 2)
+    # --- changed this round ---
+    # single-exchange respelling of the a-priori round-1 plan (r9
+    # verdict item 3: drop the standalone 60M-row distinct exchange)
+    "basket_frequent_pairs",
+    # refactored r10: steps 1-3 now live in the shared
+    # _snm_neighbor_pairs helper feeding both SNM passes
     "er_sorted_neighborhood",
-    # changed r9 and reverted same round: the shared-shingle-frame persist
-    # (r8 item 5) was MEASURED at x3/x10 and rejected — x10 thrashed from
-    # ~41 s to 20+ min (BASELINE.md round 9); the shipped plan is
-    # code-identical to r8 plus the measurement comment, in-window for
-    # external re-confirmation of the final state
-    "dedup_setsim_prefix_join",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -84,51 +84,48 @@ PRIORITY_50 = [
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- choice family guards, oldest last-green member preferred ---
-    "streaming_session_windows",   # last green r7 (tumbling: r8)
-    "balanced_source_sample",      # last green r7 (curated: r8)
-    "user_sessionization",         # last green r7 (running_spend: r8)
-    "suppliers_above_nation_avg",  # last green r7 (skew_salted: r8)
-    "nation_market_share_yearly",  # last green r7 (blocking: r8)
-    # --- mapindex delegation (>=5 in-window): the three r7-single view/
-    # scan rows get their second confirmation; incremental + build paths
-    # stay represented by their freshest members ---
-    "mapindex_reduce_view_minmax",
-    "mapindex_scan_intersect",
-    "mapindex_scan_union",
-    "mapindex_incremental_cdc",
-    "mapindex_expr_build",
-    # --- the 21 r1-era singles: every remaining query whose only green
-    # predates the round-2+ testdata regenerations (second confirmation
-    # clears the r1 tail completely) ---
-    "big_spender_customers",
-    "cube_status_priority",
-    "customer_order_stats",
-    "customer_rolling_30d_spend",
-    "document_array_functions",
-    "forecast_revenue_change",
-    "lineitem_math_functions",
-    "lineitem_percentiles",
-    "nation_presence_setops",
-    "order_conditional_functions",
-    "order_priority_check",
-    "orderless_customers",
-    "orders_above_customer_average",
-    "orders_column_profile",
-    "part_string_functions",
-    "priority_distinct_customers",
-    "rollup_returnflag_status",
-    "shipments_within_90_days",
-    "top100_expensive_items",
-    "top_orders_per_customer",
-    "top_returning_customers",
-    # --- the six oldest r3-era singles (these also keep the dedup /
-    # similarity / events / text families represented) ---
-    "dedup_cross_source_contamination",
-    "dedup_embedding_neardup_top20",
-    "dedup_simhash",
-    "events_value_buckets",
-    "text_fingerprint",
-    "similarity_lsh_ann",
+    "streaming_tumbling_counts",   # last green r8 (session: r9)
+    "curated_training_set",        # last green r8 (balanced: r9)
+    "customer_running_spend",      # last green r8 (sessionization: r9)
+    "skew_salted_join_volume",     # last green r8 (suppliers_above: r9)
+    "blocking_suppliers",          # last green r8 (nation_market: r9)
+    # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
+    # members (r4/r5) get fresh confirmations ---
+    "mapindex_primary_build",
+    "mapindex_stats",
+    "mapindex_stats_approx",
+    "mapindex_array_build",
+    "mapindex_collated_scan",
+    # --- the 3 r3-era singles (oldest-first, r9 verdict item 1) ---
+    "lineitem_percentiles_approx",
+    "similarity_topk_cosine",
+    "text_hash_sample",
+    # --- the 8 r5-era singles ---
+    "events_map_functions",
+    "funnel_view_click_purchase",
+    "text_pii_redaction",
+    "text_repetition_filter",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "training_mix_weights",
+    "weekly_retention_cohorts",
+    # --- 15 of the 19 r6-era singles (window is full; the other 4 are
+    # named in the header comment as the r11 carry-over) ---
+    "dedup_incremental_arrivals",
+    "dedup_semantic_cells",
+    "excess_stock_suppliers",
+    "search_bm25_indexed",
+    "search_bm25_topk",
+    "search_boolean_and",
+    "search_hybrid_rrf",
+    "search_phrase_positional",
+    "search_prefix_scan",
+    "search_proximity_window",
+    "similarity_ivf_batch",
+    "similarity_ivf_durable",
+    "similarity_ivf_filtered",
+    "similarity_ivf_recall",
+    "similarity_label_mrr",
 ]
 
 

@@ -313,16 +313,63 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SNM literature; result correctness never depends on it (any
     bucketing yields the same pairs), only rank-stage parallelism does. The levenshtein
     kernel is JVM codegen (both engines implement the standard DP edit
-    distance, so parity is exact). The multi-pass variant re-runs the
-    same plan with a second sort key."""
+    distance, so parity is exact). [q:er_snm_multipass] is the multi-pass
+    variant — the same scheme re-run under an independent second sort
+    key, pairs unioned."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    nb = _snm_neighbor_pairs(c, F.col("c_name")).select(
+        "c_nationkey", F.col("a_name").alias("c_name"), F.col("b_name").alias("nbr")
+    )
+    m = nb.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_compared"),
+        F.sum(
+            F.when(
+                F.levenshtein("c_name", "nbr") <= _SNM_DIST, 1
+            ).otherwise(0)
+        ).alias("n_matches"),
+    )
+    r = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_records"))
+    return (
+        r.join(m, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_records",
+            F.coalesce("n_compared", F.lit(0)).alias("n_compared"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.when(F.coalesce("n_compared", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_matches").cast("double")
+                    / F.col("n_compared").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .alias("match_rate"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def _snm_neighbor_pairs(c: DataFrame, skey) -> DataFrame:
+    """Every sorted-neighborhood comparison pair under the sort key
+    expression ``skey`` — the distributed rank/chunk/copy scheme of
+    [q:er_sorted_neighborhood] (steps 1-3 of its docstring), factored out
+    (round 10) so the multi-pass variant re-runs it under an independent
+    key. Returns ``(c_nationkey, a_name, a_key, b_name, b_key)``: record
+    ids ride along so multi-pass union can dedup PAIRS, not name strings.
+    Pair-identical to the naive single window per block (the r9
+    hypothesis-fuzzed proof); each unordered pair appears exactly once
+    per pass (a record meets each of its next-w neighbors once)."""
     # (1) exact per-nation global rank, distributed: local rank within the
     # contiguous prefix bucket + broadcast cumulative bucket offsets
-    b = c.withColumn("bkt", F.substring("c_name", 1, _SNM_PFX))
+    b = c.withColumn("skey", skey).withColumn(
+        "bkt", F.substring(F.col("skey"), 1, _SNM_PFX)
+    )
     w1 = Window.partitionBy("c_nationkey", "bkt").orderBy(
-        "c_name", "c_custkey"
+        "skey", "c_custkey"
     )
     local = b.withColumn("rn", F.row_number().over(w1))
     cnts = b.groupBy("c_nationkey", "bkt").agg(
@@ -357,6 +404,7 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             "c_name",
+            "c_custkey",
             (F.col("off") + F.col("rn")).alias("rnk"),
         )
         # feeds the native AND the copy branch of the union — persist so
@@ -371,6 +419,7 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk"),
         "rnk",
         "c_name",
+        "c_custkey",
         F.lit(False).alias("is_copy"),
     )
     copies = ranked.where(
@@ -380,59 +429,182 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         (chunk + 1).alias("chunk"),
         "rnk",
         "c_name",
+        "c_custkey",
         F.lit(True).alias("is_copy"),
     )
     u = natives.unionByName(copies)
-    # (3) per-chunk neighbor leads; lead carries (name, is_copy) so the
-    # native-lead emit rule needs no rejoin. Lead columns materialize in a
-    # select BEFORE the explode (Spark rejects window fns in generator
-    # args).
+    # (3) per-chunk neighbor leads; lead carries (name, key, is_copy) so
+    # the native-lead emit rule needs no rejoin. Lead columns materialize
+    # in a select BEFORE the explode (Spark rejects window fns in
+    # generator args).
     w3 = Window.partitionBy("c_nationkey", "chunk").orderBy("rnk")
     leads = u.select(
         "c_nationkey",
         "c_name",
+        "c_custkey",
         *[
-            F.lead(F.struct("c_name", "is_copy"), i).over(w3).alias(f"n{i}")
+            F.lead(F.struct("c_name", "c_custkey", "is_copy"), i)
+            .over(w3)
+            .alias(f"n{i}")
             for i in range(1, _SNM_W + 1)
         ],
     )
-    nb = (
+    return (
         leads.select(
             "c_nationkey",
             "c_name",
+            "c_custkey",
             F.explode(
                 F.array(*[F.col(f"n{i}") for i in range(1, _SNM_W + 1)])
             ).alias("nbr_s"),
         )
         .where(F.col("nbr_s").isNotNull() & ~F.col("nbr_s.is_copy"))
-        .select("c_nationkey", "c_name", F.col("nbr_s.c_name").alias("nbr"))
+        .select(
+            "c_nationkey",
+            F.col("c_name").alias("a_name"),
+            F.col("c_custkey").alias("a_key"),
+            F.col("nbr_s.c_name").alias("b_name"),
+            F.col("nbr_s.c_custkey").alias("b_key"),
+        )
     )
-    m = nb.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_compared"),
-        F.sum(
-            F.when(
-                F.levenshtein("c_name", "nbr") <= _SNM_DIST, 1
-            ).otherwise(0)
-        ).alias("n_matches"),
+
+
+def _snm_pass_sql(order_by: str) -> str:
+    """One naive-oracle SNM pass: the DISTINCT matched (nation, ka, kb)
+    pairs under a single per-nation window ordered by ``order_by`` —
+    shared between the two passes of [q:er_snm_multipass]'s oracle so the
+    pass SQL can never diverge between them."""
+    lead_cols = ",\n             ".join(
+        f"lead(c_name, {i}) OVER w AS n{i}nm,"
+        f" lead(c_custkey, {i}) OVER w AS n{i}ky"
+        for i in range(1, _SNM_W + 1)
     )
-    r = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_records"))
-    return (
-        r.join(m, "c_nationkey", "left")
+    structs = ", ".join(
+        f"struct_pack(nm := n{i}nm, ky := n{i}ky)"
+        for i in range(1, _SNM_W + 1)
+    )
+    return f"""(
+      SELECT DISTINCT c_nationkey,
+             least(c_custkey, u.nbr.ky) AS ka,
+             greatest(c_custkey, u.nbr.ky) AS kb
+      FROM (SELECT c_nationkey, c_name, c_custkey,
+             {lead_cols}
+            FROM c
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY {order_by}, c_custkey)) nb,
+           unnest([{structs}]) AS u(nbr)
+      WHERE u.nbr.ky IS NOT NULL
+        AND levenshtein(c_name, u.nbr.nm) <= {_SNM_DIST})"""
+
+
+_SNM_MP_ORACLE = f"""
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+    p1 AS {_snm_pass_sql("c_name")},
+    p2 AS {_snm_pass_sql("reverse(c_name)")},
+    pu AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+    a1 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
+           FROM p1 GROUP BY 1),
+    a2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
+           FROM p2 GROUP BY 1),
+    au AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
+           FROM pu GROUP BY 1),
+    r AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_records
+          FROM c GROUP BY 1)
+    SELECT r.c_nationkey AS nationkey, n_records,
+           COALESCE(a1.m, 0) AS n_matches_pass1,
+           COALESCE(a2.m, 0) AS n_matches_pass2,
+           COALESCE(au.m, 0) AS n_matches_union,
+           COALESCE(au.m, 0) - COALESCE(a1.m, 0) AS n_pass2_only
+    FROM r
+    LEFT JOIN a1 ON a1.c_nationkey = r.c_nationkey
+    LEFT JOIN a2 ON a2.c_nationkey = r.c_nationkey
+    LEFT JOIN au ON au.c_nationkey = r.c_nationkey
+    ORDER BY nationkey
+    """
+
+
+@query(
+    "er_snm_multipass",
+    # naive two-single-window oracle — the same lossless-rewrite contract
+    # as the single-pass query: each distributed pass must reproduce its
+    # naive window EXACTLY, so the union does too
+    oracle=_SNM_MP_ORACLE,
+    tags=("er", "record-linkage", "sorted-neighborhood", "multipass"),
+)
+def q_er_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood entity resolution — the recall step
+    of Hernandez & Stolfo's merge/purge (SIGMOD'95 §4: "several passes
+    ... each using a different key"): a single sort key misses duplicate
+    pairs whose difference lands in the key's leading characters (they
+    sort far apart), so the method re-runs the SAME w-window comparison
+    under an INDEPENDENT second key and unions the matched pairs. Pass 1
+    orders by the name; pass 2 by the REVERSED name, so records differing
+    early-but-not-late in the string become neighbors. Reported per
+    block: records, per-pass distinct match-pair counts, the unioned
+    count, and the pass-2-only gain — the measurable recall the second
+    pass buys.
+
+    Both passes run the distributed rank/chunk/copy scheme
+    ([q:er_sorted_neighborhood] steps 1-3, shared via
+    ``_snm_neighbor_pairs``), each provably pair-identical to its naive
+    single window — hence the oracle IS the naive two-window SQL, the
+    same lossless-rewrite contract as the single-pass query. Pairs carry
+    record ids (not names) so the cross-pass union dedups entity pairs
+    even under duplicate name strings.
+
+    Scale shape: exactly two single-pass plans plus one distinct over
+    MATCHED pairs only (sparse — bounded by true duplicates, not by n*w
+    comparisons) and four per-nation aggregates; the per-pass persists
+    are the match-pair frames, duplicate-sized, never corpus-sized. Cost
+    is 2x the single pass by construction — multi-pass SNM's textbook
+    trade."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+    def matched(skey) -> DataFrame:
+        nb = _snm_neighbor_pairs(c, skey)
+        return (
+            nb.where(F.levenshtein("a_name", "b_name") <= _SNM_DIST)
+            .select(
+                "c_nationkey",
+                F.least("a_key", "b_key").alias("ka"),
+                F.greatest("a_key", "b_key").alias("kb"),
+            )
+            # each pass frame feeds its own count AND the union-distinct —
+            # persist the sparse matched-pair frame so the whole window
+            # subtree runs once per pass (MEMORY_ONLY: evictable, never
+            # unpersisted — the triangle rule; match pairs are
+            # duplicate-sized, so the persist-inversion caveat for
+            # corpus-sized frames does not apply)
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+
+    p1 = matched(F.col("c_name"))
+    p2 = matched(F.reverse(F.col("c_name")))
+    pu = p1.unionByName(p2).distinct()
+
+    def per_nation(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).cast("long").alias(alias)
+        )
+
+    r = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    out = (
+        r.join(per_nation(p1, "m1"), "c_nationkey", "left")
+        .join(per_nation(p2, "m2"), "c_nationkey", "left")
+        .join(per_nation(pu, "mu"), "c_nationkey", "left")
         .select(
             F.col("c_nationkey").alias("nationkey"),
             "n_records",
-            F.coalesce("n_compared", F.lit(0)).alias("n_compared"),
-            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
-            F.when(F.coalesce("n_compared", F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(
-                F.round(
-                    F.col("n_matches").cast("double")
-                    / F.col("n_compared").cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
-            )
-            .alias("match_rate"),
+            F.coalesce("m1", F.lit(0)).alias("n_matches_pass1"),
+            F.coalesce("m2", F.lit(0)).alias("n_matches_pass2"),
+            F.coalesce("mu", F.lit(0)).alias("n_matches_union"),
+            (F.coalesce("mu", F.lit(0)) - F.coalesce("m1", F.lit(0))).alias(
+                "n_pass2_only"
+            ),
         )
-        .orderBy("nationkey")
     )
+    return out.orderBy("nationkey")

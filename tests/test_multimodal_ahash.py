@@ -181,3 +181,64 @@ def test_ahash_neardup_matches_bruteforce_python(spark):
             for b in range(_AHASH_BANDS)
         )
         assert shared >= 1, (ha, hb)
+
+
+def test_ahash_clusters_match_union_find_python(spark):
+    """The dedup DECISION: pure-Python union-find over the brute-force
+    radius-3 distinct-hash pairs, plus exact-dup singleton groups, must
+    reproduce the clusters rollup row-for-row — the third implementation
+    beside the Spark plan and the recursive-CTE oracle."""
+    from mapreduceindex_demo_spark.plans.llm import _AHASH_RADIUS
+
+    docs = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        groups.setdefault(_py_ahash(r["text"].encode("utf-8")), []).append(
+            r["doc_id"]
+        )
+    uniq = sorted(groups)
+    parent = {h: h for h in uniq}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, ha in enumerate(uniq):
+        for hb in uniq[i + 1 :]:
+            if bin(int(ha, 16) ^ int(hb, 16)).count("1") <= _AHASH_RADIUS:
+                ra, rb = find(ha), find(hb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for h in uniq:
+        comps.setdefault(find(h), []).append(h)
+    expect = []
+    for root, hs in comps.items():
+        cluster = min(hs)  # min-label convention, same as the operator
+        n_images = sum(len(groups[h]) for h in hs)
+        if n_images >= 2:
+            expect.append(
+                (
+                    cluster,
+                    min(min(groups[h]) for h in hs),
+                    len(hs),
+                    n_images,
+                    n_images - 1,
+                )
+            )
+    expect.sort(key=lambda t: (-t[3], t[0]))
+
+    rows = QUERIES["multimodal_ahash_clusters"].fn(spark, PARITY_SF_DIR).collect()
+    got = [
+        (r.cluster, r.canonical_doc, r.n_hashes, r.n_images, r.n_dropped)
+        for r in rows
+    ]
+    assert got == expect
+    # non-trivial: at least one TRANSITIVE cluster (>= 2 distinct hashes)
+    # so the components step is actually exercised, not just exact groups
+    assert any(r.n_hashes >= 2 for r in rows)
+    assert any(r.n_hashes == 1 for r in rows)  # and exact-dup singletons

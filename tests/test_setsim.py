@@ -359,3 +359,60 @@ def test_snm_all_shared_prefix_corpus_is_still_exact(spark, tmp_path):
         assert (r.n_records, r.n_compared, r.n_matches) == (n, cmp_, m), r
         total_matches += m
     assert total_matches > 0  # the fixture's match pairs are non-trivial
+
+
+def test_snm_multipass_matches_python(spark):
+    """Two-pass SNM recomputed in pure Python: per nation, sort by name
+    then by REVERSED name, window w=3 each, collect matched custkey
+    pairs, union — per-pass counts, the union, and the pass-2-only gain
+    must all match, and pass 2 must find pairs pass 1 misses (the whole
+    point of multi-pass)."""
+    from mapreduceindex_demo_spark.plans.setsim import _SNM_DIST, _SNM_W
+
+    rows = pq.read_table(
+        f"{PARITY_SF_DIR}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pylist()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(
+            (r["c_name"], r["c_custkey"])
+        )
+
+    def pass_pairs(recs, keyf):
+        recs = sorted(recs, key=lambda t: (keyf(t[0]), t[1]))
+        out = set()
+        for i, (name, key) in enumerate(recs):
+            for j in range(i + 1, min(i + _SNM_W + 1, len(recs))):
+                nname, nkey = recs[j]
+                if _py_levenshtein(name, nname) <= _SNM_DIST:
+                    out.add((min(key, nkey), max(key, nkey)))
+        return out
+
+    expect = {}
+    for nk, recs in by_nation.items():
+        p1 = pass_pairs(recs, lambda s: s)
+        p2 = pass_pairs(recs, lambda s: s[::-1])
+        expect[nk] = (
+            len(recs),
+            len(p1),
+            len(p2),
+            len(p1 | p2),
+            len(p1 | p2) - len(p1),
+        )
+
+    got = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR).collect()
+    assert {r.nationkey for r in got} == set(expect)
+    for r in got:
+        assert (
+            r.n_records,
+            r.n_matches_pass1,
+            r.n_matches_pass2,
+            r.n_matches_union,
+            r.n_pass2_only,
+        ) == expect[r.nationkey], r
+    # the second pass must buy real recall at test scale
+    assert sum(r.n_pass2_only for r in got) > 0
+    # and the union can never lose pairs vs either single pass
+    for r in got:
+        assert r.n_matches_union >= max(r.n_matches_pass1, r.n_matches_pass2)
