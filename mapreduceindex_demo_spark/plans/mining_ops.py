@@ -114,39 +114,61 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     second a-priori round (triples from frequent pairs) is the same join
     shape again."""
     li = load_table(spark, sf_dir, "lineitem")
-    # three differently-keyed consumers (basket count, item counts, the
-    # semi-join feeding both self-join sides) — cache the scan+distinct
-    # once (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
-    items = (
-        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+    # ONE corpus-sized exchange total (round 10; the r9 spelling paid a
+    # standalone 60M-row (ok, pk) DISTINCT exchange — stage-profiled as
+    # the plan's whole residual vs DuckDB — and then re-shuffled fi on ok
+    # for the self-join): shuffle the raw scan ONCE on the basket key and
+    # let the per-basket collect_set do the (ok, pk) dedup inside that
+    # exchange's aggregation. Every downstream consumer — basket count,
+    # item supports, the pair self-join — reads the persisted arrays
+    # ALREADY co-located on ok, so the self-join plans with zero further
+    # corpus-sized exchanges (plan test pins it).
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("pks"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    no = items.agg(F.countDistinct("ok").cast("long").alias("n"))
-    ic = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # freq is item-universe-sized and feeds THREE legs (the fi semi-join
-    # and both scoring joins) — unpersisted, each leg re-ran the item
-    # groupBy over the 6M-row items table; fi likewise feeds both sides
-    # of the self-join (the triples-query lesson, applied back to round 1
-    # of the algorithm; official harness 6.44 -> 3.92 s at ~sf1)
+    no = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # item supports: explode the cached arrays, partial-combine map-side —
+    # the exchange carries per-partition (pk, count) partials, item-
+    # universe-sized, never the corpus
+    ic = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # freq feeds THREE legs (the fi semi-join and both scoring joins);
+    # fi feeds both sides of the self-join (the triples-query lesson;
+    # both persists measured: 6.44 -> 3.92 s at ~sf1 in r9)
     freq = ic.where(F.col("c") >= _ITEM_MIN_COUNT).persist(
         StorageLevel.MEMORY_ONLY
     )
-    fi = items.join(freq.select("pk"), "pk", "left_semi").persist(
-        StorageLevel.MEMORY_ONLY
+    # per-basket FREQUENT-item arrays: explode the cached baskets, prune
+    # by the broadcast semi-join, re-collect — every step stays on the
+    # hash(ok) partitioning, zero exchanges
+    fb = (
+        baskets.select("ok", F.explode("pks").alias("pk"))
+        .join(freq.select("pk"), "pk", "left_semi")
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("fpks"))
+    )
+    # ordered pairs by ARRAY combinatorics instead of a self-join (r10;
+    # the join spelling re-sorted the exploded corpus on both sides):
+    # sort_array makes x < y positional, fan-out is bounded by the
+    # frequent basket width choose 2 — single digits after the a-priori
+    # prune — and generation is whole-stage codegen straight into the
+    # partial pair-count aggregate
+    pair_structs = F.expr(
+        "flatten(transform(fpks, (x, i) -> "
+        "transform(slice(fpks, i + 2, size(fpks)), "
+        "y -> struct(x AS p1, y AS p2))))"
     )
     pairs = (
-        fi.alias("x")
-        .join(
-            fi.alias("y"),
-            [
-                F.col("x.ok") == F.col("y.ok"),
-                F.col("x.pk") < F.col("y.pk"),
-            ],
-        )
-        .groupBy(
-            F.col("x.pk").alias("p1"), F.col("y.pk").alias("p2")
-        )
+        fb.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).cast("long").alias("pc"))
     )
     f1 = freq.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))

@@ -96,6 +96,25 @@ def test_frequent_pairs_plan_is_equi_join(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
 
+def test_frequent_pairs_single_corpus_exchange(spark):
+    """The r10 respelling's contract: exactly ONE corpus-sized exchange —
+    the basket-key shuffle feeding collect_set, where the (ok, pk) dedup
+    now happens. The r9 plan's standalone (ok, pk) DISTINCT exchange (its
+    stage-profiled residual vs DuckDB) must not reappear, and the pair
+    self-join must ride the cached hash(ok) partitioning instead of
+    re-shuffling the corpus."""
+    df = QUERIES["basket_frequent_pairs"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    keysets = [
+        {c.split("#")[0] for c in m.group(1).split(", ")[:-1]}
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan)
+    ]
+    # the old distinct exchanged on BOTH basket and item keys — banned
+    assert {"ok", "pk"} not in keysets, keysets
+    # exactly one exchange keyed on the basket key alone (the collect_set)
+    assert keysets.count({"ok"}) == 1, keysets
+
+
 # --------------------------------------------------------------------------
 # basket_frequent_triples — a-priori round 2
 # --------------------------------------------------------------------------
