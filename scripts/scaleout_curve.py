@@ -37,8 +37,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     q = QUERIES[name]
     force = spark_forced_expr(q.fn(spark, data).columns)
-    probe_before = _probe(spark)
     q.fn(spark, data).selectExpr(force).collect()  # warm (JIT + page cache)
+    # probes BRACKET the timed region, after the warm run (the bench.py
+    # r9 fix, applied here in r10: a fresh JVM's pre-warm-up probe reads
+    # 0.18-0.26 s on a QUIET machine — JIT/GC settling, not contention —
+    # and self-flagged curve cells)
+    probe_before = _probe(spark)
     runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
