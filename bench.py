@@ -28,6 +28,34 @@ _PROBE_REF_SEC = 0.13  # calibrated: quiet-machine medians 0.09-0.145s
 _MAX_ATTEMPTS = 2
 _RETRY_COOLDOWN_SEC = 30
 
+#: the 15 r6-era headline queries — FROZEN: every BENCH_r03..r09 total is
+#: over exactly this set, so `legacy_total`/`legacy_forced_total` keep the
+#: cross-round series comparable. Round 10 adds modern operators (the
+#: r7-r9 classes the round-over-round tracking was blind to — r9 verdict
+#: "What's missing #4") to the bench flags; those join `queries`/
+#: `forced_queries` and the GRAND totals (`value`/`forced_total`), which
+#: therefore step up at r10 — compare grand totals within r10+, legacy
+#: totals across all rounds.
+_LEGACY_15 = frozenset(
+    {
+        "mapreduce_wordcount",
+        "curated_training_set",
+        "blocking_suppliers",
+        "similarity_topk_cosine",
+        "pricing_summary",
+        "shipping_priority",
+        "local_supplier_volume",
+        "events_daily_rollup",
+        "mapindex_expr_build",
+        "mapindex_incremental_cdc",
+        "text_token_stats",
+        "dedup_minhash_signatures",
+        "text_chunking",
+        "large_volume_customers",
+        "nation_market_share_yearly",
+    }
+)
+
 
 def _probe(spark, reps: int = 5) -> float:
     """Median wall time of a fixed scheduling-bound no-op job."""
@@ -118,6 +146,13 @@ def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
         "queries": timings,
         "forced_queries": forced,
         "forced_total": round(sum(forced.values()), 4),
+        # the frozen r6-era set, comparable with every BENCH_r03..r09
+        "legacy_total": round(
+            sum(v for k, v in timings.items() if k in _LEGACY_15), 4
+        ),
+        "legacy_forced_total": round(
+            sum(v for k, v in forced.items() if k in _LEGACY_15), 4
+        ),
         "sf": sf,
         "probe_sec": probe,
         "probe_before_sec": probe_before,

@@ -88,6 +88,7 @@ _BASKET_ORACLE = f"""
     "basket_frequent_pairs",
     oracle=_BASKET_ORACLE,
     tags=("mining", "itemsets", "apriori", "basket"),
+    bench=True,
 )
 def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori frequent-pair mining over order baskets: the top-20
@@ -102,17 +103,20 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift are single IEEE divisions of exact integers rounded to 6dp; the
     top-20 orders on (pair_count DESC, p1, p2) — a total order.
 
-    Scale shape: the a-priori prune is the point — only items above the
-    minsup floor enter pair generation, so the within-basket
-    self-join's fan-out is bounded by the FREQUENT-item basket width, not
-    the raw one. The self-join is an equi-join on the basket key (one
-    shuffle, per-key quadratic only in frequent items per basket — single
-    digits here); item counts are a combiner groupBy; the frequent-item
-    and basket-count sides are vocabulary-sized/1-row — AQE broadcasts
-    them. At 100 TB nothing materialises beyond the (frequent-pair ×
-    basket) stream into one partial-aggregated groupBy. The classic
-    second a-priori round (triples from frequent pairs) is the same join
-    shape again."""
+    Scale shape (round 10: ONE corpus-sized exchange): the raw scan
+    shuffles once on the basket key and `collect_set` dedups (ok, pk)
+    inside that exchange; item supports partial-combine off the cached
+    basket arrays (item-universe-sized partials); the a-priori prune is
+    the point — only items above the minsup floor enter pair generation,
+    so the per-basket ordered-pair fan-out (sort_array + slice/transform
+    array combinatorics, whole-stage codegen, no self-join) is bounded
+    by the FREQUENT-item basket width, single digits here; the
+    frequent-item and basket-count sides are vocabulary-sized/1-row —
+    AQE broadcasts them. At 100 TB nothing materialises beyond the
+    (frequent-pair × basket) stream into one partial-aggregated groupBy.
+    The classic second a-priori round (triples from frequent pairs,
+    [q:basket_frequent_triples]) keeps the within-basket equi-join
+    shape."""
     li = load_table(spark, sf_dir, "lineitem")
     # ONE corpus-sized exchange total (round 10; the r9 spelling paid a
     # standalone 60M-row (ok, pk) DISTINCT exchange — stage-profiled as
@@ -140,9 +144,9 @@ def q_basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    # freq feeds THREE legs (the fi semi-join and both scoring joins);
-    # fi feeds both sides of the self-join (the triples-query lesson;
-    # both persists measured: 6.44 -> 3.92 s at ~sf1 in r9)
+    # freq feeds THREE legs (the fb semi-join and both scoring joins) —
+    # persisted per the triples-query lesson (measured 6.44 -> 3.92 s at
+    # ~sf1 in r9, before the r10 array respelling took it to 1.84 s)
     freq = ic.where(F.col("c") >= _ITEM_MIN_COUNT).persist(
         StorageLevel.MEMORY_ONLY
     )

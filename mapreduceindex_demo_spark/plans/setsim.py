@@ -73,6 +73,7 @@ _SETSIM_ORACLE = (
     # the same pairs the brute-force spelling does.
     oracle=_SETSIM_ORACLE,
     tags=("llm", "dedup", "setsim", "prefix-filter"),
+    bench=True,
 )
 def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL document pairs with word-3-gram-shingle Jaccard >= 1/2, found
