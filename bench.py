@@ -146,12 +146,14 @@ def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
         "queries": timings,
         "forced_queries": forced,
         "forced_total": round(sum(forced.values()), 4),
-        # the frozen r6-era set, comparable with every BENCH_r03..r09
+        # the frozen r6-era set, comparable with every BENCH_r03..r09;
+        # a renamed/un-benched legacy query must break LOUDLY, not
+        # silently shrink the cross-round series
         "legacy_total": round(
-            sum(v for k, v in timings.items() if k in _LEGACY_15), 4
+            sum(timings[k] for k in _LEGACY_15), 4
         ),
         "legacy_forced_total": round(
-            sum(v for k, v in forced.items() if k in _LEGACY_15), 4
+            sum(forced[k] for k in _LEGACY_15), 4
         ),
         "sf": sf,
         "probe_sec": probe,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from mapreduceindex_demo_spark.session import get_spark, load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-BASE = 150_000  # customer keys per sf0.1 replica
+BASE = 15_000  # customer rows (= max c_custkey) per sf0.1 replica
 
 
 def main() -> None:

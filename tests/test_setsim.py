@@ -316,6 +316,7 @@ def test_snm_all_shared_prefix_corpus_is_still_exact(spark, tmp_path):
     bucketing knob."""
     from mapreduceindex_demo_spark.plans.setsim import (
         _SNM_CHUNK,
+        _SNM_DIST,
         _SNM_PFX,
         _SNM_W,
     )
@@ -348,7 +349,7 @@ def test_snm_all_shared_prefix_corpus_is_still_exact(spark, tmp_path):
         for i, (name, _) in enumerate(recs):
             for j in range(i + 1, min(i + _SNM_W + 1, len(recs))):
                 compared += 1
-                matches += _py_levenshtein(name, recs[j][0]) <= 2
+                matches += _py_levenshtein(name, recs[j][0]) <= _SNM_DIST
         expect[nk] = (len(recs), compared, matches)
 
     got = QUERIES["er_sorted_neighborhood"].fn(spark, str(tmp_path)).collect()
