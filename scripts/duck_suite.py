@@ -60,6 +60,11 @@ def main() -> None:
     for name, med in sorted(rows, key=lambda r: -r[1]):
         print(f"| {name} | {med:.3f} |")
     print(f"| **total** | **{total:.3f}** |")
+    # mirror bench.py's frozen legacy split so the symmetric suite pair
+    # stays comparable across the r10 bench-set refresh (loud on a
+    # renamed/un-benched legacy query, same as bench.py)
+    from bench import _LEGACY_15
+
     print(
         json.dumps(
             {
@@ -67,6 +72,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "legacy_total": round(
+                    sum(timings[k] for k in _LEGACY_15), 4
+                ),
                 "sf_dir": args.sf_dir,
             }
         )
