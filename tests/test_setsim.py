@@ -417,3 +417,22 @@ def test_snm_multipass_matches_python(spark):
     # and the union can never lose pairs vs either single pass
     for r in got:
         assert r.n_matches_union >= max(r.n_matches_pass1, r.n_matches_pass2)
+
+
+def test_snm_multipass_plan_shape(spark):
+    """Machine-checked scale claims for the multipass: the only exchange
+    beyond the two pass subtrees carries MATCHED pairs (the
+    (nation, ka, kb) distinct), nothing shuffle-joins or crosses, and
+    the second pass really sorts under reverse(name) — i.e. Spark's
+    canonicalized-plan cache did NOT silently unify the two passes (each
+    pass frame is its own InMemoryRelation)."""
+    df = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "SortMergeJoin" not in final, final
+    assert re.search(
+        r"hashpartitioning\(c_nationkey#\d+, ka#\d+L, kb#\d+L", plan
+    ), "matched-pair distinct exchange missing"
+    assert "reverse(" in plan, "pass-2 sort key missing from the plan"
