@@ -436,3 +436,27 @@ def test_snm_multipass_plan_shape(spark):
         r"hashpartitioning\(c_nationkey#\d+, ka#\d+L, kb#\d+L", plan
     ), "matched-pair distinct exchange missing"
     assert "reverse(" in plan, "pass-2 sort key missing from the plan"
+
+
+def test_snm_multipass_lossless_at_tiny_chunks(spark, monkeypatch):
+    """The multipass twin of the single-pass tiny-chunk e2e: chunk size 4
+    makes boundary copies dominate BOTH passes (including the
+    reversed-name pass, whose prefix bucketing is the one new algebraic
+    step), and the real Spark plan must still equal the naive two-window
+    DuckDB oracle row-for-row."""
+    import mapreduceindex_demo_spark.plans.setsim as ss
+    from mapreduceindex_demo_spark.oracle_harness import duck_connect
+
+    monkeypatch.setattr(ss, "_SNM_CHUNK", 4)
+    sf_dir = os.path.join(os.path.dirname(PARITY_SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"sf0.001 testdata not present at {sf_dir}")
+    got = sorted(
+        tuple(r) for r in QUERIES["er_snm_multipass"].fn(spark, sf_dir).collect()
+    )
+    con = duck_connect(sf_dir)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(QUERIES["er_snm_multipass"].oracle).fetchall()
+    )
+    assert got == exp
