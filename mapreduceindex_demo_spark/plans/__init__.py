@@ -45,35 +45,34 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r10 rotation: keep clearing the single-green tail (r9 verdict
-    # item 1) — all 3 r3-singles + all 8 r5-singles + 15 of the 19
-    # r6-singles get their second external confirmation; the remaining 4
-    # r6 singles (sketch_cms_heavy_hitters, streaming_drift_daily,
-    # training_mix_apply, zorder_box_aggregate) plus the r7/r8 tails are
-    # the r11 waiting list. Family constraints (tests/
-    # test_coverage_integrity.py) honored below; choice-family guards
-    # pick the member with the OLDEST last green.
+    # --- r12 rotation (round 11 had zero builder turns — this executes
+    # the carried r11 plan): clear the r6 single-green tail (4) and ALL
+    # 23 r7 singles, plus one r8 single in the remaining slot; the other
+    # 18 r8 singles (curation_pareto_frontier, events_changepoint_scan,
+    # events_gap_fill_hourly, events_scd2_temporal_join,
+    # feature_target_encoding, graph_pagerank_topk, graph_triangle_count,
+    # purchase_linear_attribution, quality_benford_audit,
+    # quality_constraint_audit, quality_psi_drift, similarity_hamming_ann,
+    # similarity_ivf_pq_ann, similarity_pq_adc_ann,
+    # similarity_projection_recall, text_chisq_feature_select,
+    # text_pmi_collocations, text_shingle_novelty) are the r13 waiting
+    # list. Family constraints (tests/test_coverage_integrity.py)
+    # honored below; choice-family guards pick the member with the
+    # OLDEST last green.
     # ---
     # NEW this round (zero external rows) — in-window by the machine-
-    # enforced rule:
-    # radius-3 pairs -> connected components -> dedup decision (r9
-    # verdict item 2: the image twin of the LSH->components text path)
-    "multimodal_ahash_clusters",
-    # multi-pass SNM under an independent reversed-name sort key (r9
-    # verdict item 5)
-    "er_snm_multipass",
-    # --- r9 singles kept for their second confirmation (r9 verdict
-    # item 8); multimodal_ahash_neardup also changed r10 (its banded
-    # pair kernel is now the shared _ahash_neardup_pairs helper) ---
-    "basket_frequent_triples",
-    "multimodal_ahash_neardup",
+    # enforced rule: the image-dedup ACTION (doc-level drop ledger from
+    # the clusters decision — r10/r11 verdict item)
+    "multimodal_ahash_apply",
     # --- changed this round ---
-    # single-exchange respelling of the a-priori round-1 plan (r9
-    # verdict item 3: drop the standalone 60M-row distinct exchange)
-    "basket_frequent_pairs",
-    # refactored r10: steps 1-3 now live in the shared
-    # _snm_neighbor_pairs helper feeding both SNM passes
+    # SNM rank scheme: the offsets join is now UN-hinted (the r11 ADVICE
+    # scale-safety fix) and the multipass gained an independent
+    # account-balance third pass — both SNM queries re-verify
+    "er_snm_multipass",
     "er_sorted_neighborhood",
+    # clusters refactored onto the shared _ahash_hash_labels helper
+    # feeding the new APPLY query
+    "multimodal_ahash_clusters",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -83,49 +82,53 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
-    # --- choice family guards, oldest last-green member preferred ---
-    "streaming_tumbling_counts",   # last green r8 (session: r9)
-    "curated_training_set",        # last green r8 (balanced: r9)
-    "customer_running_spend",      # last green r8 (sessionization: r9)
-    "skew_salted_join_volume",     # last green r8 (suppliers_above: r9)
-    "blocking_suppliers",          # last green r8 (nation_market: r9)
+    # --- choice family guards, oldest last-green member preferred (all
+    # five r11-window members were re-greened r10+r11; these five are
+    # r9-last-green) ---
+    "streaming_session_windows",   # last green r9 (tumbling: r11)
+    "balanced_source_sample",      # last green r9 (curated: r11)
+    "user_sessionization",         # last green r9 (running_spend: r11)
+    "suppliers_above_nation_avg",  # last green r9 (skew_salted: r11)
+    "nation_market_share_yearly",  # last green r9 (blocking: r11)
     # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
-    # members (r4/r5) get fresh confirmations ---
-    "mapindex_primary_build",
-    "mapindex_stats",
-    "mapindex_stats_approx",
-    "mapindex_array_build",
-    "mapindex_collated_scan",
-    # --- the 3 r3-era singles (oldest-first, r9 verdict item 1) ---
-    "lineitem_percentiles_approx",
-    "similarity_topk_cosine",
-    "text_hash_sample",
-    # --- the 8 r5-era singles ---
-    "events_map_functions",
-    "funnel_view_click_purchase",
-    "text_pii_redaction",
-    "text_repetition_filter",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "training_mix_weights",
-    "weekly_retention_cohorts",
-    # --- 15 of the 19 r6-era singles (window is full; the other 4 are
-    # named in the header comment as the r11 carry-over) ---
-    "dedup_incremental_arrivals",
-    "dedup_semantic_cells",
-    "excess_stock_suppliers",
-    "search_bm25_indexed",
-    "search_bm25_topk",
-    "search_boolean_and",
-    "search_hybrid_rrf",
-    "search_phrase_positional",
-    "search_prefix_scan",
-    "search_proximity_window",
-    "similarity_ivf_batch",
-    "similarity_ivf_durable",
-    "similarity_ivf_filtered",
-    "similarity_ivf_recall",
-    "similarity_label_mrr",
+    # members (r5/r7/r8) get fresh confirmations ---
+    "mapindex_function_build",
+    "mapindex_scan_range",
+    "mapindex_durable_cdc",
+    "mapindex_bins",
+    "mapindex_reduce_view",
+    # --- the 4 r6-era singles (the carry-over named since r10) ---
+    "sketch_cms_heavy_hitters",
+    "streaming_drift_daily",
+    "training_mix_apply",
+    "zorder_box_aggregate",
+    # --- all 23 r7-era singles ---
+    "cdc_snapshot_diff",
+    "curation_token_budget",
+    "curation_weighted_sample",
+    "dedup_apply_keep_best",
+    "dedup_boilerplate_prefix",
+    "dedup_cdc_segments",
+    "dedup_containment_top20",
+    "dedup_eval_overlap_rate",
+    "dedup_lsh_recall_contract",
+    "embedding_source_centroids",
+    "events_anomaly_daily",
+    "events_transition_matrix",
+    "multimodal_resize_downsample",
+    "quality_percentile_gate",
+    "search_snippet_highlight",
+    "similarity_ivf_health",
+    "similarity_mmr_rerank",
+    "similarity_truncation_contract",
+    "split_leakproof_assignment",
+    "text_bigram_logprob",
+    "text_c4_style_gate",
+    "text_char_entropy_gate",
+    "text_vocab_coverage",
+    # --- 1 r8-era single in the remaining slot (kin to this round's new
+    # multimodal work) ---
+    "multimodal_ahash_dedup",
 ]
 
 

@@ -303,8 +303,11 @@ def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: O(n*w) comparisons as before, but the sort exchange is
     now keyed on (nation, prefix-bucket) and the neighbor window on
     (nation, chunk) — parallelism n/_SNM_CHUNK, thousands of tasks at
-    100 TB instead of 25, no straggler block. The offset table rides a
-    broadcast join (it is |buckets|-sized metadata). CAVEAT the rank
+    100 TB instead of 25, no straggler block. The offset-table join is
+    deliberately UN-hinted: the planner broadcasts it while it is
+    |buckets|-sized metadata (the common case) and AQE demotes to a
+    shuffle join when a degenerate prefix makes it grow with n — see
+    the safety-valve comment in ``_snm_neighbor_pairs``. CAVEAT the rank
     stage inherits from its bucketing: `_SNM_PFX` must reach the
     DISCRIMINATING characters of the match attribute — a corpus whose
     values share a >=16-char common prefix (or pile up on one prefix)
@@ -381,15 +384,25 @@ def _snm_neighbor_pairs(c: DataFrame, skey) -> DataFrame:
     # CAVEAT (round 10): "metadata-sized" holds only while |distinct
     # prefix buckets| stays small relative to n. With zero-padded
     # sequential keys like 'Customer#%09d' a 16-char prefix admits ~100
-    # rows per bucket, so bucket count grows ~n/100 and the broadcast
-    # would stop being metadata at the 100 TB target. `_SNM_PFX` is the
-    # knob: COARSEN it (shorter prefix => fewer, larger buckets) as n
-    # grows so |buckets| stays ~n/_SNM_CHUNK-independent metadata —
-    # rank-stage parallelism only needs |buckets| >> |blocks|, thousands
-    # of buckets suffice at any scale. A cluster deployment would size
-    # it from the key-length histogram (or fall back to a shuffle join
-    # past spark.sql.autoBroadcastJoinThreshold, which AQE does on its
-    # own when the size estimate exceeds the threshold).
+    # rows per bucket, so bucket count grows ~n/100 — and under a
+    # degenerate key (e.g. the reversed-name pass of
+    # [q:er_snm_multipass] on near-unique suffixes) ~1 row per bucket,
+    # so offs grows ~n. `_SNM_PFX` is the tuning knob: COARSEN it
+    # (shorter prefix => fewer, larger buckets) so |buckets| stays
+    # metadata — rank-stage parallelism only needs |buckets| >>
+    # |blocks|, thousands of buckets suffice at any scale; correctness
+    # never depends on it (any bucketing yields the same ranks).
+    # SAFETY VALVE (round 12, the r11 ADVICE fix): the offsets join
+    # below is deliberately UN-hinted. An explicit F.broadcast() here
+    # would force a driver-side build of offs regardless of size —
+    # Spark honors the hint unconditionally and AQE never demotes a
+    # hinted broadcast — so a degenerate corpus would OOM the driver
+    # with no fallback. Un-hinted, the planner picks broadcast-hash
+    # from the size estimate while offs is under
+    # spark.sql.autoBroadcastJoinThreshold (the common case: it IS
+    # metadata-sized), and AQE demotes to a shuffle join from runtime
+    # byte counts when a bad prefix makes offs grow with n — the plan
+    # degrades to one extra exchange instead of a driver OOM.
     wo = (
         Window.partitionBy("c_nationkey")
         .orderBy("bkt")
@@ -401,7 +414,7 @@ def _snm_neighbor_pairs(c: DataFrame, skey) -> DataFrame:
         F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off"),
     )
     ranked = (
-        local.join(F.broadcast(offs), ["c_nationkey", "bkt"])
+        local.join(offs, ["c_nationkey", "bkt"])
         .select(
             "c_nationkey",
             "c_name",
@@ -498,15 +511,48 @@ def _snm_pass_sql(order_by: str) -> str:
         AND levenshtein(c_name, u.nbr.nm) <= {_SNM_DIST})"""
 
 
+#: pass-3 sort key: the account balance as a MONOTONE fixed-width string
+#: (cents offset to non-negative, zero-padded to 8 digits so
+#: lexicographic order == numeric order). TPC-H balances live in
+#: [-999.99, 9999.99] with exactly two decimals, so cents are exact
+#: integers in [100, 1_099_999] after the +100_000 offset — the encoding
+#: is injective and order-isomorphic to the numeric column. round()
+#: BEFORE the integer cast on both engines: after round the double is an
+#: exact integer, so Spark's truncating cast and DuckDB's rounding cast
+#: agree. Spark and DuckDB spellings defined side by side so the sort
+#: orders can never diverge. (A function, not a module constant: pyspark
+#: Column construction needs an active SparkContext.)
+def _snm_acct_skey():
+    return F.lpad(
+        (
+            F.round(F.col("c_acctbal") * 100, 0).cast("long") + F.lit(100000)
+        ).cast("string"),
+        8,
+        "0",
+    )
+
+
+_SNM_ACCT_SKEY_SQL = (
+    "lpad(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000"
+    " AS VARCHAR), 8, '0')"
+)
+
 _SNM_MP_ORACLE = f"""
-    WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer),
+    WITH c AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey
+               FROM customer),
     p1 AS {_snm_pass_sql("c_name")},
     p2 AS {_snm_pass_sql("reverse(c_name)")},
-    pu AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+    p3 AS {_snm_pass_sql(_SNM_ACCT_SKEY_SQL)},
+    pu12 AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+    pu AS (SELECT * FROM pu12 UNION SELECT * FROM p3),
     a1 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
            FROM p1 GROUP BY 1),
     a2 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
            FROM p2 GROUP BY 1),
+    a3 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
+           FROM p3 GROUP BY 1),
+    a12 AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
+            FROM pu12 GROUP BY 1),
     au AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS m
            FROM pu GROUP BY 1),
     r AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_records
@@ -514,11 +560,15 @@ _SNM_MP_ORACLE = f"""
     SELECT r.c_nationkey AS nationkey, n_records,
            COALESCE(a1.m, 0) AS n_matches_pass1,
            COALESCE(a2.m, 0) AS n_matches_pass2,
+           COALESCE(a3.m, 0) AS n_matches_pass3,
            COALESCE(au.m, 0) AS n_matches_union,
-           COALESCE(au.m, 0) - COALESCE(a1.m, 0) AS n_pass2_only
+           COALESCE(a12.m, 0) - COALESCE(a1.m, 0) AS n_pass2_only,
+           COALESCE(au.m, 0) - COALESCE(a12.m, 0) AS n_pass3_only
     FROM r
     LEFT JOIN a1 ON a1.c_nationkey = r.c_nationkey
     LEFT JOIN a2 ON a2.c_nationkey = r.c_nationkey
+    LEFT JOIN a3 ON a3.c_nationkey = r.c_nationkey
+    LEFT JOIN a12 ON a12.c_nationkey = r.c_nationkey
     LEFT JOIN au ON au.c_nationkey = r.c_nationkey
     ORDER BY nationkey
     """
@@ -538,29 +588,43 @@ def q_er_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     ... each using a different key"): a single sort key misses duplicate
     pairs whose difference lands in the key's leading characters (they
     sort far apart), so the method re-runs the SAME w-window comparison
-    under an INDEPENDENT second key and unions the matched pairs. Pass 1
+    under independent further keys and unions the matched pairs. Pass 1
     orders by the name; pass 2 by the REVERSED name, so records differing
-    early-but-not-late in the string become neighbors. Reported per
-    block: records, per-pass distinct match-pair counts, the unioned
-    count, and the pass-2-only gain — the measurable recall the second
-    pass buys.
+    early-but-not-late in the string become neighbors; pass 3 (round 12)
+    by a genuinely INDEPENDENT attribute — reversed-name is still a
+    function of the name, so name pairs corrupted at BOTH ends sort far
+    apart under both string orders, while records with similar balances
+    become neighbors regardless of how the name was mangled
+    (Hernandez-Stolfo's own example keys mix name/address/SSN fields;
+    this corpus's customer table carries no address column, so the
+    account balance is the independent attribute available — encoded as
+    a monotone fixed-width string, see ``_snm_acct_skey``, because the
+    rank scheme's prefix bucketing needs a string sort key). The pass-3
+    bucket count is DOMAIN-bounded (<= 1.1M distinct cent values however
+    large n grows), the regime where the un-hinted offsets join degrades
+    gracefully to a shuffle join past the broadcast threshold.
+    Reported per block: records, per-pass distinct match-pair counts,
+    the unioned count, and the incremental gain of each added pass
+    (pass2_only = |p1 U p2| - |p1|, pass3_only = |p1 U p2 U p3| -
+    |p1 U p2|) — the measurable recall each key buys.
 
-    Both passes run the distributed rank/chunk/copy scheme
+    All passes run the distributed rank/chunk/copy scheme
     ([q:er_sorted_neighborhood] steps 1-3, shared via
-    ``_snm_neighbor_pairs``), each provably pair-identical to its naive
-    single window — hence the oracle IS the naive two-window SQL, the
+    ``_snm_neighbor_pairs`` verbatim — the sort key is a plain column
+    expression argument), each provably pair-identical to its naive
+    single window — hence the oracle IS the naive three-window SQL, the
     same lossless-rewrite contract as the single-pass query. Pairs carry
     record ids (not names) so the cross-pass union dedups entity pairs
     even under duplicate name strings.
 
-    Scale shape: exactly two single-pass plans plus one distinct over
+    Scale shape: exactly three single-pass plans plus distincts over
     MATCHED pairs only (sparse — bounded by true duplicates, not by n*w
-    comparisons) and four per-nation aggregates; the per-pass persists
-    are the match-pair frames, duplicate-sized, never corpus-sized. Cost
-    is 2x the single pass by construction — multi-pass SNM's textbook
-    trade."""
+    comparisons) and per-nation aggregates; the per-pass persists are
+    the match-pair frames, duplicate-sized, never corpus-sized. Cost is
+    passes x the single pass by construction — multi-pass SNM's
+    textbook trade."""
     c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
 
     def matched(skey) -> DataFrame:
@@ -583,7 +647,12 @@ def q_er_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1 = matched(F.col("c_name"))
     p2 = matched(F.reverse(F.col("c_name")))
-    pu = p1.unionByName(p2).distinct()
+    p3 = matched(_snm_acct_skey())
+    # pu12 feeds the pass-2 gain AND the three-way union — persist the
+    # sparse distinct-pair frame so its exchange runs once (MEMORY_ONLY:
+    # evictable, never unpersisted — the triangle rule)
+    pu12 = p1.unionByName(p2).distinct().persist(StorageLevel.MEMORY_ONLY)
+    pu = pu12.unionByName(p3).distinct()
 
     def per_nation(df: DataFrame, alias: str) -> DataFrame:
         return df.groupBy("c_nationkey").agg(
@@ -596,15 +665,21 @@ def q_er_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         r.join(per_nation(p1, "m1"), "c_nationkey", "left")
         .join(per_nation(p2, "m2"), "c_nationkey", "left")
+        .join(per_nation(p3, "m3"), "c_nationkey", "left")
+        .join(per_nation(pu12, "m12"), "c_nationkey", "left")
         .join(per_nation(pu, "mu"), "c_nationkey", "left")
         .select(
             F.col("c_nationkey").alias("nationkey"),
             "n_records",
             F.coalesce("m1", F.lit(0)).alias("n_matches_pass1"),
             F.coalesce("m2", F.lit(0)).alias("n_matches_pass2"),
+            F.coalesce("m3", F.lit(0)).alias("n_matches_pass3"),
             F.coalesce("mu", F.lit(0)).alias("n_matches_union"),
-            (F.coalesce("mu", F.lit(0)) - F.coalesce("m1", F.lit(0))).alias(
+            (F.coalesce("m12", F.lit(0)) - F.coalesce("m1", F.lit(0))).alias(
                 "n_pass2_only"
+            ),
+            (F.coalesce("mu", F.lit(0)) - F.coalesce("m12", F.lit(0))).alias(
+                "n_pass3_only"
             ),
         )
     )

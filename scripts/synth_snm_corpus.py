@@ -28,7 +28,26 @@ from pyspark.sql import functions as F  # noqa: E402
 from mapreduceindex_demo_spark.session import get_spark, load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-BASE = 15_000  # customer rows (= max c_custkey) per sf0.1 replica
+#: customer rows (= max c_custkey) per sf0.1 replica. VERIFIED against
+#: the source parquet footer before any synthesis (r10 review lesson:
+#: this constant once sat at 10x the real row count because it was
+#: written from memory) — and pinned by tests/test_synth_corpus.py,
+#: which fails on testdata drift. A wrong BASE silently breaks key
+#: disjointness between replicas (overlapping c_custkey ranges change
+#: match density), so the script refuses to run rather than synthesize
+#: a subtly wrong corpus.
+BASE = 15_000
+
+
+def _assert_base_matches_footer() -> None:
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(SRC, "customer.parquet")).metadata
+    if meta.num_rows != BASE:
+        raise SystemExit(
+            f"BASE={BASE} != {meta.num_rows} rows in {SRC}/customer.parquet"
+            " — the testdata was regenerated; update BASE"
+        )
 
 
 def main() -> None:
@@ -36,6 +55,7 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=1000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    _assert_base_matches_footer()
     out = args.out or f"/tmp/snm_corpus_x{args.copies}"
     dst = os.path.join(out, "customer.parquet")
     if os.path.exists(dst):

@@ -260,3 +260,88 @@ def test_ahash_clusters_plan_shape(spark):
     # cache scan and no top-level Python stage
     assert "InMemoryTableScan" in plan, plan
     assert "MapInPandas" not in plan.split("InMemoryRelation")[0], plan
+
+
+def test_ahash_apply_ledger_matches_python(spark):
+    """The APPLY ledger recomputed in pure Python from the payloads: hash
+    every doc, union-find the radius-3 hash graph, and for every cluster
+    with >= 2 images list each non-canonical member — exactly the rows
+    the query must emit, with source and keeper attribution."""
+    from mapreduceindex_demo_spark.plans.llm import _AHASH_RADIUS
+
+    docs = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    ).to_pylist()
+    src = {r["doc_id"]: r["source"] for r in docs}
+    groups: dict[str, list[int]] = {}
+    for r in docs:
+        groups.setdefault(_py_ahash(r["text"].encode("utf-8")), []).append(
+            r["doc_id"]
+        )
+    uniq = sorted(groups)
+    parent = {h: h for h in uniq}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, ha in enumerate(uniq):
+        for hb in uniq[i + 1 :]:
+            if bin(int(ha, 16) ^ int(hb, 16)).count("1") <= _AHASH_RADIUS:
+                ra, rb = find(ha), find(hb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for h in uniq:
+        comps.setdefault(find(h), []).append(h)
+    expect = []
+    for hs in comps.values():
+        cluster = min(hs)  # min-label convention, same as the operator
+        members = sorted(d for h in hs for d in groups[h])
+        if len(members) >= 2:
+            canonical = members[0]
+            expect.extend(
+                (d, src[d], cluster, canonical) for d in members[1:]
+            )
+    expect.sort(key=lambda t: (t[2], t[0]))
+
+    rows = QUERIES["multimodal_ahash_apply"].fn(spark, PARITY_SF_DIR).collect()
+    got = [(r.doc_id, r.source, r.cluster, r.canonical_doc) for r in rows]
+    assert got == expect
+    assert len(got) > 0  # the fixture really has droppable near-dups
+
+
+def test_ahash_apply_consistent_with_clusters_decision(spark):
+    """ACTION == DECISION: per cluster, the ledger drops exactly
+    n_dropped docs, never the canonical keeper, and the kept corpus
+    (documents anti-join ledger) retains exactly one member of every
+    >=2-image cluster — the contract that lets a retention pipeline
+    compose the two queries."""
+    led = QUERIES["multimodal_ahash_apply"].fn(spark, PARITY_SF_DIR).collect()
+    dec = QUERIES["multimodal_ahash_clusters"].fn(spark, PARITY_SF_DIR).collect()
+    drops: dict[str, list] = {}
+    for r in led:
+        drops.setdefault(r.cluster, []).append(r)
+    assert set(drops) == {r.cluster for r in dec}
+    for c in dec:
+        rows = drops[c.cluster]
+        assert len(rows) == c.n_dropped, c
+        assert all(r.canonical_doc == c.canonical_doc for r in rows), c
+        assert all(r.doc_id != c.canonical_doc for r in rows), c
+
+
+def test_ahash_apply_plan_shape(spark):
+    """Scale claims machine-checked: the hash kernel runs ONCE (the
+    ledger join reads the persisted hash frame — no MapInPandas outside
+    an InMemoryRelation), the corpus-sized ledger join is a broadcast
+    probe (no shuffle join), and nothing crosses."""
+    df = QUERIES["multimodal_ahash_apply"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final, final
+    assert "SortMergeJoin" not in final, final
+    assert "MapInPandas" not in final.split("InMemoryRelation")[0], final

@@ -363,43 +363,48 @@ def test_snm_all_shared_prefix_corpus_is_still_exact(spark, tmp_path):
 
 
 def test_snm_multipass_matches_python(spark):
-    """Two-pass SNM recomputed in pure Python: per nation, sort by name
-    then by REVERSED name, window w=3 each, collect matched custkey
-    pairs, union — per-pass counts, the union, and the pass-2-only gain
-    must all match, and pass 2 must find pairs pass 1 misses (the whole
+    """Three-pass SNM recomputed in pure Python: per nation, sort by
+    name, by REVERSED name, then by the independent BALANCE attribute
+    (round 12), window w=3 each, collect matched custkey pairs, union —
+    per-pass counts, the union, and the incremental per-pass gains must
+    all match, and pass 2 must find pairs pass 1 misses (the whole
     point of multi-pass)."""
     from mapreduceindex_demo_spark.plans.setsim import _SNM_DIST, _SNM_W
 
     rows = pq.read_table(
         f"{PARITY_SF_DIR}/customer.parquet",
-        columns=["c_custkey", "c_name", "c_nationkey"],
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
     ).to_pylist()
     by_nation: dict[int, list] = {}
     for r in rows:
+        # integer cents mirror the query's order-isomorphic encoding
         by_nation.setdefault(r["c_nationkey"], []).append(
-            (r["c_name"], r["c_custkey"])
+            (r["c_name"], round(r["c_acctbal"] * 100), r["c_custkey"])
         )
 
     def pass_pairs(recs, keyf):
-        recs = sorted(recs, key=lambda t: (keyf(t[0]), t[1]))
+        recs = sorted(recs, key=lambda t: (keyf(t), t[2]))
         out = set()
-        for i, (name, key) in enumerate(recs):
+        for i, (name, _, key) in enumerate(recs):
             for j in range(i + 1, min(i + _SNM_W + 1, len(recs))):
-                nname, nkey = recs[j]
+                nname, _, nkey = recs[j]
                 if _py_levenshtein(name, nname) <= _SNM_DIST:
                     out.add((min(key, nkey), max(key, nkey)))
         return out
 
     expect = {}
     for nk, recs in by_nation.items():
-        p1 = pass_pairs(recs, lambda s: s)
-        p2 = pass_pairs(recs, lambda s: s[::-1])
+        p1 = pass_pairs(recs, lambda t: t[0])
+        p2 = pass_pairs(recs, lambda t: t[0][::-1])
+        p3 = pass_pairs(recs, lambda t: t[1])
         expect[nk] = (
             len(recs),
             len(p1),
             len(p2),
-            len(p1 | p2),
+            len(p3),
+            len(p1 | p2 | p3),
             len(p1 | p2) - len(p1),
+            len(p1 | p2 | p3) - len(p1 | p2),
         )
 
     got = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR).collect()
@@ -409,23 +414,27 @@ def test_snm_multipass_matches_python(spark):
             r.n_records,
             r.n_matches_pass1,
             r.n_matches_pass2,
+            r.n_matches_pass3,
             r.n_matches_union,
             r.n_pass2_only,
+            r.n_pass3_only,
         ) == expect[r.nationkey], r
     # the second pass must buy real recall at test scale
     assert sum(r.n_pass2_only for r in got) > 0
-    # and the union can never lose pairs vs either single pass
+    # and the union can never lose pairs vs any single pass
     for r in got:
-        assert r.n_matches_union >= max(r.n_matches_pass1, r.n_matches_pass2)
+        assert r.n_matches_union >= max(
+            r.n_matches_pass1, r.n_matches_pass2, r.n_matches_pass3
+        )
 
 
 def test_snm_multipass_plan_shape(spark):
-    """Machine-checked scale claims for the multipass: the only exchange
-    beyond the two pass subtrees carries MATCHED pairs (the
-    (nation, ka, kb) distinct), nothing shuffle-joins or crosses, and
-    the second pass really sorts under reverse(name) — i.e. Spark's
-    canonicalized-plan cache did NOT silently unify the two passes (each
-    pass frame is its own InMemoryRelation)."""
+    """Machine-checked scale claims for the multipass: the only exchanges
+    beyond the three pass subtrees carry MATCHED pairs (the
+    (nation, ka, kb) distincts), nothing shuffle-joins or crosses, and
+    the later passes really sort under reverse(name) / the address —
+    i.e. Spark's canonicalized-plan cache did NOT silently unify the
+    passes (each pass frame is its own InMemoryRelation)."""
     df = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -436,6 +445,7 @@ def test_snm_multipass_plan_shape(spark):
         r"hashpartitioning\(c_nationkey#\d+, ka#\d+L, kb#\d+L", plan
     ), "matched-pair distinct exchange missing"
     assert "reverse(" in plan, "pass-2 sort key missing from the plan"
+    assert "c_acctbal" in plan, "pass-3 sort key missing from the plan"
 
 
 def test_snm_multipass_lossless_at_tiny_chunks(spark, monkeypatch):
