@@ -63,7 +63,15 @@ def main() -> None:
         return
     spark = get_spark(app_name="synth-snm-corpus")
     spark.sparkContext.setLogLevel("ERROR")
-    c = load_table(spark, SRC, "customer").select("c_custkey", "c_nationkey")
+    # c_acctbal rides along unchanged per replica (round 12: the
+    # multipass query's third pass sorts by the balance) — duplicate
+    # balances across replicas are fine, the sort ties break on
+    # c_custkey exactly as on the real table. Corpora synthesized
+    # before round 12 lack the column; delete and re-run (the script
+    # skips existing output).
+    c = load_table(spark, SRC, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
     rep = spark.range(args.copies).withColumnRenamed("id", "rep")
     key = (F.col("c_custkey") + F.col("rep") * BASE).alias("c_custkey")
     big = c.crossJoin(rep).select(
@@ -72,6 +80,7 @@ def main() -> None:
             "Customer#%09d", F.col("c_custkey") + F.col("rep") * BASE
         ).alias("c_name"),
         "c_nationkey",
+        "c_acctbal",
     )
     os.makedirs(out, exist_ok=True)
     big.write.parquet(dst)

@@ -470,3 +470,41 @@ def test_snm_multipass_lossless_at_tiny_chunks(spark, monkeypatch):
         for r in con.execute(QUERIES["er_snm_multipass"].oracle).fetchall()
     )
     assert got == exp
+
+
+def test_snm_offsets_join_falls_back_to_shuffle_without_broadcast(spark):
+    """The round-12 safety valve, machine-checked from BOTH sides: the
+    offsets join in `_snm_neighbor_pairs` is deliberately UN-hinted, so
+    (a) at normal size the planner/AQE picks a broadcast join on its own
+    (the distributed plan-shape test above asserts no SortMergeJoin),
+    and (b) with auto-broadcast disabled on BOTH thresholds (static
+    estimate AND the session's 64 MB adaptive runtime gate — the
+    stand-in for a degenerate corpus where offs outgrows them) the SAME
+    plan must degrade to a shuffle join and still return the exact
+    single-window answer. A hinted broadcast cannot do (b): Spark
+    honors the hint unconditionally and AQE never demotes it."""
+    baseline = sorted(
+        tuple(r)
+        for r in QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # drop cached plans compiled under the normal thresholds (the rank
+    # frame persists MEMORY_ONLY and would otherwise serve its original
+    # broadcast-built physical plan from the cache)
+    spark.catalog.clearCache()
+    try:
+        df = QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR)
+        got = sorted(tuple(r) for r in df.collect())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the valve exists: with broadcast off the offsets join really
+        # runs as a non-broadcast join (no forced driver-side build)
+        assert "BroadcastHashJoin" not in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.catalog.clearCache()
+    assert got == baseline
