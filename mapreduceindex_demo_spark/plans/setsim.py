@@ -486,8 +486,8 @@ def _snm_neighbor_pairs(c: DataFrame, skey) -> DataFrame:
 def _snm_pass_sql(order_by: str) -> str:
     """One naive-oracle SNM pass: the DISTINCT matched (nation, ka, kb)
     pairs under a single per-nation window ordered by ``order_by`` —
-    shared between the two passes of [q:er_snm_multipass]'s oracle so the
-    pass SQL can never diverge between them."""
+    shared by every pass of [q:er_snm_multipass]'s oracle (three as of
+    round 12) so the pass SQL can never diverge between them."""
     lead_cols = ",\n             ".join(
         f"lead(c_name, {i}) OVER w AS n{i}nm,"
         f" lead(c_custkey, {i}) OVER w AS n{i}ky"
@@ -515,7 +515,7 @@ def _snm_pass_sql(order_by: str) -> str:
 #: (cents offset to non-negative, zero-padded to 8 digits so
 #: lexicographic order == numeric order). TPC-H balances live in
 #: [-999.99, 9999.99] with exactly two decimals, so cents are exact
-#: integers in [100, 1_099_999] after the +100_000 offset — the encoding
+#: integers in [1, 1_099_999] after the +100_000 offset — the encoding
 #: is injective and order-isomorphic to the numeric column. round()
 #: BEFORE the integer cast on both engines: after round the double is an
 #: exact integer, so Spark's truncating cast and DuckDB's rounding cast

@@ -59,6 +59,19 @@ def main() -> None:
     out = args.out or f"/tmp/snm_corpus_x{args.copies}"
     dst = os.path.join(out, "customer.parquet")
     if os.path.exists(dst):
+        # a corpus synthesized before round 12 lacks c_acctbal — detect
+        # staleness from the footer instead of failing mid-benchmark
+        import pyarrow.parquet as pq
+
+        import glob as _glob
+
+        part = sorted(_glob.glob(os.path.join(dst, "*.parquet"))) or [dst]
+        names = set(pq.ParquetFile(part[0]).schema_arrow.names)
+        if "c_acctbal" not in names:
+            raise SystemExit(
+                f"stale corpus at {dst} (no c_acctbal column — synthesized "
+                "before round 12); delete it and re-run"
+            )
         print(f"exists: {dst}")
         return
     spark = get_spark(app_name="synth-snm-corpus")

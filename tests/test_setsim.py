@@ -432,9 +432,10 @@ def test_snm_multipass_plan_shape(spark):
     """Machine-checked scale claims for the multipass: the only exchanges
     beyond the three pass subtrees carry MATCHED pairs (the
     (nation, ka, kb) distincts), nothing shuffle-joins or crosses, and
-    the later passes really sort under reverse(name) / the address —
-    i.e. Spark's canonicalized-plan cache did NOT silently unify the
-    passes (each pass frame is its own InMemoryRelation)."""
+    the later passes really sort under reverse(name) / the encoded
+    account balance — i.e. Spark's canonicalized-plan cache did NOT
+    silently unify the passes (each pass frame is its own
+    InMemoryRelation)."""
     df = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -445,7 +446,10 @@ def test_snm_multipass_plan_shape(spark):
         r"hashpartitioning\(c_nationkey#\d+, ka#\d+L, kb#\d+L", plan
     ), "matched-pair distinct exchange missing"
     assert "reverse(" in plan, "pass-2 sort key missing from the plan"
-    assert "c_acctbal" in plan, "pass-3 sort key missing from the plan"
+    # the pass-3 EXPRESSION, not the bare column name (c_acctbal appears
+    # in the scan regardless): the lpad of the cents encoding proves the
+    # third pass really sorts under the encoded balance
+    assert "lpad(" in plan, "pass-3 sort-key encoding missing from the plan"
 
 
 def test_snm_multipass_lossless_at_tiny_chunks(spark, monkeypatch):
