@@ -11,6 +11,8 @@ from fractions import Fraction
 
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.setsim import TAU_NUM, TAU_DEN
@@ -512,3 +514,63 @@ def test_snm_offsets_join_falls_back_to_shuffle_without_broadcast(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         spark.catalog.clearCache()
     assert got == baseline
+
+
+def _py_acct_key(bal: float) -> str:
+    """Pure-Python mirror of _snm_acct_skey / _SNM_ACCT_SKEY_SQL."""
+    return str(int(round(bal * 100)) + 100000).rjust(8, "0")
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-99999, max_value=999999).map(
+            lambda c: c / 100.0
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_acct_key_encoding_is_order_isomorphic(balances):
+    """The pass-3 sort key's load-bearing property, fuzzed over the full
+    TPC-H balance domain [-999.99, 9999.99] at 2 decimals: the lpad-cents
+    encoding is injective and ORDER-ISOMORPHIC to the numeric balance
+    (lexicographic string order == numeric order), so sorting by the
+    encoding is exactly sorting by the balance."""
+    enc = [_py_acct_key(b) for b in balances]
+    assert all(len(e) == 8 and e.isdigit() for e in enc)
+    pairs = sorted(zip(balances, enc))
+    for (b1, e1), (b2, e2) in zip(pairs, pairs[1:]):
+        if b1 == b2:
+            assert e1 == e2
+        else:
+            assert e1 < e2, (b1, e1, b2, e2)
+
+
+def test_acct_key_spark_duckdb_python_spellings_agree(spark):
+    """The three spellings of the cents encoding (Spark Column, DuckDB
+    SQL, the Python mirror above) must produce byte-identical keys on
+    domain edges and representative values — a divergence would silently
+    re-order pass 3 between the query and its oracle."""
+    import duckdb
+
+    from mapreduceindex_demo_spark.plans.setsim import (
+        _SNM_ACCT_SKEY_SQL,
+        _snm_acct_skey,
+    )
+
+    vals = [-999.99, -994.28, -0.01, 0.0, 0.01, 121.65, 9997.41, 9999.99]
+    sdf = spark.createDataFrame(
+        [(v,) for v in vals], "c_acctbal DOUBLE"
+    ).select(_snm_acct_skey().alias("k"))
+    got_spark = [r.k for r in sdf.collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {_SNM_ACCT_SKEY_SQL} FROM (SELECT ? AS c_acctbal)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    expect = [_py_acct_key(v) for v in vals]
+    assert got_spark == expect
+    assert got_duck == expect
