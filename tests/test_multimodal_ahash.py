@@ -345,3 +345,30 @@ def test_ahash_apply_plan_shape(spark):
     assert "CartesianProduct" not in final, final
     assert "SortMergeJoin" not in final, final
     assert "MapInPandas" not in final.split("InMemoryRelation")[0], final
+
+
+def test_ahash_apply_correct_without_broadcast(spark):
+    """The ledger's broadcast-probe posture is a PLANNER choice, not a
+    hint (the same rule the round-12 SNM fix enforces): with both
+    broadcast thresholds disabled — the stand-in for a decision frame
+    that outgrew them — the same plan must degrade to shuffle joins and
+    emit the identical ledger."""
+    baseline = sorted(
+        tuple(r)
+        for r in QUERIES["multimodal_ahash_apply"].fn(spark, PARITY_SF_DIR).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try:
+        got = sorted(
+            tuple(r)
+            for r in QUERIES["multimodal_ahash_apply"].fn(spark, PARITY_SF_DIR).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.catalog.clearCache()
+    assert got == baseline
