@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import duckdb
 import pytest
@@ -36,3 +37,27 @@ def duck():
         )
     yield con
     con.close()
+
+
+@contextmanager
+def no_broadcast(spark):
+    """Disable BOTH broadcast thresholds (the static file-size estimate
+    AND the session's 64 MB adaptive runtime gate — session.py sets them
+    separately) and drop cached plans compiled under them, so a fallback
+    test really re-plans without broadcast — the degenerate-corpus
+    stand-in. Restores both and clears the cache again on exit. Shared
+    by the SNM-offsets and ahash-apply valve tests; any join whose
+    broadcast is a PLANNER choice (never an F.broadcast hint, the
+    round-12 rule) must survive this context with identical results and
+    no BroadcastHashJoin in its final plan."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.catalog.clearCache()

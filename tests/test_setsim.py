@@ -489,19 +489,13 @@ def test_snm_offsets_join_falls_back_to_shuffle_without_broadcast(spark):
     plan must degrade to a shuffle join and still return the exact
     single-window answer. A hinted broadcast cannot do (b): Spark
     honors the hint unconditionally and AQE never demotes it."""
+    from tests.conftest import no_broadcast
+
     baseline = sorted(
         tuple(r)
         for r in QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR).collect()
     )
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    # drop cached plans compiled under the normal thresholds (the rank
-    # frame persists MEMORY_ONLY and would otherwise serve its original
-    # broadcast-built physical plan from the cache)
-    spark.catalog.clearCache()
-    try:
+    with no_broadcast(spark):
         df = QUERIES["er_sorted_neighborhood"].fn(spark, PARITY_SF_DIR)
         got = sorted(tuple(r) for r in df.collect())
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -509,16 +503,22 @@ def test_snm_offsets_join_falls_back_to_shuffle_without_broadcast(spark):
         # the valve exists: with broadcast off the offsets join really
         # runs as a non-broadcast join (no forced driver-side build)
         assert "BroadcastHashJoin" not in final, final
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
-        spark.catalog.clearCache()
     assert got == baseline
 
 
 def _py_acct_key(bal: float) -> str:
-    """Pure-Python mirror of _snm_acct_skey / _SNM_ACCT_SKEY_SQL."""
-    return str(int(round(bal * 100)) + 100000).rjust(8, "0")
+    """Pure-Python mirror of _snm_acct_skey / _SNM_ACCT_SKEY_SQL.
+    HALF_UP (away-from-zero at exact halves) via Decimal, NOT Python's
+    built-in round (banker's/half-even) — Spark's F.round and DuckDB's
+    round() both round halves away from zero, and the mirror must match
+    the engines on a hypothetical exact-half-cent double even though the
+    2-decimal TPC-H domain never produces one."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cents = int(
+        Decimal(bal * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+    return str(cents + 100000).rjust(8, "0")
 
 
 @given(
