@@ -45,34 +45,44 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r12 rotation (round 11 had zero builder turns — this executes
-    # the carried r11 plan): clear the r6 single-green tail (4) and ALL
-    # 23 r7 singles, plus one r8 single in the remaining slot; the other
-    # 18 r8 singles (curation_pareto_frontier, events_changepoint_scan,
-    # events_gap_fill_hourly, events_scd2_temporal_join,
-    # feature_target_encoding, graph_pagerank_topk, graph_triangle_count,
-    # purchase_linear_attribution, quality_benford_audit,
-    # quality_constraint_audit, quality_psi_drift, similarity_hamming_ann,
-    # similarity_ivf_pq_ann, similarity_pq_adc_ann,
-    # similarity_projection_recall, text_chisq_feature_select,
-    # text_pmi_collocations, text_shingle_novelty) are the r13 waiting
-    # list. Family constraints (tests/test_coverage_integrity.py)
-    # honored below; choice-family guards pick the member with the
-    # OLDEST last green.
+    # --- r13 rotation (the r12 verdict's item 1: this window completes
+    # the external-verification program — after it, every one of the 193
+    # registered queries has >=2 committed external green rows): the 18
+    # r8-era singles (the waiting list named here since r12) plus the
+    # r12-new multimodal_ahash_apply all collect second greens, the two
+    # queries whose code changed this round re-verify, and the 11 spare
+    # slots go to the OLDEST-last-green queries (r3/r4/r5) for third
+    # confirmations. Family constraints
+    # (tests/test_coverage_integrity.py) honored below; choice-family
+    # guards pick the member with the OLDEST last green.
     # ---
-    # NEW this round (zero external rows) — in-window by the machine-
-    # enforced rule: the image-dedup ACTION (doc-level drop ledger from
-    # the clusters decision — r10/r11 verdict item)
-    "multimodal_ahash_apply",
-    # --- changed this round ---
-    # SNM rank scheme: the offsets join is now UN-hinted (the r11 ADVICE
-    # scale-safety fix) and the multipass gained an independent
-    # account-balance third pass — both SNM queries re-verify
+    # --- changed this round (machine-enforced to stay in-window) ---
+    # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
+    # (r12 ADVICE guard)
     "er_snm_multipass",
-    "er_sorted_neighborhood",
-    # clusters refactored onto the shared _ahash_hash_labels helper
-    # feeding the new APPLY query
-    "multimodal_ahash_clusters",
+    # brute-force baseline gained the deterministic md5-keyed sample cap
+    # (r12 verdict stretch item); also serves as the dedup family rep
+    "dedup_embedding_neardup_top20",
+    # --- the 18 r8-era singles + the r12 single (second greens) ---
+    "curation_pareto_frontier",
+    "events_changepoint_scan",
+    "events_gap_fill_hourly",
+    "events_scd2_temporal_join",
+    "feature_target_encoding",
+    "graph_pagerank_topk",
+    "graph_triangle_count",
+    "purchase_linear_attribution",
+    "quality_benford_audit",
+    "quality_constraint_audit",
+    "quality_psi_drift",
+    "similarity_hamming_ann",
+    "similarity_ivf_pq_ann",
+    "similarity_pq_adc_ann",
+    "similarity_projection_recall",
+    "text_chisq_feature_select",
+    "text_pmi_collocations",
+    "text_shingle_novelty",
+    "multimodal_ahash_apply",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -82,53 +92,34 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
-    # --- choice family guards, oldest last-green member preferred (all
-    # five r11-window members were re-greened r10+r11; these five are
-    # r9-last-green) ---
-    "streaming_session_windows",   # last green r9 (tumbling: r11)
-    "balanced_source_sample",      # last green r9 (curated: r11)
-    "user_sessionization",         # last green r9 (running_spend: r11)
-    "suppliers_above_nation_avg",  # last green r9 (skew_salted: r11)
-    "nation_market_share_yearly",  # last green r9 (blocking: r11)
+    # --- choice family guards, oldest last-green member preferred (the
+    # five r12-window members all re-greened r12; these five are
+    # r11-last-green) ---
+    "streaming_tumbling_counts",   # last green r11 (session: r12)
+    "curated_training_set",        # last green r11 (balanced: r12)
+    "customer_running_spend",      # last green r11 (sessionization: r12)
+    "skew_salted_join_volume",     # last green r11 (suppliers_above: r12)
+    "blocking_suppliers",          # last green r11 (nation_market: r12)
     # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
-    # members (r5/r7/r8) get fresh confirmations ---
-    "mapindex_function_build",
-    "mapindex_scan_range",
-    "mapindex_durable_cdc",
-    "mapindex_bins",
-    "mapindex_reduce_view",
-    # --- the 4 r6-era singles (the carry-over named since r10) ---
-    "sketch_cms_heavy_hitters",
-    "streaming_drift_daily",
-    "training_mix_apply",
-    "zorder_box_aggregate",
-    # --- all 23 r7-era singles ---
-    "cdc_snapshot_diff",
-    "curation_token_budget",
-    "curation_weighted_sample",
-    "dedup_apply_keep_best",
-    "dedup_boilerplate_prefix",
-    "dedup_cdc_segments",
-    "dedup_containment_top20",
-    "dedup_eval_overlap_rate",
-    "dedup_lsh_recall_contract",
-    "embedding_source_centroids",
-    "events_anomaly_daily",
-    "events_transition_matrix",
-    "multimodal_resize_downsample",
-    "quality_percentile_gate",
-    "search_snippet_highlight",
-    "similarity_ivf_health",
-    "similarity_mmr_rerank",
-    "similarity_truncation_contract",
-    "split_leakproof_assignment",
-    "text_bigram_logprob",
-    "text_c4_style_gate",
-    "text_char_entropy_gate",
-    "text_vocab_coverage",
-    # --- 1 r8-era single in the remaining slot (kin to this round's new
-    # multimodal work) ---
-    "multimodal_ahash_dedup",
+    # members (r8/r9) get fresh confirmations ---
+    "mapindex_reduce_view_durable",
+    "mapindex_sketch_view",
+    "mapindex_reduce_view_minmax",
+    "mapindex_scan_intersect",
+    "mapindex_scan_union",
+    # --- 11 spare slots: oldest last-green registry-wide (r3/r4/r5),
+    # third confirmations ---
+    "text_langid_heuristic",
+    "text_quality_score",
+    "events_daily_rollup",
+    "local_supplier_volume",
+    "pricing_summary",
+    "shipping_priority",
+    "text_token_stats",
+    "bracketed_discounted_revenue",
+    "churned_customer_segments",
+    "customer_order_count_distribution",
+    "dedup_apply_neardup_free",
 ]
 
 

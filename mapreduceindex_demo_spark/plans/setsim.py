@@ -519,22 +519,31 @@ def _snm_pass_sql(order_by: str) -> str:
 #: is injective and order-isomorphic to the numeric column. round()
 #: BEFORE the integer cast on both engines: after round the double is an
 #: exact integer, so Spark's truncating cast and DuckDB's rounding cast
-#: agree. Spark and DuckDB spellings defined side by side so the sort
-#: orders can never diverge. (A function, not a module constant: pyspark
-#: Column construction needs an active SparkContext.)
+#: agree. A NULL balance is coalesced to the sentinel '00000000' (offset
+#: 0, strictly below the valid minimum 1) — without it the key would be
+#: NULL and the pass-3 window order would silently diverge between
+#: engines (Spark sorts NULLS FIRST, DuckDB NULLS LAST); TPC-H balances
+#: are non-null, so the sentinel is a guard for future corpora, not a
+#: live path. Spark and DuckDB spellings defined side by side so the
+#: sort orders can never diverge. (A function, not a module constant:
+#: pyspark Column construction needs an active SparkContext.)
 def _snm_acct_skey():
-    return F.lpad(
-        (
-            F.round(F.col("c_acctbal") * 100, 0).cast("long") + F.lit(100000)
-        ).cast("string"),
-        8,
-        "0",
+    return F.coalesce(
+        F.lpad(
+            (
+                F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                + F.lit(100000)
+            ).cast("string"),
+            8,
+            "0",
+        ),
+        F.lit("00000000"),
     )
 
 
 _SNM_ACCT_SKEY_SQL = (
-    "lpad(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000"
-    " AS VARCHAR), 8, '0')"
+    "coalesce(lpad(CAST(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000"
+    " AS VARCHAR), 8, '0'), '00000000')"
 )
 
 _SNM_MP_ORACLE = f"""
@@ -576,7 +585,7 @@ _SNM_MP_ORACLE = f"""
 
 @query(
     "er_snm_multipass",
-    # naive two-single-window oracle — the same lossless-rewrite contract
+    # naive three-single-window oracle — the same lossless-rewrite contract
     # as the single-pass query: each distributed pass must reproduce its
     # naive window EXACTLY, so the union does too
     oracle=_SNM_MP_ORACLE,

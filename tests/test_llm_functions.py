@@ -352,3 +352,34 @@ def test_split_assignment_is_leakproof_by_construction(spark):
         .collect()[0]
     )
     assert per_fp.m == 1
+
+
+def test_neardup_brute_cap_sample_order_agrees_across_engines(spark):
+    """The r13 sample cap on dedup_embedding_neardup_top20 selects the
+    first _NEARDUP_BRUTE_CAP vectors under ORDER BY md5(id-as-string):
+    both engines must rank ids IDENTICALLY or they would cap DIFFERENT
+    subsets once a corpus exceeds the cap — a divergence the sf0.01
+    parity gate cannot see (the cap is a no-op there). Pin the full
+    ranking on a synthetic id set from both engines."""
+    import duckdb
+
+    ids = list(range(0, 400, 7)) + [999_999_937, 2**40 + 3]
+    sdf = (
+        spark.createDataFrame([(i,) for i in ids], "vec_id LONG")
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .select("vec_id")
+    )
+    got_spark = [r.vec_id for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(vec_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT vec_id FROM t ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
+    # and the order is the md5 order, not the id order (the sample is
+    # genuinely pseudo-random)
+    assert got_spark != sorted(got_spark)

@@ -512,9 +512,13 @@ def _py_acct_key(bal: float) -> str:
     built-in round (banker's/half-even) — Spark's F.round and DuckDB's
     round() both round halves away from zero, and the mirror must match
     the engines on a hypothetical exact-half-cent double even though the
-    2-decimal TPC-H domain never produces one."""
+    2-decimal TPC-H domain never produces one. A None balance maps to
+    the '00000000' sentinel (below every real key) — the r12 ADVICE
+    guard so a null-bearing corpus can't diverge on NULLS FIRST/LAST."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    if bal is None:
+        return "00000000"
     cents = int(
         Decimal(bal * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
     )
@@ -559,7 +563,9 @@ def test_acct_key_spark_duckdb_python_spellings_agree(spark):
         _snm_acct_skey,
     )
 
-    vals = [-999.99, -994.28, -0.01, 0.0, 0.01, 121.65, 9997.41, 9999.99]
+    vals = [
+        None, -999.99, -994.28, -0.01, 0.0, 0.01, 121.65, 9997.41, 9999.99,
+    ]
     sdf = spark.createDataFrame(
         [(v,) for v in vals], "c_acctbal DOUBLE"
     ).select(_snm_acct_skey().alias("k"))
