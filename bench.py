@@ -34,8 +34,10 @@ _RETRY_COOLDOWN_SEC = 30
 #: r7-r9 classes the round-over-round tracking was blind to — r9 verdict
 #: "What's missing #4") to the bench flags; those join `queries`/
 #: `forced_queries` and the GRAND totals (`value`/`forced_total`), which
-#: therefore step up at r10 — compare grand totals within r10+, legacy
-#: totals across all rounds.
+#: therefore step up at r10. Round 13 adds the two SNM queries and the
+#: ahash APPLY ledger (r12 verdict item 3) — grand totals step again.
+#: Compare grand totals within a flag era (r10-r12, r13+), legacy totals
+#: across all rounds.
 _LEGACY_15 = frozenset(
     {
         "mapreduce_wordcount",

@@ -264,6 +264,7 @@ _SNM_ORACLE = f"""
     "er_sorted_neighborhood",
     oracle=_SNM_ORACLE,
     tags=("er", "record-linkage", "sorted-neighborhood"),
+    bench=True,  # r13: joins the modern flag set (r12 verdict item 3)
 )
 def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by the sorted-neighborhood method (Hernandez &
@@ -590,6 +591,7 @@ _SNM_MP_ORACLE = f"""
     # naive window EXACTLY, so the union does too
     oracle=_SNM_MP_ORACLE,
     tags=("er", "record-linkage", "sorted-neighborhood", "multipass"),
+    bench=True,  # r13: joins the modern flag set (r12 verdict item 3)
 )
 def q_er_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-PASS sorted-neighborhood entity resolution — the recall step
