@@ -56,6 +56,12 @@ PRIORITY_50 = [
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.
     # ---
+    # --- NEW this round (zero external rows — machine-enforced
+    # in-window): DSIR importance weighting and the Gopher quality +
+    # repetition gate, the two published-method curation operators the
+    # LLM-pipeline family lacked ---
+    "curation_dsir_weights",
+    "text_gopher_gate",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -107,7 +113,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- 11 spare slots: oldest last-green registry-wide (r3/r4/r5),
+    # --- 9 spare slots: oldest last-green registry-wide (r3/r4/r5),
     # third confirmations ---
     "text_langid_heuristic",
     "text_quality_score",
@@ -117,8 +123,6 @@ PRIORITY_50 = [
     "shipping_priority",
     "text_token_stats",
     "bracketed_discounted_revenue",
-    "churned_customer_segments",
-    "customer_order_count_distribution",
     "dedup_apply_neardup_free",
 ]
 

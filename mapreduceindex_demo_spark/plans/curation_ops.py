@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduceindex_demo_spark.oracle_harness import duck_hex_int
 from mapreduceindex_demo_spark.plans.registry import query
 from mapreduceindex_demo_spark.session import load_table
 
@@ -421,4 +422,413 @@ def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("enc_rate"),
         )
         .orderBy("p_brand")
+    )
+
+
+# ==========================================================================
+# round 13: DSIR — data selection with importance resampling
+# ==========================================================================
+
+#: hashed-feature bucket count. FIXED, so the per-bucket LM tables are
+#: bounded at <= _DSIR_B rows however large the corpus grows —
+#: broadcast-able at any scale; 4096 matches the corpus (vocabulary ~50
+#: words: enough buckets that collisions are rare, small enough that
+#: add-1 smoothing isn't drowned by empty buckets).
+_DSIR_B = 4096
+#: top-k documents served
+_DSIR_TOPK = 20
+#: the per-bucket log importance ratio ln(p_target(b)/p_raw(b)) under
+#: add-1 smoothing, as a 6-dp MICRO-UNIT BIGINT: one ln-chain per
+#: bucket, spelled identically for both engines over exact BIGINT
+#: counts (ct, cs, nt, ns columns), rounded to the 1e-6 grid and THEN
+#: integer-cast (round-before-cast: after round the double is an exact
+#: integer, so Spark's truncating cast and DuckDB's rounding cast
+#: agree — the _snm_acct_skey precedent). Per-document weights are then
+#: SUMS OF INTEGERS — exactly order-independent, so cross-engine hash
+#: parity never depends on float summation order (the
+#: [q:text_char_entropy_gate] micro-unit pattern; the ln-on-exact-counts
+#: parity precedent is [q:text_pmi_collocations]).
+_DSIR_LR_MICRO = (
+    "CAST(round((ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(cs + 1 AS DOUBLE))"
+    f" + ln(CAST(ns + {_DSIR_B} AS DOUBLE))"
+    f" - ln(CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+)
+
+_DSIR_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    dbc AS (SELECT doc_id, lang,
+                   ({duck_hex_int("md5(w)")}) % {_DSIR_B} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2, 3),
+    cs AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cs FROM dbc GROUP BY 1),
+    ct AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct FROM dbc
+           WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM cs) AS ns,
+                   (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM ct)
+                     AS nt),
+    lr AS (SELECT cs.b, {_DSIR_LR_MICRO} AS lr
+           FROM (SELECT cs.b, cs.cs,
+                        CAST(COALESCE(ct.ct, 0) AS BIGINT) AS ct
+                 FROM cs LEFT JOIN ct ON ct.b = cs.b) cs
+           CROSS JOIN tot),
+    w AS (SELECT doc_id,
+                 CAST(SUM(cnt * lr.lr) AS BIGINT) AS weight_micro,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens
+          FROM dbc JOIN lr ON lr.b = dbc.b GROUP BY 1)
+    SELECT d.doc_id, d.source, d.lang, w.n_tokens, w.weight_micro,
+           round(CAST(w.weight_micro AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS logweight
+    FROM w JOIN documents d ON d.doc_id = w.doc_id
+    ORDER BY w.weight_micro DESC, d.doc_id
+    LIMIT {_DSIR_TOPK}
+    """
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("llm", "curation", "dsir", "importance-sampling"),
+)
+def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): rank raw
+    pretraining documents by how much they resemble a TARGET
+    distribution, using hashed-feature bag-of-words language models —
+    the published scalable alternative to training a quality classifier.
+    Target here: the lang='en' slice of the corpus; raw: the whole
+    corpus. Features are words hashed into a FIXED universe of
+    ``_DSIR_B`` buckets (md5-derived, both engines spell the same
+    bucket id); each corpus fits an add-1-smoothed unigram LM over
+    buckets, and a document's log importance weight is
+
+        sum_b cnt_b(doc) * ln( p_target(b) / p_raw(b) )
+
+    Served: the top-20 documents by weight — the head of DSIR's
+    resampling order (the deterministic core of the method; the paper
+    adds Gumbel noise for sampled selection, a seeded variant of
+    [q:curation_weighted_sample]'s A-Res machinery if wanted).
+
+    Determinism/parity: the per-bucket log-ratio is computed ONCE per
+    bucket as a micro-unit BIGINT (see ``_DSIR_LR_MICRO``), so per-doc
+    weights are exact integer sums — order-independent, hash-stable —
+    and the only doubles served are one final division and its 6-dp
+    round.
+
+    Scale shape: ONE corpus-sized exchange — the (doc, bucket) count
+    table — feeds both LM count tables AND the per-doc scoring join
+    (the r10 one-exchange lesson; persisted MEMORY_ONLY, it is
+    |docs|x|distinct buckets per doc|, far smaller than the token
+    stream). The LM tables are <= _DSIR_B rows by construction, the
+    log-ratio table broadcasts at any corpus size, corpus totals ride a
+    1-row broadcast, and the top-k is a TakeOrdered — no global sort.
+    Reference anchor: the reference engine's map/reduce view pipeline
+    (indexjs.go:73-191) has no curation surface; this extends the
+    LLM-pipeline operator family the engine adds beyond reference
+    parity."""
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % _DSIR_B
+    ).alias("b")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    dbc = (
+        tok.select("doc_id", "lang", b)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    cs = dbc.groupBy("b").agg(F.sum("cnt").cast("long").alias("cs"))
+    ct = (
+        dbc.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("ct"))
+    )
+    tot = cs.agg(F.sum("cs").cast("long").alias("ns")).crossJoin(
+        F.broadcast(
+            ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+        )
+    )
+    lr = (
+        cs.join(ct, "b", "left")
+        .select("b", "cs", F.coalesce("ct", F.lit(0)).cast("long").alias("ct"))
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.expr(_DSIR_LR_MICRO).alias("lr"))
+    )
+    w = (
+        dbc.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("weight_micro"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        w.join(d.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "weight_micro",
+            (
+                F.round(F.col("weight_micro").cast("double") / 1000000.0, 6)
+                + F.lit(0.0)
+            ).alias("logweight"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+
+
+# ==========================================================================
+# round 13: Gopher-style quality + repetition gate
+# ==========================================================================
+
+#: Gopher rule constants (Rae et al. 2021, Table A1 / §A1.1), with the
+#: corpus-calibrated adaptations STATED (the c4-gate precedent —
+#: thresholds sit where a rule fails a real fraction of the generated
+#: corpus, so both branches are exercised; each adaptation is named in
+#: the docstring):
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000  # published
+_GOPHER_WL_LO, _GOPHER_WL_HI = 3, 10  # published (mean word length)
+#: published list; membership requirement adapted to >=1 (published: >=2
+#: — the synthetic vocabulary carries only 'the' from the list, so the
+#: published floor would fail every document)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+#: >=80% of words must contain an alphabetic character (published)
+_GOPHER_ALPHA_NUM, _GOPHER_ALPHA_DEN = 4, 5
+#: top-2-gram fraction ceiling as an exact rational (published 0.18 of
+#: CHARACTERS; adapted to 1/8 of TOKEN instances — the corpus-calibrated
+#: p90 — because the synthetic corpus' uniform word lengths make the
+#: character and token fractions near-proportional)
+_GOPHER_TOP2_NUM, _GOPHER_TOP2_DEN = 1, 8
+#: duplicate-3-gram instance-fraction ceiling 1/50 (published thresholds
+#: are character-based per n in 5..10; one representative token-based
+#: rule at the corpus-calibrated p95 stands in for the family)
+_GOPHER_DUP3_NUM, _GOPHER_DUP3_DEN = 1, 50
+
+_GOPHER_ORACLE = f"""
+    WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS g
+           FROM d),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mc FROM bgc
+             GROUP BY 1),
+    tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+           FROM d),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+    dup3 AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                      AS dupi,
+                    CAST(SUM(c) AS BIGINT) AS toti
+             FROM tgc GROUP BY 1),
+    r AS (SELECT d.source,
+            (n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS})
+              AS ok_nwords,
+            (length(text) - n + 1 >= {_GOPHER_WL_LO} * n
+             AND length(text) - n + 1 <= {_GOPHER_WL_HI} * n)
+              AS ok_wordlen,
+            (len(list_filter(list_distinct(w), t -> t IN
+               ('the','be','to','of','and','that','have','with'))) >= 1)
+              AS ok_stop,
+            (CAST(len(list_filter(w,
+                t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
+               * {_GOPHER_ALPHA_DEN} >= {_GOPHER_ALPHA_NUM} * n)
+              AS ok_alpha,
+            (COALESCE(top2.mc, 0) * 2 * {_GOPHER_TOP2_DEN}
+               <= {_GOPHER_TOP2_NUM} * n) AS ok_top2gram,
+            (COALESCE(dup3.dupi, 0) * {_GOPHER_DUP3_DEN}
+               <= {_GOPHER_DUP3_NUM} * COALESCE(dup3.toti, 1))
+              AS ok_dup3gram
+          FROM d
+          LEFT JOIN top2 ON top2.doc_id = d.doc_id
+          LEFT JOIN dup3 ON dup3.doc_id = d.doc_id)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS docs,
+      CAST(SUM(CASE WHEN ok_nwords AND ok_wordlen AND ok_stop AND ok_alpha
+                     AND ok_top2gram AND ok_dup3gram
+               THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      CAST(SUM(CASE WHEN NOT ok_nwords THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_nwords,
+      CAST(SUM(CASE WHEN NOT ok_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_wordlen,
+      CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_stop,
+      CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_alpha,
+      CAST(SUM(CASE WHEN NOT ok_top2gram THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_top2gram,
+      CAST(SUM(CASE WHEN NOT ok_dup3gram THEN 1 ELSE 0 END) AS BIGINT)
+        AS fail_dup3gram
+    FROM r
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "text_gopher_gate",
+    oracle=_GOPHER_ORACLE,
+    tags=("llm", "text", "curation", "quality", "gopher"),
+)
+def q_text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality + repetition gate (Rae et al. 2021, §A1.1
+    and Table A1 — the rule family MassiveText/RedPajama/Dolma-class
+    pipelines run alongside C4's): six named boolean rules per document,
+    per-source violation counts and the kept total. Complements
+    [q:text_c4_style_gate] (C4's rules are length/diversity heuristics;
+    Gopher adds the WITHIN-document repetition family that catches
+    degenerate boilerplate cross-doc dedup never sees) and
+    [q:dedup_boilerplate_prefix] (cross-doc templates).
+
+    Rules (published values unless stated): word count in [50, 100k];
+    mean word length in [3, 10]; >=1 of Gopher's 8 stopwords (published
+    floor is 2 — adapted, the synthetic vocabulary carries only 'the'
+    from the list); >=80% of words contain an alphabetic character;
+    top-bigram token fraction <= 1/8 (published: 0.18 of characters —
+    token-instance adaptation at the corpus p90); duplicate-trigram
+    instance fraction <= 1/50 (representative of the published
+    duplicate-n-gram character family, corpus p95). Every threshold is
+    applied as an EXACT integer cross-multiplication — no float
+    comparison can flake a borderline document differently across
+    engines; rules that the synthetic corpus cannot fail (word length,
+    alphabetic ratio) still compute genuinely and are reported.
+
+    Scale shape: ZERO shuffles before the O(|sources|) rollup — the
+    repetition statistics never leave the scan. A per-doc gram count
+    table is a GROUP BY over the exploded gram stream (~2n string rows
+    per doc through an exchange — measured 2.4 s at ~sf1, the shuffle
+    serialization dominating); but "count of the most repeated bigram"
+    and "instances in duplicated trigrams" are RUN-LENGTH statistics of
+    the SORTED per-doc gram array, and the array lives in one row — so
+    sort_array + one aggregate() fold per gram family computes both
+    inside whole-stage codegen (measured 1.11 s at ~sf1 vs the exchange
+    spelling's 2.39 s, see BASELINE.md r13). At 100 TB this is a pure
+    scan: per-row work is O(g log g) on
+    ~doc-length arrays, no exchange, no join, nothing keyed on doc_id
+    at all. Zero Python UDFs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+
+    # run-length folds over the sorted gram array (scan-local, no
+    # shuffle): the accumulator walks runs of equal grams carrying
+    # (prev, current run length, best run length, singleton-run count);
+    # x <=> acc.prev is null-safe so the NULL start sentinel and
+    # empty-string grams both behave. `finish` closes the last run.
+    def _sorted_grams(k: int) -> str:
+        parts = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(k))
+        return (
+            f"sort_array(CASE WHEN size(w) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> concat({parts})) END)"
+        )
+
+    _ACC0 = (
+        "named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, "
+        "'best', 0L, 'ones', 0L)"
+    )
+    _MERGE = (
+        "(acc, x) -> IF(x <=> acc.prev, "
+        "named_struct('prev', x, 'cur', acc.cur + 1L, "
+        "'best', greatest(acc.best, acc.cur + 1L), 'ones', acc.ones), "
+        "named_struct('prev', x, 'cur', 1L, "
+        "'best', greatest(acc.best, 1L), "
+        "'ones', acc.ones + IF(acc.cur = 1L, 1L, 0L)))"
+    )
+    # most-repeated-bigram count: the longest run
+    mc = F.expr(
+        f"aggregate({_sorted_grams(2)}, {_ACC0}, {_MERGE}, acc -> acc.best)"
+    )
+    # duplicated-trigram instances: total minus singleton-run count;
+    # the total is pure arithmetic (|trigrams| = max(n-2, 0)), so the
+    # sorted array is built exactly once per family
+    dupi = F.expr(
+        f"greatest(size(w) - 2, 0) - aggregate({_sorted_grams(3)}, "
+        f"{_ACC0}, {_MERGE}, acc -> acc.ones + IF(acc.cur = 1L, 1L, 0L))"
+    )
+    toti = F.greatest(F.col("n") - 2, F.lit(0))
+
+    stop_arr = ",".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    r = (
+        d.withColumn("mc", mc.cast("long"))
+        .withColumn("dupi", dupi.cast("long"))
+        .withColumn("toti", toti.cast("long"))
+        .select(
+            "source",
+            (
+                (F.col("n") >= _GOPHER_MIN_WORDS)
+                & (F.col("n") <= _GOPHER_MAX_WORDS)
+            ).alias("ok_nwords"),
+            (
+                (F.length("text") - F.col("n") + 1 >= _GOPHER_WL_LO * F.col("n"))
+                & (F.length("text") - F.col("n") + 1 <= _GOPHER_WL_HI * F.col("n"))
+            ).alias("ok_wordlen"),
+            (
+                F.size(
+                    F.expr(
+                        f"filter(array_distinct(w), t -> t IN ({stop_arr}))"
+                    )
+                )
+                >= 1
+            ).alias("ok_stop"),
+            (
+                F.size(F.expr("filter(w, t -> t rlike '[a-zA-Z]')"))
+                .cast("long")
+                * _GOPHER_ALPHA_DEN
+                >= _GOPHER_ALPHA_NUM * F.col("n")
+            ).alias("ok_alpha"),
+            (
+                F.coalesce("mc", F.lit(0)) * 2 * _GOPHER_TOP2_DEN
+                <= _GOPHER_TOP2_NUM * F.col("n")
+            ).alias("ok_top2gram"),
+            (
+                F.coalesce("dupi", F.lit(0)) * _GOPHER_DUP3_DEN
+                <= _GOPHER_DUP3_NUM * F.coalesce("toti", F.lit(1))
+            ).alias("ok_dup3gram"),
+        )
+    )
+    kept = (
+        F.col("ok_nwords")
+        & F.col("ok_wordlen")
+        & F.col("ok_stop")
+        & F.col("ok_alpha")
+        & F.col("ok_top2gram")
+        & F.col("ok_dup3gram")
+    )
+
+    def _fails(c: str):
+        return (
+            F.sum(F.when(~F.col(c), 1).otherwise(0))
+            .cast("long")
+            .alias(c.replace("ok_", "fail_"))
+        )
+
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept"),
+            _fails("ok_nwords"),
+            _fails("ok_wordlen"),
+            _fails("ok_stop"),
+            _fails("ok_alpha"),
+            _fails("ok_top2gram"),
+            _fails("ok_dup3gram"),
+        )
+        .orderBy("source")
     )

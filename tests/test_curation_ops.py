@@ -132,3 +132,181 @@ def test_scan_union_matches_direct_predicate_and_dedupes(spark):
     a = d.where(F.col("source") == "src3").count()
     b = d.where(F.size(F.split(F.col("text"), " ")).between(80, 99)).count()
     assert len(got) < a + b
+
+
+def _py_dsir_expected(rows, B, topk):
+    """Pure-Python DSIR mirror: hashed-bucket unigram LMs (target =
+    lang='en', raw = all), per-bucket micro-unit integer log-ratio, doc
+    weights as exact integer sums — the same grid the query computes on,
+    so the comparison is exact, not approximate."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+    cs: Counter = Counter()
+    ct: Counter = Counter()
+    per_doc: dict[int, Counter] = {}
+    meta: dict[int, tuple] = {}
+    for doc_id, text, lang, source in rows:
+        c = Counter(bucket(w) for w in text.split(" "))
+        per_doc[doc_id] = c
+        meta[doc_id] = (source, lang)
+        cs.update(c)
+        if lang == "en":
+            ct.update(c)
+    ns, nt = sum(cs.values()), sum(ct.values())
+    lr = {}
+    for b in cs:
+        x = (
+            math.log(ct.get(b, 0) + 1)
+            - math.log(cs[b] + 1)
+            + math.log(ns + B)
+            - math.log(nt + B)
+        )
+        # HALF_UP mirror of round(x*1e6, 0) (engines round halves away
+        # from zero; Python round() is half-even)
+        lr[b] = int(
+            Decimal(x * 1_000_000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+    scored = []
+    for doc_id, c in per_doc.items():
+        w_micro = sum(cnt * lr[b] for b, cnt in c.items())
+        scored.append(
+            (doc_id, meta[doc_id][0], meta[doc_id][1], sum(c.values()), w_micro)
+        )
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    return scored[:topk]
+
+
+def test_dsir_weights_match_pure_python_lm(spark):
+    """The DSIR query's entire numeric chain — md5 bucketing, add-1
+    smoothed LMs, micro-unit log-ratios, integer doc weights, the top-k
+    order — re-derived independently in pure Python and compared
+    EXACTLY (everything lives on the integer micro-grid)."""
+    from mapreduceindex_demo_spark.plans.curation_ops import (
+        _DSIR_B,
+        _DSIR_TOPK,
+    )
+
+    src = load_table(spark, PARITY_SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    rows = [(r.doc_id, r.text, r.lang, r.source) for r in src.collect()]
+    expect = _py_dsir_expected(rows, _DSIR_B, _DSIR_TOPK)
+    got = [
+        (r.doc_id, r.source, r.lang, r.n_tokens, r.weight_micro)
+        for r in QUERIES["curation_dsir_weights"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expect
+    assert got[0][4] > got[-1][4]  # weights genuinely separate
+    # the LM is informative in the cross-entropy sense: averaged over
+    # the corpus, target-language documents score a higher PER-TOKEN
+    # log importance ratio than the rest (Gibbs: E_target[ln(p_t/p_s)]
+    # exceeds the raw average; per-doc head membership is NOT asserted —
+    # the synthetic vocabulary overlaps heavily across languages, so
+    # individual word-salad docs can outrank en docs)
+    full = _py_dsir_expected(rows, _DSIR_B, topk=len(rows))
+    en = [w / max(n, 1) for _, _, lg, n, w in full if lg == "en"]
+    rest = [w / max(n, 1) for _, _, lg, n, w in full if lg != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_gopher_gate_matches_pure_python_rules(spark):
+    """Every Gopher rule re-derived per document in pure Python
+    (integer cross-multiplications, identical to the plan) and rolled
+    up per source — pins the rule semantics, not just the totals."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from mapreduceindex_demo_spark.plans.curation_ops import (
+        _GOPHER_ALPHA_DEN,
+        _GOPHER_ALPHA_NUM,
+        _GOPHER_DUP3_DEN,
+        _GOPHER_DUP3_NUM,
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_STOPWORDS,
+        _GOPHER_TOP2_DEN,
+        _GOPHER_TOP2_NUM,
+        _GOPHER_WL_HI,
+        _GOPHER_WL_LO,
+    )
+
+    src = load_table(spark, PARITY_SF_DIR, "documents").select(
+        "source", "text"
+    )
+    agg: dict[str, Counter] = defaultdict(Counter)
+    for r in src.collect():
+        w = r.text.split(" ")
+        n = len(w)
+        bg = Counter(zip(w, w[1:]))
+        tg = Counter(zip(w, w[1:], w[2:]))
+        dupi = sum(c for c in tg.values() if c > 1)
+        toti = sum(tg.values())
+        ok = {
+            "nwords": _GOPHER_MIN_WORDS <= n <= _GOPHER_MAX_WORDS,
+            "wordlen": (
+                _GOPHER_WL_LO * n
+                <= len(r.text) - n + 1
+                <= _GOPHER_WL_HI * n
+            ),
+            "stop": len(set(w) & set(_GOPHER_STOPWORDS)) >= 1,
+            "alpha": (
+                sum(1 for t in w if _re.search("[a-zA-Z]", t))
+                * _GOPHER_ALPHA_DEN
+                >= _GOPHER_ALPHA_NUM * n
+            ),
+            "top2gram": (
+                (max(bg.values()) if bg else 0) * 2 * _GOPHER_TOP2_DEN
+                <= _GOPHER_TOP2_NUM * n
+            ),
+            "dup3gram": (
+                dupi * _GOPHER_DUP3_DEN
+                <= _GOPHER_DUP3_NUM * (toti if toti else 1)
+            ),
+        }
+        a = agg[r.source]
+        a["docs"] += 1
+        a["kept"] += int(all(ok.values()))
+        for k, v in ok.items():
+            a[f"fail_{k}"] += int(not v)
+    got = {
+        r.source: r.asDict()
+        for r in QUERIES["text_gopher_gate"].fn(spark, PARITY_SF_DIR).collect()
+    }
+    assert set(got) == set(agg)
+    for s, a in agg.items():
+        g = got[s]
+        for k in (
+            "docs", "kept", "fail_nwords", "fail_wordlen", "fail_stop",
+            "fail_alpha", "fail_top2gram", "fail_dup3gram",
+        ):
+            assert g[k] == a[k], (s, k, g[k], a[k])
+    # both branches of the corpus-exercised rules are real
+    assert sum(a["fail_nwords"] for a in agg.values()) > 0
+    assert sum(a["fail_stop"] for a in agg.values()) > 0
+    assert sum(a["fail_top2gram"] for a in agg.values()) > 0
+    assert sum(a["kept"] for a in agg.values()) > 0
+
+
+def test_gopher_gate_plan_is_scan_local(spark):
+    """The load-bearing scale property of the r13 respelling: the
+    repetition statistics are run-length folds over per-row sorted gram
+    arrays, so the executed plan holds ONE parquet scan, NO join, and
+    no exchange keyed on doc_id — only the O(|sources|) rollup and the
+    output sort may shuffle."""
+    df = QUERIES["text_gopher_gate"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    import re
+
+    for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(2), plan
