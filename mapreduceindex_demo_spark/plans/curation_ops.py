@@ -534,12 +534,16 @@ def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
         % _DSIR_B
     ).alias("b")
+    # source and lang ride the (doc, bucket) groupBy — functionally
+    # dependent on doc_id, so the exchange cardinality is unchanged and
+    # the final attach-metadata join (a docs-sized build side at corpus
+    # scale) disappears from the plan entirely
     tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("w")
     )
     dbc = (
-        tok.select("doc_id", "lang", b)
-        .groupBy("doc_id", "lang", "b")
+        tok.select("doc_id", "lang", "source", b)
+        .groupBy("doc_id", "lang", "source", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
@@ -562,15 +566,14 @@ def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         dbc.join(lr, "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source", "lang")
         .agg(
             F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("weight_micro"),
             F.sum("cnt").cast("long").alias("n_tokens"),
         )
     )
     return (
-        w.join(d.select("doc_id", "source", "lang"), "doc_id")
-        .select(
+        w.select(
             "doc_id",
             "source",
             "lang",

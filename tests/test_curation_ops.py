@@ -310,3 +310,20 @@ def test_gopher_gate_plan_is_scan_local(spark):
 
     for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
         assert "doc_id" not in m.group(2), plan
+
+
+def test_dsir_plan_shape_one_scan_bounded_broadcast(spark):
+    """DSIR's scale contract: ONE parquet scan (the (doc,bucket) count
+    table feeds the LMs AND the scoring join from its persist), exactly
+    one BroadcastHashJoin whose build side is the <=4096-row log-ratio
+    table, no SortMergeJoin, and no docs-sized build anywhere (source/
+    lang ride the groupBy instead of a final rejoin)."""
+    df = QUERIES["curation_dsir_weights"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
