@@ -50,8 +50,9 @@ PRIORITY_50 = [
     # registered queries has >=2 committed external green rows): the 18
     # r8-era singles (the waiting list named here since r12) plus the
     # r12-new multimodal_ahash_apply all collect second greens, the two
-    # queries whose code changed this round re-verify, and the 11 spare
-    # slots go to the OLDEST-last-green queries (r3/r4/r5) for third
+    # r13-NEW queries and the two changed queries are in by the
+    # machine-enforced rules, and the 9 spare slots go to the
+    # OLDEST-last-green queries (r3/r4/r5) for third
     # confirmations. Family constraints
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.

@@ -615,6 +615,10 @@ _GOPHER_TOP2_NUM, _GOPHER_TOP2_DEN = 1, 8
 #: are character-based per n in 5..10; one representative token-based
 #: rule at the corpus-calibrated p95 stands in for the family)
 _GOPHER_DUP3_NUM, _GOPHER_DUP3_DEN = 1, 50
+#: the ONE SQL spelling of the stopword list — both the oracle and the
+#: Spark side interpolate it, so editing _GOPHER_STOPWORDS can never
+#: fork the engines
+_GOPHER_STOP_SQL = ",".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
 
 _GOPHER_ORACLE = f"""
     WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
@@ -642,7 +646,7 @@ _GOPHER_ORACLE = f"""
              AND length(text) - n + 1 <= {_GOPHER_WL_HI} * n)
               AS ok_wordlen,
             (len(list_filter(list_distinct(w), t -> t IN
-               ('the','be','to','of','and','that','have','with'))) >= 1)
+               ({_GOPHER_STOP_SQL}))) >= 1)
               AS ok_stop,
             (CAST(len(list_filter(w,
                 t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
@@ -766,7 +770,7 @@ def q_text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toti = F.greatest(F.col("n") - 2, F.lit(0))
 
-    stop_arr = ",".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    stop_arr = _GOPHER_STOP_SQL
     r = (
         d.withColumn("mc", mc.cast("long"))
         .withColumn("dupi", dupi.cast("long"))

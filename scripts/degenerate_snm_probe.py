@@ -111,14 +111,20 @@ def main() -> None:
     q = QUERIES["er_sorted_neighborhood"]
     force = spark_forced_expr(q.fn(spark, data).columns)
     timings = []
+    fdf = None
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        df = q.fn(spark, data)
-        df.selectExpr(force).collect()
+        fdf = q.fn(spark, data).selectExpr(force)
+        fdf.collect()
         timings.append(round(time.perf_counter() - t0, 2))
+    # read the runtime plan from the EXECUTED DataFrame (the forced one
+    # that was collected) — a fresh/un-executed frame only carries the
+    # static pre-AQE plan, whose join choice is an ESTIMATE; the claim
+    # this probe exists to measure is what AQE actually ran
     final_plan = (
-        df._jdf.queryExecution().executedPlan().toString()
+        fdf._jdf.queryExecution().executedPlan().toString()
     ).split("== Initial Plan ==")[0]
+    aqe_final = "isFinalPlan=true" in final_plan
     demoted = bool(_DEMOTED.search(final_plan))
     forced_broadcast = bool(_BROADCAST.search(final_plan))
 
@@ -146,6 +152,7 @@ def main() -> None:
             {
                 "corpus": data,
                 "rows": args.copies * BASE,
+                "plan_is_aqe_final": aqe_final,
                 "offsets_join_demoted_to_shuffle": demoted,
                 "offsets_join_broadcast": forced_broadcast,
                 "result_rows": len(rows),
