@@ -49,20 +49,22 @@ PRIORITY_50 = [
     # the external-verification program — after it, every one of the 193
     # registered queries has >=2 committed external green rows): the 18
     # r8-era singles (the waiting list named here since r12) plus the
-    # r12-new multimodal_ahash_apply all collect second greens, the two
+    # r12-new multimodal_ahash_apply all collect second greens, the three
     # r13-NEW queries and the two changed queries are in by the
-    # machine-enforced rules, and the 9 spare slots go to the
+    # machine-enforced rules, and the 8 spare slots go to the
     # OLDEST-last-green queries (r3/r4/r5) for third
     # confirmations. Family constraints
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
-    # in-window): DSIR importance weighting and the Gopher quality +
-    # repetition gate, the two published-method curation operators the
-    # LLM-pipeline family lacked ---
+    # in-window): DSIR importance weighting, the Gopher quality +
+    # repetition gate, and CCNet perplexity buckets — the three
+    # published-method curation operators the LLM-pipeline family
+    # lacked ---
     "curation_dsir_weights",
     "text_gopher_gate",
+    "text_ccnet_ppl_buckets",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -114,7 +116,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- 9 spare slots: oldest last-green registry-wide (r3/r4/r5),
+    # --- 8 spare slots: oldest last-green registry-wide (r3/r4/r5),
     # third confirmations ---
     "text_langid_heuristic",
     "text_quality_score",
@@ -123,7 +125,6 @@ PRIORITY_50 = [
     "pricing_summary",
     "shipping_priority",
     "text_token_stats",
-    "bracketed_discounted_revenue",
     "dedup_apply_neardup_free",
 ]
 

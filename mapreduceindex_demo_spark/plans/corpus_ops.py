@@ -486,3 +486,215 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13: CCNet-style per-language perplexity buckets
+# ---------------------------------------------------------------------------
+
+#: the per-(lang, bigram) negative log-probability under the add-0.5
+#: smoothed per-language bigram LM, as a 6-dp MICRO-UNIT BIGINT: one
+#: ln-chain per VOCABULARY entry (never per token), spelled identically
+#: for both engines over exact BIGINT counts (cnt2, chc, vsz columns),
+#: rounded then integer-cast (round-before-cast so the truncating and
+#: rounding casts agree) — per-document totals are then exact integer
+#: sums, order-independent across engines (the [q:curation_dsir_weights]
+#: pattern at order 2).
+_CCNET_NLP_MICRO = (
+    "CAST(round(-ln((CAST(cnt2 AS DOUBLE) + 0.5)"
+    " / (CAST(chc AS DOUBLE) + 0.5 * CAST(vsz AS DOUBLE)))"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+_CCNET_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents),
+    big AS (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM tk),
+    dbc AS (SELECT doc_id, lang, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT lang, gram, CAST(SUM(cnt) AS BIGINT) AS cnt2
+           FROM dbc GROUP BY 1, 2),
+    ch AS (SELECT lang, split_part(gram, ' ', 1) AS h,
+                  CAST(SUM(cnt2) AS BIGINT) AS chc
+           FROM c2 GROUP BY 1, 2),
+    v AS (SELECT lang, CAST(COUNT(DISTINCT term) AS BIGINT) AS vsz
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents) GROUP BY 1),
+    lp AS (SELECT c2.lang, c2.gram, {_CCNET_NLP_MICRO} AS nlp
+           FROM c2
+           JOIN ch ON ch.lang = c2.lang
+                  AND ch.h = split_part(c2.gram, ' ', 1)
+           JOIN v ON v.lang = c2.lang),
+    docs AS (SELECT dbc.doc_id, dbc.lang,
+                    CAST(SUM(cnt) AS BIGINT) AS nb,
+                    CAST(SUM(cnt * lp.nlp) AS BIGINT) AS tot
+             FROM dbc JOIN lp ON lp.lang = dbc.lang AND lp.gram = dbc.gram
+             GROUP BY 1, 2),
+    scored AS (SELECT lang, doc_id, nb,
+                 CAST(round(CAST(tot AS DOUBLE) / CAST(nb AS DOUBLE), 0)
+                      AS BIGINT) AS avg_micro
+               FROM docs),
+    freq AS (SELECT lang, avg_micro, CAST(COUNT(*) AS BIGINT) AS c
+             FROM scored GROUP BY 1, 2),
+    cum AS (SELECT lang, avg_micro,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY avg_micro) AS cc,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM freq),
+    bounds AS (SELECT lang,
+                 MIN(CASE WHEN cc * 3 >= n THEN avg_micro END) AS q1,
+                 MIN(CASE WHEN cc * 3 >= 2 * n THEN avg_micro END) AS q2
+               FROM cum GROUP BY 1),
+    lab AS (SELECT s.lang, s.nb, s.avg_micro,
+              CASE WHEN s.avg_micro <= b.q1 THEN 'head'
+                   WHEN s.avg_micro <= b.q2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM scored s JOIN bounds b ON b.lang = s.lang)
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(avg_micro) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS mean_nlp
+    FROM lab GROUP BY 1, 2
+    ORDER BY lang, bucket
+    """
+
+
+@query(
+    "text_ccnet_ppl_buckets",
+    oracle=_CCNET_ORACLE,
+    tags=("llm", "text", "curation", "lm", "ccnet", "perplexity"),
+)
+def q_text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    LREC 2020 §4.3 — the head/middle/tail split CCNet, LLaMA, and
+    RedPajama-Data use to stratify CommonCrawl by LM quality): fit a
+    per-language bigram LM (add-0.5 smoothing, the order-2 stand-in for
+    CCNet's 5-gram KenLM — same machinery as [q:text_bigram_logprob]
+    but CONDITIONED per language, since cross-language perplexities are
+    not comparable), score every document by mean negative log-prob,
+    and split each language's distribution into terciles by VALUE
+    thresholds. Served per (lang, bucket): document count, bigram mass,
+    and mean score — head = most fluent third, the slice kept
+    unconditionally in the published pipelines.
+
+    Threshold semantics: the tercile boundaries are exact integer
+    count-percentiles (q_k = the smallest score with cumulative count
+    >= k·n/3, compared as cc·3 >= k·n — no float division), computed
+    from the (lang, score) FREQUENCY table, and documents are assigned
+    by comparison against the boundary VALUES — ties share a bucket, so
+    bucket sizes deviate from n/3 exactly when score ties straddle a
+    boundary (CCNet's own percentile thresholds behave the same way;
+    an ntile spelling would instead split ties arbitrarily by doc id).
+
+    Determinism/parity: per-vocabulary-entry nlp as a micro-unit BIGINT
+    (``_CCNET_NLP_MICRO``, one ln per (lang, bigram), never per token),
+    per-doc totals as exact integer sums, one rounded division per doc
+    for the integer mean score, boundaries and buckets all integer
+    comparisons.
+
+    Scale shape: one corpus-sized (doc, lang, gram) exchange feeds the
+    LM counts and the scoring join (persisted MEMORY_ONLY, the DSIR
+    pattern); the LM tables are vocabulary-sized equi-join sides (AQE
+    broadcasts them when they fit); the tercile machinery never touches
+    doc-sized data with a window — the cumulative count runs over the
+    (lang, distinct-score) frequency table, metadata-sized like the SNM
+    offsets table, and bucket ASSIGNMENT is a broadcast join of ≤|langs|
+    boundary rows + a scan-local CASE. No per-language sort of the
+    document set anywhere — the straggler an ntile-over-lang spelling
+    would create at 100 TB."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    bg = F.expr(
+        f"CASE WHEN size({w}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
+    )
+    dbc = (
+        d.select("doc_id", "lang", F.explode(bg).alias("gram"))
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    c2 = dbc.groupBy("lang", "gram").agg(
+        F.sum("cnt").cast("long").alias("cnt2")
+    )
+    ch = c2.groupBy(
+        "lang", F.substring_index("gram", " ", 1).alias("h")
+    ).agg(F.sum("cnt2").cast("long").alias("chc"))
+    v = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang")
+        .agg(F.countDistinct("term").cast("long").alias("vsz"))
+    )
+    lp = (
+        c2.withColumn("h", F.substring_index("gram", " ", 1))
+        .join(ch, ["lang", "h"])
+        .join(F.broadcast(v), "lang")
+        .select("lang", "gram", F.expr(_CCNET_NLP_MICRO).alias("nlp"))
+    )
+    docs = (
+        dbc.join(lp, ["lang", "gram"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("nb"),
+            F.sum(F.col("cnt") * F.col("nlp")).cast("long").alias("tot"),
+        )
+    )
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        "nb",
+        F.round(F.col("tot").cast("double") / F.col("nb").cast("double"), 0)
+        .cast("long")
+        .alias("avg_micro"),
+    ).persist(StorageLevel.MEMORY_ONLY)
+    freq = scored.groupBy("lang", "avg_micro").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("lang").orderBy("avg_micro")
+    wall = Window.partitionBy("lang")
+    cum = freq.select(
+        "lang",
+        "avg_micro",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cc") * 3 >= F.col("n"), F.col("avg_micro"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cc") * 3 >= 2 * F.col("n"), F.col("avg_micro"))
+        ).alias("q2"),
+    )
+    bucket = (
+        F.when(F.col("avg_micro") <= F.col("q1"), "head")
+        .when(F.col("avg_micro") <= F.col("q2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .select("lang", bucket.alias("bucket"), "nb", "avg_micro")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum("avg_micro").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / 1000000.0,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_nlp"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -327,3 +327,88 @@ def test_dsir_plan_shape_one_scan_bounded_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ccnet_buckets_match_pure_python_lm(spark):
+    """The CCNet bucketing chain — per-lang add-0.5 bigram LMs,
+    micro-unit per-vocab-entry nlp, integer doc scores, exact integer
+    count-percentile boundaries, value-threshold bucket assignment, the
+    rollup — re-derived in pure Python and compared exactly."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round_int(x: float) -> int:
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    src = load_table(spark, PARITY_SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    rows = [(r.doc_id, r.text, r.lang) for r in src.collect()]
+    c2: dict[str, Counter] = defaultdict(Counter)
+    vocab: dict[str, set] = defaultdict(set)
+    per_doc: dict[int, tuple] = {}
+    for doc_id, text, lang in rows:
+        w = text.split(" ")
+        vocab[lang].update(w)
+        grams = Counter(zip(w, w[1:]))
+        per_doc[doc_id] = (lang, grams)
+        c2[lang].update(grams)
+    ch: dict[str, Counter] = {
+        lang: Counter() for lang in c2
+    }
+    for lang, cc in c2.items():
+        for (h, _), n in cc.items():
+            ch[lang][h] += n
+    lp: dict[str, dict] = defaultdict(dict)
+    for lang, cc in c2.items():
+        vsz = len(vocab[lang])
+        for g, n in cc.items():
+            lp[lang][g] = _round_int(
+                -math.log((n + 0.5) / (ch[lang][g[0]] + 0.5 * vsz)) * 1e6
+            )
+    scored: dict[str, list] = defaultdict(list)
+    nb_of: dict[int, int] = {}
+    for doc_id, (lang, grams) in per_doc.items():
+        nb = sum(grams.values())
+        if nb == 0:
+            continue
+        tot = sum(n * lp[lang][g] for g, n in grams.items())
+        avg = _round_int(tot / nb)
+        scored[lang].append((doc_id, nb, avg))
+        nb_of[doc_id] = nb
+    expect: dict[tuple, list] = defaultdict(list)
+    for lang, docs in scored.items():
+        vals = sorted(a for _, _, a in docs)
+        n = len(vals)
+        cum: Counter = Counter()
+        q1 = q2 = None
+        seen = 0
+        for v in sorted(set(vals)):
+            seen += vals.count(v)
+            if q1 is None and seen * 3 >= n:
+                q1 = v
+            if q2 is None and seen * 3 >= 2 * n:
+                q2 = v
+        for doc_id, nb, a in docs:
+            b = "head" if a <= q1 else ("middle" if a <= q2 else "tail")
+            expect[(lang, b)].append((nb, a))
+    want = {
+        k: (
+            len(v),
+            sum(nb for nb, _ in v),
+            round(sum(a for _, a in v) / len(v) / 1e6, 6) + 0.0,
+        )
+        for k, v in expect.items()
+    }
+    got = {
+        (r.lang, r.bucket): (r.n_docs, r.n_bigrams, r.mean_nlp)
+        for r in QUERIES["text_ccnet_ppl_buckets"].fn(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == want
+    # every language splits into three real buckets and head is the
+    # most fluent (lowest mean nlp) per language
+    langs = {k[0] for k in got}
+    for lg in langs:
+        assert {b for (l2, b) in got if l2 == lg} == {"head", "middle", "tail"}
+        assert got[(lg, "head")][2] < got[(lg, "tail")][2]
