@@ -95,3 +95,16 @@ def duck_forced_sql(con: "duckdb.DuckDBPyConnection", oracle: str) -> str:
         + ", ".join(f'CAST("{c}" AS VARCHAR)' for c in dcols)
         + f"))) FROM ({oracle})"
     )
+
+
+def spark_bigram_sql(w: str) -> str:
+    """The ONE Spark-SQL spelling of adjacent-word bigram extraction over
+    a token-array expression ``w`` (empty-guarded: <2 tokens → empty
+    array). Shared by the PMI, bigram-logprob, and CCNet queries (r13
+    review: three verbatim copies had accreted) so an edge-case fix can
+    never silently miss one."""
+    return (
+        f"CASE WHEN size({w}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
+    )

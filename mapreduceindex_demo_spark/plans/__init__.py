@@ -51,7 +51,7 @@ PRIORITY_50 = [
     # r8-era singles (the waiting list named here since r12) plus the
     # r12-new multimodal_ahash_apply all collect second greens, the three
     # r13-NEW queries and the two changed queries are in by the
-    # machine-enforced rules, and the 8 spare slots go to the
+    # machine-enforced rules, and the 7 spare slots go to the
     # OLDEST-last-green queries (r3/r4/r5) for third
     # confirmations. Family constraints
     # (tests/test_coverage_integrity.py) honored below; choice-family
@@ -116,7 +116,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- 8 spare slots: oldest last-green registry-wide (r3/r4/r5),
+    # --- 7 spare slots: oldest last-green registry-wide (r3/r4/r5),
     # third confirmations ---
     "text_langid_heuristic",
     "text_quality_score",
@@ -124,8 +124,11 @@ PRIORITY_50 = [
     "local_supplier_volume",
     "pricing_summary",
     "shipping_priority",
-    "text_token_stats",
     "dedup_apply_neardup_free",
+    # bigram-extraction helper refactor touched this query's builder
+    # (byte-identical generated SQL, parity re-verified) — in-window by
+    # the changed-this-round rule
+    "text_bigram_logprob",
 ]
 
 

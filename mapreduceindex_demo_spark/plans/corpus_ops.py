@@ -26,7 +26,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduceindex_demo_spark.oracle_harness import duck_hex_int
+from mapreduceindex_demo_spark.oracle_harness import duck_hex_int, spark_bigram_sql
 from mapreduceindex_demo_spark.plans.registry import query
 from mapreduceindex_demo_spark.session import load_table
 
@@ -443,11 +443,7 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent pairs are scored."""
     d = _t(spark, sf_dir, "documents")
     w = "split(text, ' ')"
-    bg = F.expr(
-        f"CASE WHEN size({w}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({w}) - 1), "
-        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
-    )
+    bg = F.expr(spark_bigram_sql(w))
     big = d.select(F.explode(bg).alias("gram"))
     # c2 feeds two consumers (the n2 total, the scored pairs) and u
     # three (the n1 total, both unigram lookups) — cache each groupBy
@@ -611,11 +607,7 @@ def q_text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     w = "split(text, ' ')"
-    bg = F.expr(
-        f"CASE WHEN size({w}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({w}) - 1), "
-        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
-    )
+    bg = F.expr(spark_bigram_sql(w))
     dbc = (
         d.select("doc_id", "lang", F.explode(bg).alias("gram"))
         .groupBy("doc_id", "lang", "gram")

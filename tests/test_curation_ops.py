@@ -368,7 +368,6 @@ def test_ccnet_buckets_match_pure_python_lm(spark):
                 -math.log((n + 0.5) / (ch[lang][g[0]] + 0.5 * vsz)) * 1e6
             )
     scored: dict[str, list] = defaultdict(list)
-    nb_of: dict[int, int] = {}
     for doc_id, (lang, grams) in per_doc.items():
         nb = sum(grams.values())
         if nb == 0:
@@ -376,7 +375,6 @@ def test_ccnet_buckets_match_pure_python_lm(spark):
         tot = sum(n * lp[lang][g] for g, n in grams.items())
         avg = _round_int(tot / nb)
         scored[lang].append((doc_id, nb, avg))
-        nb_of[doc_id] = nb
     expect: dict[tuple, list] = defaultdict(list)
     for lang, docs in scored.items():
         vals = sorted(a for _, _, a in docs)
@@ -412,3 +410,27 @@ def test_ccnet_buckets_match_pure_python_lm(spark):
     for lg in langs:
         assert {b for (l2, b) in got if l2 == lg} == {"head", "middle", "tail"}
         assert got[(lg, "head")][2] < got[(lg, "tail")][2]
+
+
+def test_ccnet_plan_no_doc_sort_and_broadcast_bounds(spark):
+    """The CCNet query's 100 TB claims, pinned like its siblings: the
+    only Window nodes run over the (lang, distinct-score) FREQUENCY
+    table (their child aggregates on avg_micro — never a window over
+    doc-level rows), the bounds/LM joins stay broadcast (no
+    SortMergeJoin anywhere), and exactly one parquet scan feeds it all
+    via the persisted gram-count table."""
+    df = QUERIES["text_ccnet_ppl_buckets"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    final = full.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "SortMergeJoin" not in full, full
+    # every window partitions by lang and orders by the score column of
+    # the frequency aggregate — no doc_id anywhere in a window spec
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", full)
+    assert specs, full
+    for spec in specs:
+        assert "doc_id" not in spec, spec
+        assert spec.startswith("lang"), spec
