@@ -56,6 +56,9 @@ PRIORITY_50 = [
     # confirmations. Family constraints
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.
+    # r14 waiting list (the only queries that will then hold fewer than
+    # 2 external greens): the three r13-new operators below —
+    # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
