@@ -620,6 +620,53 @@ _GOPHER_DUP3_NUM, _GOPHER_DUP3_DEN = 1, 50
 #: fork the engines
 _GOPHER_STOP_SQL = ",".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
 
+def gopher_repetition_exprs():
+    """The gate's two repetition statistics as scan-local Columns over a
+    token-array column ``w`` — run-length folds over the SORTED per-row
+    gram array (the zero-shuffle spelling, see the query docstring):
+    the accumulator walks runs of equal grams carrying (prev, current
+    run length, best run length, singleton-run count); ``x <=> acc.prev``
+    is null-safe so the NULL start sentinel and empty-string grams both
+    behave, and the ``finish`` lambda closes the last run. Returns
+    (most-repeated-bigram count, duplicated-trigram instance count).
+    Module-level (not inline in the query) so the seeded fuzz test in
+    tests/test_curation_ops.py drives the exact production expressions
+    over degenerate inputs the corpus never produces."""
+
+    def _sorted_grams(k: int) -> str:
+        parts = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(k))
+        return (
+            f"sort_array(CASE WHEN size(w) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> concat({parts})) END)"
+        )
+
+    acc0 = (
+        "named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, "
+        "'best', 0L, 'ones', 0L)"
+    )
+    merge = (
+        "(acc, x) -> IF(x <=> acc.prev, "
+        "named_struct('prev', x, 'cur', acc.cur + 1L, "
+        "'best', greatest(acc.best, acc.cur + 1L), 'ones', acc.ones), "
+        "named_struct('prev', x, 'cur', 1L, "
+        "'best', greatest(acc.best, 1L), "
+        "'ones', acc.ones + IF(acc.cur = 1L, 1L, 0L)))"
+    )
+    # most-repeated-bigram count: the longest run
+    mc = F.expr(
+        f"aggregate({_sorted_grams(2)}, {acc0}, {merge}, acc -> acc.best)"
+    )
+    # duplicated-trigram instances: total minus singleton-run count;
+    # the total is pure arithmetic (|trigrams| = max(n-2, 0)), so the
+    # sorted array is built exactly once per family
+    dupi = F.expr(
+        f"greatest(size(w) - 2, 0) - aggregate({_sorted_grams(3)}, "
+        f"{acc0}, {merge}, acc -> acc.ones + IF(acc.cur = 1L, 1L, 0L))"
+    )
+    return mc, dupi
+
+
 _GOPHER_ORACLE = f"""
     WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS w,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -731,43 +778,7 @@ def q_text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("w"),
         F.size(F.split("text", " ")).cast("long").alias("n"),
     )
-
-    # run-length folds over the sorted gram array (scan-local, no
-    # shuffle): the accumulator walks runs of equal grams carrying
-    # (prev, current run length, best run length, singleton-run count);
-    # x <=> acc.prev is null-safe so the NULL start sentinel and
-    # empty-string grams both behave. `finish` closes the last run.
-    def _sorted_grams(k: int) -> str:
-        parts = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(k))
-        return (
-            f"sort_array(CASE WHEN size(w) < {k} THEN array() "
-            f"ELSE transform(sequence(1, size(w) - {k - 1}), "
-            f"i -> concat({parts})) END)"
-        )
-
-    _ACC0 = (
-        "named_struct('prev', CAST(NULL AS STRING), 'cur', 0L, "
-        "'best', 0L, 'ones', 0L)"
-    )
-    _MERGE = (
-        "(acc, x) -> IF(x <=> acc.prev, "
-        "named_struct('prev', x, 'cur', acc.cur + 1L, "
-        "'best', greatest(acc.best, acc.cur + 1L), 'ones', acc.ones), "
-        "named_struct('prev', x, 'cur', 1L, "
-        "'best', greatest(acc.best, 1L), "
-        "'ones', acc.ones + IF(acc.cur = 1L, 1L, 0L)))"
-    )
-    # most-repeated-bigram count: the longest run
-    mc = F.expr(
-        f"aggregate({_sorted_grams(2)}, {_ACC0}, {_MERGE}, acc -> acc.best)"
-    )
-    # duplicated-trigram instances: total minus singleton-run count;
-    # the total is pure arithmetic (|trigrams| = max(n-2, 0)), so the
-    # sorted array is built exactly once per family
-    dupi = F.expr(
-        f"greatest(size(w) - 2, 0) - aggregate({_sorted_grams(3)}, "
-        f"{_ACC0}, {_MERGE}, acc -> acc.ones + IF(acc.cur = 1L, 1L, 0L))"
-    )
+    mc, dupi = gopher_repetition_exprs()
     toti = F.greatest(F.col("n") - 2, F.lit(0))
 
     stop_arr = _GOPHER_STOP_SQL

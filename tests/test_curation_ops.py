@@ -434,3 +434,43 @@ def test_ccnet_plan_no_doc_sort_and_broadcast_bounds(spark):
     for spec in specs:
         assert "doc_id" not in spec, spec
         assert spec.startswith("lang"), spec
+
+
+def test_gopher_runlength_fold_fuzz(spark):
+    """Seeded fuzz of the production run-length fold
+    (gopher_repetition_exprs) over inputs the corpus never produces —
+    empty docs, single tokens, tiny vocabularies forcing heavy gram
+    ties, all-identical tokens, empty-string tokens from double spaces —
+    compared exactly against a Counter-based Python mirror."""
+    import random
+    from collections import Counter
+
+    from mapreduceindex_demo_spark.plans.curation_ops import (
+        gopher_repetition_exprs,
+    )
+
+    rng = random.Random(1309)
+    vocab = ["a", "bb", "ccc", "x", ""]
+    docs = []
+    for i in range(300):
+        n = rng.choice([0, 1, 2, 3, rng.randint(4, 30)])
+        docs.append((i, [rng.choice(vocab) for _ in range(n)]))
+    # degenerate extremes
+    docs.append((300, ["z"] * 25))
+    docs.append((301, ["p", "q"] * 12))
+    sdf = spark.createDataFrame(
+        [(i, w) for i, w in docs], "doc_id LONG, w ARRAY<STRING>"
+    )
+    mc, dupi = gopher_repetition_exprs()
+    got = {
+        r.doc_id: (r.mc, r.dupi)
+        for r in sdf.select(
+            "doc_id", mc.alias("mc"), dupi.alias("dupi")
+        ).collect()
+    }
+    for i, w in docs:
+        bg = Counter(zip(w, w[1:]))
+        tg = Counter(zip(w, w[1:], w[2:]))
+        want_mc = max(bg.values()) if bg else 0
+        want_dupi = sum(c for c in tg.values() if c > 1)
+        assert got[i] == (want_mc, want_dupi), (i, w, got[i])
