@@ -57,17 +57,21 @@ PRIORITY_50 = [
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.
     # r14 waiting list (the only queries that will then hold fewer than
-    # 2 external greens): the three r13-new operators below —
-    # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets.
+    # 2 external greens): the five r13-new operators below —
+    # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
+    # curation_fasttext_gate, text_bpe_train_merges.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
-    # repetition gate, and CCNet perplexity buckets — the three
-    # published-method curation operators the LLM-pipeline family
-    # lacked ---
+    # repetition gate, CCNet perplexity buckets, the fastText-style
+    # classifier gate, and BPE tokenizer training — the five
+    # published-method curation/tokenizer operators the LLM-pipeline
+    # family lacked ---
     "curation_dsir_weights",
     "text_gopher_gate",
     "text_ccnet_ppl_buckets",
+    "curation_fasttext_gate",
+    "text_bpe_train_merges",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -119,10 +123,8 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- 7 spare slots: oldest last-green registry-wide (r3/r4/r5),
-    # third confirmations ---
-    "text_langid_heuristic",
-    "text_quality_score",
+    # --- spare slots: oldest last-green registry-wide (r3/r4/r5),
+    # third confirmations (two ceded to the r13b-new queries above) ---
     "events_daily_rollup",
     "local_supplier_volume",
     "pricing_summary",

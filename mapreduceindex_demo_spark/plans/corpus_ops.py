@@ -690,3 +690,154 @@ def q_text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13b: BPE tokenizer TRAINING — the first-k merge mining rounds
+# ---------------------------------------------------------------------------
+
+#: merge rounds served. Fixed and unrolled (both engines run the identical
+#: finite chain); a production vocabulary is this loop run ~30k times with
+#: the same per-round cost structure.
+_BPE_MERGES = 3
+#: symbol-boundary marker for the merge rewrite. Must not occur in any
+#: corpus token (the synthetic vocabulary is [a-y]; '#', '<', '/', '>'
+#: are free) — the encode wraps EVERY symbol as '#sym#', so a pair
+#: pattern '#x##y#' can only match at true symbol boundaries and
+#: consecutive occurrences never share characters (greedy left-to-right
+#: replace() then merges both, matching the reference BPE rewrite).
+_BPE_MARK = "#"
+#: end-of-word symbol (Sennrich et al. 2016 §3.2)
+_BPE_EOW = "</w>"
+
+
+def _bpe_seq_rewrite_sql(seq: str, pair: str) -> str:
+    """The ONE spelling (identical tokens in Spark SQL and DuckDB) of
+    applying merge ``pair`` ("x y") to the space-delimited symbol
+    sequence ``seq``: wrap every symbol in markers, replace the wrapped
+    pair with the wrapped merged symbol, unwrap."""
+    m = _BPE_MARK
+    enc = f"'{m}' || replace({seq}, ' ', '{m}{m}') || '{m}'"
+    pat = f"'{m}' || replace({pair}, ' ', '{m}{m}') || '{m}'"
+    rep = f"'{m}' || replace({pair}, ' ', '') || '{m}'"
+    body = f"replace({enc}, {pat}, {rep})"
+    return (
+        f"replace(substring({body}, 2, length({body}) - 2), '{m}{m}', ' ')"
+    )
+
+
+def _bpe_duck_iter(i: int, prev: str) -> str:
+    """One unrolled BPE training round in DuckDB SQL: weighted adjacent
+    symbol-pair counts over the word-type table, argmax with the total
+    (count DESC, pair ASC) tiebreak, greedy left-to-right rewrite."""
+    return f"""
+    p{i} AS (SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                   j -> (string_split(seq, ' '))[j] || ' '
+                        || (string_split(seq, ' '))[j + 1])) AS pair, cnt
+             FROM {prev}),
+    b{i} AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc FROM p{i} GROUP BY 1
+             ORDER BY pc DESC, pair LIMIT 1),
+    r{i} AS (SELECT {_bpe_seq_rewrite_sql('seq', 'pair')} AS seq, cnt
+             FROM {prev} CROSS JOIN b{i})"""
+
+
+_BPE_ORACLE = f"""
+    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1),
+    r0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                    || ' {_BPE_EOW}' AS seq, cnt FROM wf),
+    {_bpe_duck_iter(1, 'r0')},
+    {_bpe_duck_iter(2, 'r1')},
+    {_bpe_duck_iter(3, 'r2')}
+    SELECT * FROM (
+      SELECT 1 AS merge_rank, pair, pc AS pair_count FROM b1
+      UNION ALL SELECT 2, pair, pc FROM b2
+      UNION ALL SELECT 3, pair, pc FROM b3)
+    ORDER BY merge_rank
+    """
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the first ``_BPE_MERGES`` learned merges
+    (Sennrich et al. 2016, the subword algorithm behind the GPT-2/LLaMA
+    tokenizer family): initialize every word type as its character
+    sequence plus an end-of-word symbol, then repeatedly (a) count
+    adjacent symbol pairs weighted by word frequency, (b) pick the most
+    frequent pair (total tiebreak: count DESC, pair ASC), (c) rewrite
+    every sequence merging that pair greedily left-to-right. Serves
+    (merge_rank, pair, pair_count) — the head of the merge table a real
+    training run would persist. [q:text_bpe_token_stats] APPLIES a
+    BPE-ish tokenizer; this trains one, completing the tokenizer
+    lifecycle.
+
+    The merge rewrite is the marker-wrap spelling
+    (``_bpe_seq_rewrite_sql``): every symbol is wrapped as ``#sym#`` so
+    the pair pattern matches only at whole-symbol boundaries (a pair
+    ending in 'a' can never merge inside a longer symbol), and because
+    consecutive pair occurrences share no characters, both engines'
+    non-overlapping left-to-right ``replace`` reproduces the reference
+    greedy rewrite ('a a a' -> ('aa','a')). Pair counts are the naive
+    per-occurrence adjacency counts over exact BIGINTs, as in the
+    reference implementation.
+
+    Scale shape: Sennrich's algorithm is defined on the WORD-TYPE
+    frequency table, so the corpus is touched exactly once (the
+    wordcount exchange — map-side combined); every training round then
+    runs on the vocabulary-sized table: one combiner-friendly pair-count
+    groupBy, a 1-row TakeOrdered argmax broadcast into the rewrite, no
+    corpus rescans, no quadratic term anywhere. At 100 TB the corpus
+    pass dominates and the ~|vocab| rounds are metadata-scale — the same
+    bounded-iteration-table posture as the SNM offsets
+    ([q:er_sorted_neighborhood]). The word-frequency table is persisted
+    MEMORY_ONLY (the PMI triangle rule) because round 1 reads it twice
+    (pair counts + rewrite).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    tokenizer surface; this extends the LLM-pipeline text family beyond
+    reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    seq = wf.select(
+        F.concat(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" " + _BPE_EOW)
+        ).alias("seq"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_ONLY)
+
+    bests = []
+    for _ in range(_BPE_MERGES):
+        pairs = seq.select(
+            F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+        )
+        bests.append(best)
+        seq = seq.crossJoin(F.broadcast(best)).select(
+            F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
+        ).persist(StorageLevel.MEMORY_ONLY)
+
+    out = None
+    for i, best in enumerate(bests, start=1):
+        row = best.select(
+            F.lit(i).alias("merge_rank"),
+            "pair",
+            F.col("pc").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("merge_rank")

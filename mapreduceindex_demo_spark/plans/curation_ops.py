@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduceindex_demo_spark.oracle_harness import duck_hex_int
+from mapreduceindex_demo_spark.oracle_harness import duck_hex_int, spark_bigram_sql
 from mapreduceindex_demo_spark.plans.registry import query
 from mapreduceindex_demo_spark.session import load_table
 
@@ -847,6 +847,156 @@ def q_text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fails("ok_alpha"),
             _fails("ok_top2gram"),
             _fails("ok_dup3gram"),
+        )
+        .orderBy("source")
+    )
+
+
+# ==========================================================================
+# round 13b: fastText-style linear classifier gate (quality-classifier
+# INFERENCE — the serving half of the GPT-3/CCNet/LLaMA filtering recipe)
+# ==========================================================================
+
+#: hashed-feature bucket universe for the classifier — same fixed-size
+#: hashing-trick rationale as ``_DSIR_B`` (the model table is bounded at
+#: _FT_B weights however large the corpus grows); kept as a separate
+#: constant because the classifier's feature space (unigrams + adjacent
+#: word bigrams, fastText's signature n-gram features) differs from
+#: DSIR's unigram-only space.
+_FT_B = 4096
+#: frozen per-bucket weights span [-1000, +1000] MICRO-units: wspan=2001
+#: odd so the weight distribution over buckets is exactly symmetric
+#: around 0; on the generated corpus the gate keeps ~0.7-0.96 per source
+#: and drops the rest, so both decision branches are exercised at every
+#: test SF.
+_FT_WSPAN = 2001
+
+
+def _ft_spark_weight(feat: str) -> str:
+    """Spark-SQL micro-unit weight of string feature expr ``feat``: hash
+    into one of ``_FT_B`` buckets (the fastText hashing trick), then the
+    bucket's FROZEN weight — md5-derived from the bucket id under the
+    'ftw:' domain-separation prefix, so the weight stream is independent
+    of the bucket-assignment stream."""
+    bucket = (
+        f"CAST(conv(substring(md5({feat}), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_FT_B}"
+    )
+    return (
+        "CAST(conv(substring(md5(concat('ftw:', CAST(("
+        + bucket
+        + ") AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" % {_FT_WSPAN} - {_FT_WSPAN // 2}"
+    )
+
+
+def _ft_duck_weight(feat: str) -> str:
+    """DuckDB spelling of the same weight chain (strpos-nibble idiom)."""
+    bucket = f"({duck_hex_int(f'md5({feat})')}) % {_FT_B}"
+    inner = duck_hex_int(f"md5('ftw:' || CAST(({bucket}) AS VARCHAR))")
+    return f"(({inner}) % {_FT_WSPAN} - {_FT_WSPAN // 2})"
+
+
+_FT_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                 FROM documents),
+    feats AS (
+      SELECT doc_id, source, unnest(w) AS f FROM tok
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS f
+      FROM tok),
+    doc AS (SELECT doc_id, source,
+              CAST(SUM({_ft_duck_weight('f')}) AS BIGINT) AS lm,
+              CAST(COUNT(*) AS BIGINT) AS nf
+            FROM feats GROUP BY 1, 2)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN lm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      round(CAST(SUM(CASE WHEN lm >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS keep_rate,
+      CAST(SUM(lm) AS BIGINT) AS logit_sum_micro,
+      CAST(SUM(nf) AS BIGINT) AS n_feats
+    FROM doc GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "curation_fasttext_gate",
+    oracle=_FT_ORACLE,
+    tags=("llm", "curation", "classifier", "fasttext"),
+)
+def q_curation_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier quality gate — fastText-architecture
+    INFERENCE (Joulin et al. 2016), the serving half of the quality
+    classifiers the published pipelines filter with (GPT-3's
+    WebText-vs-CommonCrawl classifier, Brown et al. 2020 §A; CCNet's and
+    LLaMA's fastText filters). Features are word unigrams plus adjacent
+    word bigrams (fastText's word n-grams) hashed into a FIXED universe
+    of ``_FT_B`` buckets (the hashing trick — the model is a bounded
+    weight table, never a vocabulary map); a document's logit is the sum
+    of its features' bucket weights and the gate keeps documents whose
+    MEAN feature weight is >= 0 — decided on the integer SUM (sign of
+    the mean == sign of the sum), so no division enters the decision.
+
+    The weights are a FROZEN deterministic checkpoint: weight(b) =
+    md5-derived integer in [-1000, 1000] micro-units under a
+    domain-separated hash (``_ft_spark_weight``). Training is out of
+    scope by design — the operator demonstrates the scale-relevant half
+    (distributed scoring of every document under a fixed model); a real
+    deployment swaps the weight formula for a learned <= _FT_B-row table
+    and the plan gains one bounded broadcast join, nothing else.
+
+    Served: per source — docs, kept, keep rate, the exact micro-unit
+    logit mass, and the feature count (the corpus-health dashboard a
+    filtering run reports).
+
+    Determinism/parity: per-document logits are SUMS OF INTEGERS
+    (order-independent, the [q:curation_dsir_weights] micro-unit
+    pattern); the only double served is the keep-rate division rounded
+    to 6 dp. Both engines spell the identical md5→bucket→weight chain
+    (conv vs strpos-nibble, the [q:curation_dsir_weights] parity
+    precedent).
+
+    Scale shape: classifier inference is embarrassingly parallel — the
+    logit is computed SCAN-LOCALLY per row by one ``aggregate`` fold
+    over the feature array (zero joins, zero per-document exchange, the
+    [q:text_gopher_gate] map-only shape), and the only shuffle is the
+    |sources|-row combiner-friendly rollup. At 100 TB this is one pass
+    over the corpus at read bandwidth.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    model-serving surface; this extends the LLM-pipeline curation family
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    feats = f"concat({ws}, {spark_bigram_sql(ws)})"
+    logit = (
+        f"aggregate({feats}, CAST(0 AS BIGINT),"
+        f" (acc, f) -> acc + ({_ft_spark_weight('f')}))"
+    )
+    scored = d.select(
+        "source",
+        F.expr(logit).alias("lm"),
+        F.expr(f"size({feats})").cast("long").alias("nf"),
+    )
+    keep = F.when(F.col("lm") >= 0, 1).otherwise(0)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            (
+                F.round(
+                    F.sum(keep).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("keep_rate"),
+            F.sum("lm").cast("long").alias("logit_sum_micro"),
+            F.sum("nf").cast("long").alias("n_feats"),
         )
         .orderBy("source")
     )

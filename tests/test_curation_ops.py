@@ -474,3 +474,65 @@ def test_gopher_runlength_fold_fuzz(spark):
         want_mc = max(bg.values()) if bg else 0
         want_dupi = sum(c for c in tg.values() if c > 1)
         assert got[i] == (want_mc, want_dupi), (i, w, got[i])
+
+
+def test_fasttext_gate_matches_pure_python_model(spark):
+    """The full classifier chain — unigram+bigram features, md5 bucket
+    hashing, the frozen domain-separated weight derivation, integer doc
+    logits, the sum-sign keep rule, the per-source rollup — re-derived
+    in pure Python over the same parquet and compared exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from mapreduceindex_demo_spark.plans.curation_ops import _FT_B, _FT_WSPAN
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(f: str) -> int:
+        b = h32(f) % _FT_B
+        return h32(f"ftw:{b}") % _FT_WSPAN - _FT_WSPAN // 2
+
+    docs = load_table(spark, PARITY_SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, keep, logit, feats
+    for r in docs:
+        ws = r.text.split(" ")
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        lm = sum(weight(f) for f in feats)
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += 1 if lm >= 0 else 0
+        a[2] += lm
+        a[3] += len(feats)
+    expected = {
+        s: (v[0], v[1], round(v[1] / v[0], 6), v[2], v[3])
+        for s, v in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_keep, r.keep_rate, r.logit_sum_micro, r.n_feats)
+        for r in QUERIES["curation_fasttext_gate"].fn(spark, PARITY_SF_DIR).collect()
+    }
+    assert got == expected
+    # both decision branches live on this corpus
+    assert any(v[1] < v[0] for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_fasttext_gate_plan_is_scan_local(spark):
+    """Classifier INFERENCE must stay map-only (the operator's scale
+    contract): one parquet scan, zero joins (weights are derived
+    in-expression, not joined), and no exchange keyed on doc_id — only
+    the O(|sources|) rollup and its output sort shuffle."""
+    import re
+
+    df = QUERIES["curation_fasttext_gate"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(2), plan

@@ -1,0 +1,127 @@
+"""Independent recomputations for the BPE tokenizer-training operator
+([q:text_bpe_train_merges]): the full Sennrich training loop in pure
+Python, a greedy-rewrite reference the marker-wrap SQL spelling must
+match on adversarial symbol sequences, and the one-corpus-scan plan
+contract."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from mapreduceindex_demo_spark.plans import QUERIES
+from mapreduceindex_demo_spark.plans.corpus_ops import (
+    _BPE_EOW,
+    _BPE_MERGES,
+    _bpe_seq_rewrite_sql,
+)
+from tests.conftest import PARITY_SF_DIR
+
+
+def _greedy_rewrite(seq: str, pair: str) -> str:
+    """Reference BPE merge application: greedy left-to-right over whole
+    symbols (Sennrich et al. 2016's merge step)."""
+    syms = seq.split(" ")
+    a, b = pair.split(" ")
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return " ".join(out)
+
+
+def _python_bpe(word_counts: Counter, rounds: int):
+    """Full reference training loop over the word-type frequency table."""
+    seqs = Counter()
+    for w, c in word_counts.items():
+        seqs[" ".join(list(w)) + " " + _BPE_EOW] += c
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for s, c in seqs.items():
+            syms = s.split(" ")
+            for x, y in zip(syms, syms[1:]):
+                pc[f"{x} {y}"] += c
+        # total tiebreak: count DESC, pair ASC
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best)
+        nxt = Counter()
+        for s, c in seqs.items():
+            nxt[_greedy_rewrite(s, best[0])] += c
+        seqs = nxt
+    return merges
+
+
+def test_bpe_merges_match_pure_python_training(spark):
+    words = Counter()
+    for text in pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist():
+        words.update(text.split(" "))
+    expected = [
+        (i, pair, cnt)
+        for i, (pair, cnt) in enumerate(_python_bpe(words, _BPE_MERGES), start=1)
+    ]
+    got = [
+        (r.merge_rank, r.pair, r.pair_count)
+        for r in QUERIES["text_bpe_train_merges"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    # the rounds are genuinely sequential: the later merges must differ
+    assert len({p for _, p, _ in got}) == _BPE_MERGES
+
+
+def test_bpe_rewrite_sql_matches_greedy_reference(spark):
+    """The marker-wrap replace() spelling vs the reference greedy rewrite,
+    over adversarial cases: overlapping occurrences ('a a a'), pairs at
+    sequence edges, pairs whose symbols are substrings of neighboring
+    multi-char symbols, repeated merged symbols, and 200 fuzz cases."""
+    cases = [
+        ("a a a", "a a"),
+        ("a a a a", "a a"),
+        ("a b a b", "a b"),
+        ("ab b c", "b c"),       # 'b' must not match inside 'ab'
+        ("a ab b", "a b"),       # no adjacent (a,b) at symbol level
+        ("x a b", "a b"),
+        ("a b x", "a b"),
+        ("a b", "a b"),
+        ("ab ab ab", "ab ab"),
+        ("a " + _BPE_EOW, "a " + _BPE_EOW),
+    ]
+    rng = random.Random(13)
+    syms = ["a", "b", "c", "ab", "bc", "aa", _BPE_EOW]
+    for _ in range(200):
+        n = rng.randint(2, 9)
+        seq = " ".join(rng.choice(syms) for _ in range(n))
+        pair = f"{rng.choice(syms)} {rng.choice(syms)}"
+        cases.append((seq, pair))
+    df = spark.createDataFrame(cases, "seq string, pair string")
+    got = [
+        r.out
+        for r in df.selectExpr(
+            f"{_bpe_seq_rewrite_sql('seq', 'pair')} AS out"
+        ).collect()
+    ]
+    expected = [_greedy_rewrite(s, p) for s, p in cases]
+    assert got == expected
+    # at least one fuzz case actually merged something
+    assert any(g != s for g, (s, _) in zip(got, cases))
+
+
+def test_bpe_plan_touches_corpus_once(spark):
+    """Scale contract: the corpus parquet is scanned ONCE (the wordcount
+    exchange); all training rounds run off the persisted vocabulary-sized
+    tables, so no merge round re-reads the data."""
+    df = QUERIES["text_bpe_train_merges"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
