@@ -809,3 +809,141 @@ def q_similarity_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= _HAM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13b: k-center greedy coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+#: coreset size served. Fixed and unrolled so both engines run the
+#: identical finite selection chain; a production coreset is this loop
+#: run to the budget with the same per-round cost structure.
+_KC_K = 5
+
+
+def _kc_duck_dist(a: str, b: str) -> str:
+    """Cosine DISTANCE (1 - rounded cosine) in DuckDB — one IEEE subtract
+    over the 6-dp-rounded similarity, so the value sits on the same exact
+    grid in both engines."""
+    return (
+        f"1.0 - (round({_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)})"
+        f" * sqrt({_duck_dot(b, b)})), 6) + 0.0)"
+    )
+
+
+def _kc_duck_iter(i: int) -> str:
+    """One unrolled greedy round in DuckDB SQL: every corpus vector's min
+    distance to the selected set so far, then the farthest-point argmax
+    with the total (mind DESC, vec_id ASC) tiebreak."""
+    return f"""
+    d{i} AS (SELECT e.vec_id, e.ee, MIN({_kc_duck_dist('e.ee', 'c.ee')}) AS mind
+             FROM e CROSS JOIN c{i} c GROUP BY 1, 2),
+    s{i + 1} AS (SELECT vec_id, ee, mind FROM d{i}
+                 ORDER BY mind DESC, vec_id LIMIT 1),
+    c{i + 1} AS (SELECT vec_id, ee FROM c{i}
+                 UNION ALL SELECT vec_id, ee FROM s{i + 1})"""
+
+
+_KC_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+               FROM embeddings WHERE vec_id <> 0),
+    s1 AS (SELECT vec_id, ee FROM e ORDER BY vec_id LIMIT 1),
+    c1 AS (SELECT vec_id, ee FROM s1),
+    {_kc_duck_iter(1)},
+    {_kc_duck_iter(2)},
+    {_kc_duck_iter(3)},
+    {_kc_duck_iter(4)}
+    SELECT * FROM (
+      SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM s1
+      UNION ALL SELECT 2, vec_id, mind + 0.0 FROM s2
+      UNION ALL SELECT 3, vec_id, mind + 0.0 FROM s3
+      UNION ALL SELECT 4, vec_id, mind + 0.0 FROM s4
+      UNION ALL SELECT 5, vec_id, mind + 0.0 FROM s5)
+    ORDER BY sel_rank
+    """
+
+
+@query(
+    "curation_kcenter_coreset",
+    oracle=_KC_ORACLE,
+    tags=("llm", "curation", "coreset", "embedding"),
+)
+def q_curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy CORESET selection — farthest-point traversal
+    (Gonzalez 1985's 2-approximation, the core-set selection rule of
+    Sener & Savarese, ICLR 2018): seed with the lowest-id vector, then
+    ``_KC_K - 1`` times add the corpus vector FARTHEST (cosine distance)
+    from the already-selected set — the diversity-maximizing draw a
+    curation pipeline uses to pick a small, representative training
+    subset from an embedded corpus (the selection-order complement of
+    [q:similarity_mmr_rerank], which diversifies a k-row retrieval pool;
+    this traverses the WHOLE corpus). Serves (sel_rank, vec_id,
+    min_dist) where min_dist — NULL for the seed — is the selected
+    point's distance to the prior set: the non-increasing sequence whose
+    k-th value is the classic coverage-radius certificate.
+
+    Determinism: distances are 1 − (6-dp-rounded cosine) — one IEEE
+    subtract over the shared grid, so both engines order identically;
+    argmax ties break on vec_id. Already-selected points re-enter each
+    round with min_dist 0, so they can never win the argmax before every
+    remaining point is exhausted.
+
+    Scale shape: the running min-distance column is maintained
+    INCREMENTALLY — each round touches one NEW center (a 1-row
+    broadcast) and updates mind via least(), so round cost is O(n·dim),
+    not O(n·i·dim), and the only ordered exchange is the TakeOrdered(1)
+    heap merge; nothing ever pairs corpus vectors with each other. The
+    per-round (vec_id, ee, mind) frame persists MEMORY_ONLY (evictable;
+    at cluster scale this is the standard materialize-or-recompute
+    choice). k rounds = k linear passes — the published algorithm's
+    honest cost; there is no shuffle keyed on vec_id anywhere.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    embedding surface; this extends the LLM-pipeline curation family
+    beyond reference parity."""
+    from pyspark import StorageLevel
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ee")
+    ).where(F.col("vec_id") != 0)
+
+    def dist(a, b):
+        return F.lit(1.0) - S.cosine(a, b)
+
+    seed = e.orderBy("vec_id").limit(1)
+    # running min-distance frame: distance of every vector to the seed
+    frame = (
+        e.crossJoin(F.broadcast(seed.select(F.col("ee").alias("ce"))))
+        .select("vec_id", "ee", dist(F.col("ee"), F.col("ce")).alias("mind"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    picks = [
+        seed.select(
+            F.lit(1).alias("sel_rank"),
+            "vec_id",
+            F.lit(None).cast("double").alias("min_dist"),
+        )
+    ]
+    for i in range(2, _KC_K + 1):
+        nxt = frame.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        picks.append(
+            nxt.select(
+                F.lit(i).alias("sel_rank"),
+                "vec_id",
+                (F.col("mind") + F.lit(0.0)).alias("min_dist"),
+            )
+        )
+        if i < _KC_K:
+            frame = (
+                frame.crossJoin(F.broadcast(nxt.select(F.col("ee").alias("ce"))))
+                .select(
+                    "vec_id",
+                    "ee",
+                    F.least("mind", dist(F.col("ee"), F.col("ce"))).alias("mind"),
+                )
+                .persist(StorageLevel.MEMORY_ONLY)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("sel_rank")

@@ -365,3 +365,64 @@ def test_hamming_ann_plan_broadcasts_query_side_no_sort_join(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """Farthest-point traversal re-derived in NumPy over the same parquet:
+    seed = lowest vec_id, distance = 1 - round(cosine, 6), argmax with the
+    (mind DESC, vec_id ASC) tiebreak — selection order and radii must match
+    exactly, and the radius sequence must be non-increasing (the k-center
+    coverage certificate)."""
+    from mapreduceindex_demo_spark.plans.vector_ops import _KC_K
+
+    t = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    vecs = np.array(
+        [np.array(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    keep = ids != 0
+    ids, vecs = ids[keep], vecs[keep]
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+
+    def dists_to(j):
+        cos = np.round(vecs @ vecs[j] / (norms * norms[j]), 6)
+        return 1.0 - (cos + 0.0)
+
+    sel = [0]
+    mind = dists_to(0)
+    expected = [(1, int(ids[0]), None)]
+    for rank in range(2, _KC_K + 1):
+        # argmax with vec_id tiebreak: numpy argmax takes the first max,
+        # and ids are sorted ascending
+        j = int(np.argmax(mind))
+        expected.append((rank, int(ids[j]), round(float(mind[j]), 6)))
+        sel.append(j)
+        mind = np.minimum(mind, dists_to(j))
+    got = [
+        (r.sel_rank, r.vec_id, None if r.min_dist is None else round(r.min_dist, 6))
+        for r in QUERIES["curation_kcenter_coreset"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    radii = [d for _, _, d in got if d is not None]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_plan_no_pairwise_join_no_corpus_shuffle(spark):
+    """The operator's scale contract: every join is a 1-row broadcast
+    (seed / next-center), never a pairwise corpus join, and no exchange
+    is keyed on vec_id — the only ordered exchange is the TakeOrdered
+    heap merge."""
+    import re
+
+    df = QUERIES["curation_kcenter_coreset"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
+        assert "vec_id" not in m.group(2), plan
