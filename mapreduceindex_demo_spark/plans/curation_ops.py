@@ -960,11 +960,18 @@ def q_curation_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent).
 
     Scale shape: classifier inference is embarrassingly parallel — the
-    logit is computed SCAN-LOCALLY per row by one ``aggregate`` fold
-    over the feature array (zero joins, zero per-document exchange, the
-    [q:text_gopher_gate] map-only shape), and the only shuffle is the
-    |sources|-row combiner-friendly rollup. At 100 TB this is one pass
-    over the corpus at read bandwidth.
+    feature stream is one zero-shuffle Generate (explode), the weight
+    chain runs INSIDE whole-stage codegen on each occurrence, and the
+    per-document sum partial-aggregates map-side so the only exchanges
+    are a |docs|-row (doc, source) hop and the |sources|-row rollup;
+    zero joins (weights are derived in-expression — a learned model
+    would add one <= _FT_B-row broadcast build and nothing else). Three
+    spellings were measured at ~sf1 before this one was chosen
+    (BASELINE.md r13b): a scan-local ``aggregate`` fold (zero exchange
+    but the md5 chain runs in INTERPRETED lambda mode — 3.81 s), a
+    run-length distinct-(feat,cnt) fold feeding a 5x-smaller explode
+    (the accumulator's array_append copies made it 5.28 s), and this
+    explode-through-codegen plan at 2.56 s.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     model-serving surface; this extends the LLM-pipeline curation family
@@ -972,14 +979,14 @@ def q_curation_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ws = "split(text, ' ')"
     feats = f"concat({ws}, {spark_bigram_sql(ws)})"
-    logit = (
-        f"aggregate({feats}, CAST(0 AS BIGINT),"
-        f" (acc, f) -> acc + ({_ft_spark_weight('f')}))"
-    )
-    scored = d.select(
-        "source",
-        F.expr(logit).alias("lm"),
-        F.expr(f"size({feats})").cast("long").alias("nf"),
+    tok = d.select("doc_id", "source", F.explode(F.expr(feats)).alias("f"))
+    scored = (
+        tok.select("doc_id", "source", F.expr(_ft_spark_weight("f")).alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w").cast("long").alias("lm"),
+            F.count(F.lit(1)).cast("long").alias("nf"),
+        )
     )
     keep = F.when(F.col("lm") >= 0, 1).otherwise(0)
     return (

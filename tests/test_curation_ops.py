@@ -520,13 +520,13 @@ def test_fasttext_gate_matches_pure_python_model(spark):
     assert any(v[1] > 0 for v in got.values())
 
 
-def test_fasttext_gate_plan_is_scan_local(spark):
-    """Classifier INFERENCE must stay map-only (the operator's scale
-    contract): one parquet scan, zero joins (weights are derived
-    in-expression, not joined), and no exchange keyed on doc_id — only
-    the O(|sources|) rollup and its output sort shuffle."""
-    import re
-
+def test_fasttext_gate_plan_is_codegen_scoring(spark):
+    """Classifier INFERENCE's scale contract: one parquet scan, zero
+    joins (weights are derived in-expression, not joined), the weight
+    chain inside whole-stage codegen (never an interpreted lambda — the
+    measured 1.5x at ~sf1, BASELINE.md r13b), and every exchange fed by
+    a partial aggregate, so the doc hop carries |docs| rows and the
+    rollup |sources| rows — never the feature stream."""
     df = QUERIES["curation_fasttext_gate"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = (
@@ -534,5 +534,10 @@ def test_fasttext_gate_plan_is_scan_local(spark):
     ).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
-    for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
-        assert "doc_id" not in m.group(2), plan
+    # the md5->bucket->weight chain sits in a codegen'd project/aggregate,
+    # not inside a higher-order lambdafunction
+    assert "lambdafunction(md5" not in plan.replace(" ", ""), plan
+    # the doc hop and the rollup both partial-aggregate map-side, and the
+    # only exchanges are those two plus the output sort's range partition
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange") <= 3, plan
