@@ -57,23 +57,25 @@ PRIORITY_50 = [
     # (tests/test_coverage_integrity.py) honored below; choice-family
     # guards pick the member with the OLDEST last green.
     # r14 waiting list (the only queries that will then hold fewer than
-    # 2 external greens): the six r13-new operators below —
+    # 2 external greens): the seven r13-new operators below —
     # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
     # curation_fasttext_gate, text_bpe_train_merges,
-    # curation_kcenter_coreset.
+    # curation_kcenter_coreset, embedding_anisotropy_abtt.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
     # repetition gate, CCNet perplexity buckets, the fastText-style
-    # classifier gate, BPE tokenizer training, and k-center coreset
-    # selection — the six published-method curation/tokenizer operators
-    # the LLM-pipeline family lacked ---
+    # classifier gate, BPE tokenizer training, k-center coreset
+    # selection, and the all-but-the-top anisotropy diagnostic — the
+    # seven published-method curation/tokenizer/embedding operators the
+    # LLM-pipeline family lacked ---
     "curation_dsir_weights",
     "text_gopher_gate",
     "text_ccnet_ppl_buckets",
     "curation_fasttext_gate",
     "text_bpe_train_merges",
     "curation_kcenter_coreset",
+    "embedding_anisotropy_abtt",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -126,8 +128,7 @@ PRIORITY_50 = [
     "mapindex_scan_intersect",
     "mapindex_scan_union",
     # --- spare slots: oldest last-green registry-wide (r3/r4/r5),
-    # third confirmations (three ceded to the r13b-new queries above) ---
-    "local_supplier_volume",
+    # third confirmations (four ceded to the r13b-new queries above) ---
     "pricing_summary",
     "shipping_priority",
     "dedup_apply_neardup_free",

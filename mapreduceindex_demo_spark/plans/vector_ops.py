@@ -947,3 +947,184 @@ def q_curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.orderBy("sel_rank")
+
+
+# ---------------------------------------------------------------------------
+# round 13b: embedding anisotropy / all-but-the-top diagnostic
+# ---------------------------------------------------------------------------
+
+#: power-iteration rounds for the dominant covariance direction. Fixed and
+#: unrolled; the iteration runs over the DIM x DIM covariance grid — pure
+#: metadata, corpus-independent.
+_ABTT_ITERS = 8
+_ABTT_DIM = 64
+
+
+def _abtt_duck_oracle() -> str:
+    """Unrolled DuckDB power iteration. Every chained CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default and each round references its
+    predecessor twice (the matvec and the norm's scalar subquery), so the
+    un-materialized chain re-evaluates the corpus-moment scan 2^iters
+    times — measured as a multi-minute hang at sf0.001 vs 0.16 s
+    materialized."""
+    dot = (
+        "list_reduce(list_transform(range(1, len(ee) + 1), "
+        "x_i -> ee[x_i] * va[x_i]), (x_a, x_b) -> x_a + x_b)"
+    )
+    it, prev = "", "v0"
+    for t in range(1, _ABTT_ITERS + 1):
+        it += f""",
+    u{t} AS MATERIALIZED (SELECT i AS d, SUM(c * vd) AS u FROM c
+                          JOIN {prev} ON j = d GROUP BY 1),
+    v{t} AS MATERIALIZED (SELECT d, round(u / sqrt((SELECT SUM(u*u)
+                          FROM u{t})), 6) + 0.0 AS vd FROM u{t})"""
+        prev = f"v{t}"
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ee
+               FROM embeddings),
+    dims AS (SELECT unnest(range(1, {_ABTT_DIM + 1})) AS d),
+    mu AS MATERIALIZED (SELECT d, round(avg(ee[d]), 6) + 0.0 AS m
+                        FROM e CROSS JOIN dims GROUP BY 1),
+    mm AS MATERIALIZED (SELECT i.d AS i, j.d AS j,
+                               round(avg(e.ee[i.d] * e.ee[j.d]), 6) + 0.0 AS mij
+                        FROM e CROSS JOIN dims i CROSS JOIN dims j
+                        GROUP BY 1, 2),
+    c AS MATERIALIZED (SELECT i, j, round(mij - mi.m * mj.m, 6) + 0.0 AS c
+                       FROM mm JOIN mu mi ON mi.d = i JOIN mu mj ON mj.d = j),
+    v0 AS (SELECT d, CASE WHEN d = 1 THEN 1.0 ELSE 0.0 END AS vd FROM dims){it},
+    varr AS (SELECT list(vd ORDER BY d) AS va FROM v{_ABTT_ITERS}),
+    lt AS (SELECT round(SUM(c * va[i] * va[j]), 6) + 0.0 AS var_top,
+                  round(SUM(CASE WHEN i = j THEN c ELSE 0.0 END), 6) + 0.0
+                    AS trace_cov
+           FROM c CROSS JOIN varr),
+    proj AS (SELECT label, round({dot}, 6) + 0.0 AS p FROM e CROSS JOIN varr)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(avg(p), 6) + 0.0 AS mean_proj_top,
+           round(avg(p*p), 6) + 0.0 AS meansq_proj_top,
+           var_top, trace_cov,
+           round(var_top / trace_cov, 6) + 0.0 AS var_share_top
+    FROM proj CROSS JOIN lt GROUP BY label, var_top, trace_cov ORDER BY label
+    """
+
+
+def abtt_power_iteration(C: list, iters: int = _ABTT_ITERS) -> list:
+    """Driver-side power iteration over the 6-dp covariance grid: pure
+    IEEE-double Python, deterministic and engine-independent; each round
+    re-rounds to the grid exactly as the oracle's SQL does. Shared by the
+    query builder and the NumPy recomputation test."""
+    import math
+
+    dim = len(C)
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(iters):
+        u = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in u))
+        v = [round(x / nrm, 6) + 0.0 for x in u]
+    return v
+
+
+@query(
+    "embedding_anisotropy_abtt",
+    oracle=_abtt_duck_oracle(),
+    tags=("llm", "embedding", "anisotropy", "abtt"),
+)
+def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic — the measurement half of
+    ALL-BUT-THE-TOP post-processing (Mu & Viswanath, ICLR 2018: embedding
+    sets share a large common mean vector and a few dominant directions;
+    removing them improves downstream similarity tasks). The operator
+    computes the corpus covariance's dominant direction by power
+    iteration and serves, per label stratum, the corpus-health numbers a
+    retrieval pipeline monitors before/after correction: member count,
+    mean and mean-square projection onto the top direction (a stratum
+    whose mean projection sits far from its peers is encoding SOURCE, not
+    content), plus the global top-direction variance, covariance trace,
+    and variance share (the anisotropy number itself — isotropic
+    embeddings put ~1/dim of variance on any direction; these synthetic
+    embeddings measure ~0.027 ≈ 1.76/64).
+
+    Execution splits by SIZE CLASS, the [q:similarity_pq_adc_ann]
+    codebook precedent: the corpus-sized work is ONE fused scan — each
+    row emits its 64x64 outer-product array concatenated with the raw
+    vector (one Generate), and a map-side-combined groupBy reduces it to
+    the DIM*(DIM+1) = 4160 second/first-moment cells — which is then a
+    BOUNDED-METADATA collect (dim²-sized, corpus-INDEPENDENT; the suite's
+    third such site). The power iteration itself runs driver-side over
+    that 6-dp grid (``abtt_power_iteration`` — pure IEEE doubles,
+    deterministic, exactly what a production pipeline does: numpy eig on
+    the driver after a distributed moment pass), and the trained
+    direction re-enters the plan as a LITERAL array for the per-label
+    projection scan. Total: two corpus passes at read bandwidth, zero
+    joins, no vec_id-keyed exchange anywhere.
+
+    Determinism/parity: every moment is rounded to the 6-dp grid before
+    use (the [q:similarity_ivf_ann] n·eps argument covers the cross-engine
+    avg summation order), the iteration re-rounds each round, and the
+    oracle replays the identical chain in SQL over MATERIALIZED CTEs (see
+    ``_abtt_duck_oracle`` for why materialization is load-bearing).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    embedding surface; this extends the LLM-pipeline vector family beyond
+    reference parity."""
+    dim, g = _ABTT_DIM, lambda x: round(x, 6) + 0.0
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ee")
+    )
+    # one fused moment pass: positions [0, dim²) are the outer product
+    # (i = p div dim + 1, j = p mod dim + 1), positions >= dim² the raw
+    # vector (j = 0 marks a first-moment cell)
+    fused = e.select(
+        F.posexplode(
+            F.expr("concat(flatten(transform(ee, x -> transform(ee, y -> x * y))), ee)")
+        ).alias("p", "v")
+    ).select(
+        F.when(F.col("p") < dim * dim, F.floor(F.col("p") / dim) + 1)
+        .otherwise(F.col("p") - dim * dim + 1)
+        .cast("int")
+        .alias("i"),
+        F.when(F.col("p") < dim * dim, F.col("p") % dim + 1)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("j"),
+        "v",
+    )
+    cells = (
+        fused.groupBy("i", "j")
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    M = [[0.0] * dim for _ in range(dim)]
+    for r in cells:
+        if r.j == 0:
+            mu[r.i - 1] = r.m
+        else:
+            M[r.i - 1][r.j - 1] = r.m
+    C = [[g(M[i][j] - mu[i] * mu[j]) for j in range(dim)] for i in range(dim)]
+    v = abtt_power_iteration(C)
+    var_top = g(sum(C[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)))
+    trace = g(sum(C[i][i] for i in range(dim)))
+    va = F.array(*[F.lit(x) for x in v])
+    proj = e.select(
+        "label", (F.round(S.dot_fold(F.col("ee"), va), 6) + F.lit(0.0)).alias("p")
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.round(F.avg("p"), 6) + F.lit(0.0)).alias("mean_proj_top"),
+            (F.round(F.avg(F.col("p") * F.col("p")), 6) + F.lit(0.0)).alias(
+                "meansq_proj_top"
+            ),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "mean_proj_top",
+            "meansq_proj_top",
+            F.lit(var_top).alias("var_top"),
+            F.lit(trace).alias("trace_cov"),
+            F.lit(g(var_top / trace)).alias("var_share_top"),
+        )
+        .orderBy("label")
+    )

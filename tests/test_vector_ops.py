@@ -426,3 +426,63 @@ def test_kcenter_plan_no_pairwise_join_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
     for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
         assert "vec_id" not in m.group(2), plan
+
+
+def test_abtt_anisotropy_matches_numpy(spark):
+    """The full all-but-the-top chain — 6-dp mean/second-moment grid,
+    covariance assembly, the shared driver-side power iteration, top
+    variance/trace/share, per-label projections — re-derived with NumPy
+    over the same parquet and compared exactly."""
+    from mapreduceindex_demo_spark.plans.vector_ops import (
+        _ABTT_DIM,
+        abtt_power_iteration,
+    )
+
+    g = lambda x: round(float(x), 6) + 0.0  # noqa: E731
+    t = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    labels = np.array(t.column("label").to_pylist())
+    X = np.array(
+        [np.array(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    dim = _ABTT_DIM
+    mu = [g(m) for m in X.mean(axis=0)]
+    M = (X[:, :, None] * X[:, None, :]).mean(axis=0)
+    C = [[g(g(M[i][j]) - mu[i] * mu[j]) for j in range(dim)] for i in range(dim)]
+    v = abtt_power_iteration(C)
+    var_top = g(sum(C[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)))
+    trace = g(sum(C[i][i] for i in range(dim)))
+    p = np.round(X @ np.array(v), 6) + 0.0
+    expected = []
+    for lab in sorted(set(labels.tolist())):
+        sel = p[labels == lab]
+        expected.append(
+            (lab, len(sel), g(sel.mean()), g((sel * sel).mean()),
+             var_top, trace, g(var_top / trace))
+        )
+    got = [
+        tuple(r)
+        for r in QUERIES["embedding_anisotropy_abtt"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    # the diagnostic finds genuine anisotropy: the top direction holds
+    # more variance than an isotropic 1/dim share
+    assert got[0][6] > 1.0 / dim
+
+
+def test_abtt_plan_no_join_no_vec_exchange(spark):
+    """The scoring pass's scale contract: the trained direction enters as
+    a LITERAL array (no join anywhere), and no exchange is keyed on
+    vec_id — the per-label rollup is the only data-dependent shuffle.
+    The moment pass is a bounded-metadata collect by construction
+    (DIM*(DIM+1) cells, corpus-independent)."""
+    import re
+
+    df = QUERIES["embedding_anisotropy_abtt"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
+        assert "vec_id" not in m.group(2), plan
