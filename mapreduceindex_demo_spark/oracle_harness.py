@@ -1,10 +1,18 @@
-"""Shared DuckDB-side harness for the benchmark scripts.
+"""Shared cross-engine harness: the DuckDB side of the benchmark
+scripts, plus the single-source SQL spellings both engines interpolate.
 
 bench_sf1.py (replica crossover) and duck_suite.py (per-query sf0.1
 comparator) must stay METHODOLOGY-IDENTICAL for BASELINE.md tables to be
 comparable across rounds — same view construction (including the
 events epoch-nanos→µs-timestamp fixup the replica layout needs), same
 symmetric forced-checksum spelling. One definition, imported by both.
+
+This module also hosts the ONE-definition SQL fragments that must never
+fork between the engines: `duck_hex_int` (DuckDB's hex→int idiom) and
+`spark_bigram_sql` (the Spark-side bigram extraction shared by the PMI,
+bigram-LM, CCNet, and fastText queries). They live here — not in
+functions/ — because their invariant is CROSS-ENGINE spelling parity,
+the same contract the forced-checksum helpers carry (r13b review note).
 """
 
 from __future__ import annotations

@@ -585,6 +585,12 @@ def q_text_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes deviate from n/3 exactly when score ties straddle a
     boundary (CCNet's own percentile thresholds behave the same way;
     an ntile spelling would instead split ties arbitrarily by doc id).
+    Domain note (r13b review): documents with fewer than 2 tokens have
+    no bigrams, are unscorable under a bigram LM, and appear in NO
+    bucket — SUM(n_docs) counts scorable documents, not the corpus
+    (both engines and the Python-mirror test share the exclusion; the
+    generated corpus has no such documents, so the rollup partitions it
+    exactly at every test SF).
 
     Determinism/parity: per-vocabulary-entry nlp as a micro-unit BIGINT
     (``_CCNET_NLP_MICRO``, one ln per (lang, bigram), never per token),
@@ -816,7 +822,7 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_ONLY)
 
     bests = []
-    for _ in range(_BPE_MERGES):
+    for i in range(_BPE_MERGES):
         pairs = seq.select(
             F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
             "cnt",
@@ -828,9 +834,10 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
         bests.append(best)
-        seq = seq.crossJoin(F.broadcast(best)).select(
-            F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
-        ).persist(StorageLevel.MEMORY_ONLY)
+        if i < _BPE_MERGES - 1:  # the last round's rewrite has no reader
+            seq = seq.crossJoin(F.broadcast(best)).select(
+                F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
+            ).persist(StorageLevel.MEMORY_ONLY)
 
     out = None
     for i, best in enumerate(bests, start=1):

@@ -810,13 +810,20 @@ def q_text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * _GOPHER_ALPHA_DEN
                 >= _GOPHER_ALPHA_NUM * F.col("n")
             ).alias("ok_alpha"),
+            # mc/dupi/toti are scan-local fold outputs and can NEVER be
+            # NULL (the fuzz test covers empty gram arrays: they yield 0,
+            # not NULL) — no coalesce here, so this can't silently
+            # diverge from the oracle's LEFT-JOIN-side COALESCEs, whose
+            # NULL branches are equally dead on the same invariant
+            # (short docs have dupi = toti = 0, and 0·den <= num·0 and
+            # 0·den <= num·1 agree). r13b review finding.
             (
-                F.coalesce("mc", F.lit(0)) * 2 * _GOPHER_TOP2_DEN
+                F.col("mc") * 2 * _GOPHER_TOP2_DEN
                 <= _GOPHER_TOP2_NUM * F.col("n")
             ).alias("ok_top2gram"),
             (
-                F.coalesce("dupi", F.lit(0)) * _GOPHER_DUP3_DEN
-                <= _GOPHER_DUP3_NUM * F.coalesce("toti", F.lit(1))
+                F.col("dupi") * _GOPHER_DUP3_DEN
+                <= _GOPHER_DUP3_NUM * F.col("toti")
             ).alias("ok_dup3gram"),
         )
     )

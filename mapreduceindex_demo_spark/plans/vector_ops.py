@@ -1007,11 +1007,29 @@ def _abtt_duck_oracle() -> str:
     """
 
 
+def abtt_g6(x: float) -> float:
+    """The engine-exact 6-dp grid for driver-side math: round the
+    SHORTEST-DECIMAL representation HALF-UP, then normalize -0.0. This is
+    what both engines' round(x, 6) actually does — Spark goes through
+    BigDecimal.valueOf(double) (= Double.toString, the shortest
+    round-trip decimal) with HALF_UP, and DuckDB matches it — so neither
+    Python's round() (half-to-even: 0.1015625 → 0.101562 vs the engines'
+    0.101563) nor HALF_UP on the exact binary expansion (0.1234565 is
+    stored below the half, → 0.123456 vs the engines' 0.123457) is a
+    correct mirror; Decimal(repr(x)) + ROUND_HALF_UP reproduces both
+    measured cases (r13b review finding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    ) + 0.0
+
+
 def abtt_power_iteration(C: list, iters: int = _ABTT_ITERS) -> list:
     """Driver-side power iteration over the 6-dp covariance grid: pure
     IEEE-double Python, deterministic and engine-independent; each round
-    re-rounds to the grid exactly as the oracle's SQL does. Shared by the
-    query builder and the NumPy recomputation test."""
+    re-rounds to the grid exactly as the oracle's SQL does (``abtt_g6``).
+    Shared by the query builder and the NumPy recomputation test."""
     import math
 
     dim = len(C)
@@ -1019,7 +1037,7 @@ def abtt_power_iteration(C: list, iters: int = _ABTT_ITERS) -> list:
     for _ in range(iters):
         u = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         nrm = math.sqrt(sum(x * x for x in u))
-        v = [round(x / nrm, 6) + 0.0 for x in u]
+        v = [abtt_g6(x / nrm) for x in u]
     return v
 
 
@@ -1066,7 +1084,7 @@ def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     embedding surface; this extends the LLM-pipeline vector family beyond
     reference parity."""
-    dim, g = _ABTT_DIM, lambda x: round(x, 6) + 0.0
+    dim, g = _ABTT_DIM, abtt_g6
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("ee")
     )

@@ -38,6 +38,7 @@ import argparse
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -72,8 +73,26 @@ def synthesize(spark, copies: int) -> str:
     out = f"/tmp/snm_degenerate_x{copies}"
     dst = os.path.join(out, "customer.parquet")
     if os.path.exists(dst):
-        print(f"# corpus exists: {dst}", file=sys.stderr)
-        return out
+        # a killed prior run leaves a partial directory (e.g. _temporary/
+        # still present, or fewer rows than expected) — validate before
+        # trusting it, mirroring the SRC row-count check above
+        try:
+            import pyarrow.dataset as ds
+
+            have = ds.dataset(dst, format="parquet").count_rows()
+        except Exception:
+            have = -1
+        if have == copies * BASE and not os.path.exists(
+            os.path.join(dst, "_temporary")
+        ):
+            print(f"# corpus exists: {dst} ({have} rows)", file=sys.stderr)
+            return out
+        print(
+            f"# stale/partial corpus at {dst} ({have} rows, want "
+            f"{copies * BASE}) — regenerating",
+            file=sys.stderr,
+        )
+        shutil.rmtree(dst)
     c = load_table(spark, SRC, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )

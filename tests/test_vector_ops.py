@@ -435,10 +435,11 @@ def test_abtt_anisotropy_matches_numpy(spark):
     over the same parquet and compared exactly."""
     from mapreduceindex_demo_spark.plans.vector_ops import (
         _ABTT_DIM,
+        abtt_g6,
         abtt_power_iteration,
     )
 
-    g = lambda x: round(float(x), 6) + 0.0  # noqa: E731
+    g = lambda x: abtt_g6(float(x))  # noqa: E731
     t = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
     labels = np.array(t.column("label").to_pylist())
     X = np.array(
@@ -451,7 +452,7 @@ def test_abtt_anisotropy_matches_numpy(spark):
     v = abtt_power_iteration(C)
     var_top = g(sum(C[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)))
     trace = g(sum(C[i][i] for i in range(dim)))
-    p = np.round(X @ np.array(v), 6) + 0.0
+    p = np.array([g(x) for x in X @ np.array(v)])
     expected = []
     for lab in sorted(set(labels.tolist())):
         sel = p[labels == lab]
@@ -486,3 +487,31 @@ def test_abtt_plan_no_join_no_vec_exchange(spark):
     assert plan.count("Scan parquet") == 1, plan
     for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
         assert "vec_id" not in m.group(2), plan
+
+
+def test_abtt_g6_mirrors_engine_rounding(spark, duck):
+    """The driver-side grid (shortest-repr + HALF_UP) against BOTH
+    engines' round(x, 6) on the adversarial cases where Python round()
+    (half-to-even) and exact-binary HALF_UP each diverge from the
+    engines: representable decimal halves (0.1015625) and values whose
+    shortest repr is a half but whose binary value sits below it
+    (0.1234565)."""
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
+    cases = [0.1015625, -0.1015625, 0.1234565, -0.1234565, 2.5e-7,
+             -2.5e-7, 1 / 3, -1 / 3, 0.9999995, 13 / 128]
+    mirrored = [abtt_g6(x) for x in cases]
+    duck_vals = [
+        duck.sql(f"SELECT round(CAST({x!r} AS DOUBLE), 6) + 0.0").fetchone()[0]
+        for x in cases
+    ]
+    spark_vals = list(
+        spark.sql(
+            "SELECT "
+            + ", ".join(f"round(CAST({x!r} AS DOUBLE), 6) + 0.0" for x in cases)
+        ).collect()[0]
+    )
+    assert mirrored == duck_vals == spark_vals
+    # and the cases are genuinely adversarial: python round() gets two wrong
+    assert round(0.1015625, 6) != abtt_g6(0.1015625)
+    assert round(0.1234565, 6) != abtt_g6(0.1234565)
