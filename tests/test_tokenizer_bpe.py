@@ -125,3 +125,54 @@ def test_bpe_plan_touches_corpus_once(spark):
     ).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") <= 1, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_zipf_fit_matches_pure_python_least_squares(spark):
+    """The Zipf diagnostic re-derived in pure Python: identical rank
+    order (count DESC, term ASC), ln over exact counts, the same
+    closed-form least-squares expressions — compared exactly; and the
+    synthetic corpus must read as UN-Zipfian (shallow slope, poor fit),
+    which is the diagnostic's alarm branch."""
+    import math
+    from collections import Counter
+
+    words = Counter()
+    for text in pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist():
+        words.update(text.split(" "))
+    ranked = sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = float(len(ranked))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) ** 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    [row] = QUERIES["text_zipf_fit"].fn(spark, PARITY_SF_DIR).collect()
+    assert row.n_terms == len(ranked)
+    assert row.total_tokens == sum(words.values())
+    assert abs(row.zipf_slope - slope) < 2e-6
+    assert abs(row.zipf_intercept - intercept) < 2e-6
+    assert abs(row.fit_r2 - r2) < 2e-6
+    # the alarm branch: synthetic near-uniform vocabulary is not Zipfian
+    assert row.zipf_slope > -0.5 and row.fit_r2 < 0.5
+
+
+def test_zipf_window_is_vocabulary_scoped(spark):
+    """The rank window must order the vocabulary-sized frequency table,
+    never the corpus: the executed plan's Window sits above the term
+    groupBy (its input is the aggregated table), and the corpus is
+    scanned once."""
+    df = QUERIES["text_zipf_fit"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" in plan, plan
+    # the Window's input is the term-count aggregate, so a doc-keyed
+    # exchange can never appear
+    assert "hashpartitioning(doc_id" not in plan, plan
