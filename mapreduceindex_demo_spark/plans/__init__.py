@@ -61,16 +61,16 @@ PRIORITY_50 = [
     # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
     # curation_fasttext_gate, text_bpe_train_merges,
     # curation_kcenter_coreset, embedding_anisotropy_abtt,
-    # text_zipf_fit.
+    # text_zipf_fit, graph_kcore_decomposition.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
     # repetition gate, CCNet perplexity buckets, the fastText-style
     # classifier gate, BPE tokenizer training, k-center coreset
-    # selection, the all-but-the-top anisotropy diagnostic, and the
-    # Zipf rank-frequency fit — the eight published-method
-    # curation/tokenizer/embedding operators the LLM-pipeline family
-    # lacked ---
+    # selection, the all-but-the-top anisotropy diagnostic, the Zipf
+    # rank-frequency fit, and k-core degeneracy peeling — the nine
+    # published-method curation/tokenizer/embedding/graph operators the
+    # LLM-pipeline and graph families lacked ---
     "curation_dsir_weights",
     "text_gopher_gate",
     "text_ccnet_ppl_buckets",
@@ -79,6 +79,7 @@ PRIORITY_50 = [
     "curation_kcenter_coreset",
     "embedding_anisotropy_abtt",
     "text_zipf_fit",
+    "graph_kcore_decomposition",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -130,9 +131,8 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- spare slots: oldest last-green registry-wide (r3/r4/r5),
-    # third confirmations (five ceded to the r13b-new queries above) ---
-    "pricing_summary",
+    # --- spare slot: oldest last-green registry-wide (r3/r4/r5), third
+    # confirmation (six spares ceded to the r13b-new queries above) ---
     "dedup_apply_neardup_free",
     # bigram-extraction helper refactor touched this query's builder
     # (byte-identical generated SQL, parity re-verified) — in-window by

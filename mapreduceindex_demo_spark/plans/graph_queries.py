@@ -199,3 +199,135 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 13b: k-core decomposition (degeneracy peeling)
+# ---------------------------------------------------------------------------
+
+#: the core order served. 10 bites at every test SF (the trade graph's
+#: low-degree tail sits under it at sf0.001/0.01/0.1) while leaving a
+#: non-empty core.
+_KCORE_K = 10
+#: fixed peel rounds, unrolled identically on both engines. The peel is a
+#: monotone fixpoint (edge sets only shrink); on the trade graph it
+#: converges well inside 4 rounds at every test SF (asserted in
+#: tests/test_graph_kcore.py) — the served per-round trajectory makes
+#: non-convergence visible (last two rows would differ).
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling in DuckDB. Every round's edge set is MATERIALIZED:
+    each round references its predecessor THREE times (degree table + both
+    endpoint filters), so default CTE inlining would re-evaluate the
+    fact-table join 3^rounds times (the [q:embedding_anisotropy_abtt]
+    lesson)."""
+    steps, prev = [], "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS c
+                          FROM {prev} GROUP BY 1) WHERE c >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+                          JOIN d{r} a ON e.u = a.u
+                          JOIN d{r} b ON e.v = b.u)""")
+        prev = f"e{r}"
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" CAST((SELECT COUNT(DISTINCT u) FROM e{r}) AS BIGINT) AS n_nodes,"
+        f" CAST((SELECT COUNT(*) FROM e{r}) // 2 AS BIGINT) AS n_edges"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    return f"""
+    WITH raw AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                        's' || CAST(l_suppkey AS VARCHAR) AS v
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e0 AS MATERIALIZED (SELECT u, v FROM raw
+                        UNION ALL SELECT v AS u, u AS v FROM raw),
+    {",".join(steps)}
+    SELECT * FROM ({rows}) ORDER BY round
+    """
+
+
+@query(
+    "graph_kcore_decomposition",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "kcore"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the trade graph — degeneracy peeling
+    (Seidman 1983; Batagelj-Zaveršnik 2003): repeatedly delete every
+    node with degree < k until only the k-core remains, serving the
+    per-round (nodes, edges) trajectory from the full graph (round 0)
+    to the ``_KCORE_K``-core. The fourth classic graph operator beside
+    components, PageRank, and the triangle census: dedup/contamination
+    pipelines read the core as the "densely corroborated" subgraph
+    (entities linked by many independent co-occurrences) and the peeled
+    tail as the weakly-attached periphery a crawl-quality prior
+    down-weights — and the trajectory itself is the graph-health
+    dashboard (a boilerplate flood shows up as a fat early peel).
+
+    Determinism: degrees and counts are exact integers over DISTINCT
+    string-keyed edges; no floats anywhere. Both engines peel the
+    identical unrolled rounds; the monotone edge-set shrinkage makes the
+    round trajectory a fixpoint certificate (equal last rows ==
+    converged, asserted at every test SF).
+
+    Scale shape: edge derivation is one fact-table join + DISTINCT
+    (map-side combined); each peel round is one degree groupBy (combiner
+    O(|V|)) plus two semi-join endpoint filters on the CURRENT edge set
+    — all equi-joins on node keys, AQE broadcasts the survivor list when
+    the periphery collapses to metadata size; each round's edge set
+    persists MEMORY_ONLY so round i+1 and the stats rows never replay
+    round i (the BPE per-round persist pattern). Nothing quadratic, no
+    windows, parallelism |V| hash partitions per round — the same Pregel
+    communication shape as [q:graph_pagerank_topk].
+
+    Reference anchor: the reference engine has no iterative operator
+    (SURVEY §2.2 — its only loop is the per-document map pipeline); like
+    components/PageRank/triangles this is engine-completeness work
+    beyond the reference surface."""
+    from pyspark import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    # no distinct after symmetrizing: raw is already distinct and every
+    # raw edge is (c*, s*) while every reversed edge is (s*, c*), so the
+    # 'c'/'s' prefixes make cross-duplicates impossible — a distinct here
+    # would be a no-op costing one full exchange over 2|E| rows (r13b
+    # review finding; the oracle's e0 is UNION ALL for the same reason)
+    edges = (
+        raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+
+    def stats(e, r):
+        return e.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("u").cast("long").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        )
+
+    out = stats(edges, 0)
+    for r in range(1, _KCORE_ROUNDS + 1):
+        survivors = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(survivors, "u", "left_semi")
+            .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+        out = out.unionAll(stats(edges, r))
+    return out.orderBy("round")

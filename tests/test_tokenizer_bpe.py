@@ -172,7 +172,18 @@ def test_zipf_window_is_vocabulary_scoped(spark):
         df._jdf.queryExecution().executedPlan().toString()
     ).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1, plan
+    # the substructure pin (r13b review): the term-count HashAggregate
+    # must sit BELOW the Window — i.e. the window's input subtree (the
+    # text from the Window node down to the Generate) contains the
+    # vocabulary aggregate, so a regression that ranked the exploded
+    # token stream directly would fail here, not just a doc_id grep
     assert "Window" in plan, plan
-    # the Window's input is the term-count aggregate, so a doc-keyed
-    # exchange can never appear
+    below_window = plan.split("Window", 1)[1].split("Generate", 1)[0]
+    # (the aggregate may be served from a cache-manager hit on another
+    # test's identical wordcount subtree — an InMemoryTableScan below the
+    # window pins the same vocabulary-sized-input property)
+    assert (
+        "HashAggregate(keys=[term" in below_window
+        or "InMemoryTableScan" in below_window
+    ), plan
     assert "hashpartitioning(doc_id" not in plan, plan
