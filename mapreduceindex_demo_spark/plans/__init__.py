@@ -61,17 +61,19 @@ PRIORITY_50 = [
     # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
     # curation_fasttext_gate, text_bpe_train_merges,
     # curation_kcenter_coreset, embedding_anisotropy_abtt,
-    # text_zipf_fit, graph_kcore_decomposition.
+    # text_zipf_fit, graph_kcore_decomposition, curation_dsir_sample.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
     # repetition gate, CCNet perplexity buckets, the fastText-style
     # classifier gate, BPE tokenizer training, k-center coreset
     # selection, the all-but-the-top anisotropy diagnostic, the Zipf
-    # rank-frequency fit, and k-core degeneracy peeling — the nine
-    # published-method curation/tokenizer/embedding/graph operators the
-    # LLM-pipeline and graph families lacked ---
+    # rank-frequency fit, k-core degeneracy peeling, and the DSIR
+    # Gumbel-top-k selection — the ten published-method
+    # curation/tokenizer/embedding/graph operators the LLM-pipeline and
+    # graph families lacked ---
     "curation_dsir_weights",
+    "curation_dsir_sample",
     "text_gopher_gate",
     "text_ccnet_ppl_buckets",
     "curation_fasttext_gate",
@@ -131,9 +133,8 @@ PRIORITY_50 = [
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
     "mapindex_scan_union",
-    # --- spare slot: oldest last-green registry-wide (r3/r4/r5), third
-    # confirmation (six spares ceded to the r13b-new queries above) ---
-    "dedup_apply_neardup_free",
+    # (all seven spare third-confirmation slots ceded to the r13b-new
+    # queries above)
     # bigram-extraction helper refactor touched this query's builder
     # (byte-identical generated SQL, parity re-verified) — in-window by
     # the changed-this-round rule

@@ -454,8 +454,10 @@ _DSIR_LR_MICRO = (
     f" - ln(CAST(nt + {_DSIR_B} AS DOUBLE))) * 1000000, 0) AS BIGINT)"
 )
 
-_DSIR_ORACLE = f"""
-    WITH tok AS (SELECT doc_id, lang,
+#: the shared WITH-chain through the per-doc weight table ``w`` — ONE
+#: spelling serving both the ranking oracle ([q:curation_dsir_weights])
+#: and the Gumbel-top-k selection oracle ([q:curation_dsir_sample]).
+_DSIR_W_CTES = f"""tok AS (SELECT doc_id, lang,
                         unnest(string_split(text, ' ')) AS w
                  FROM documents),
     dbc AS (SELECT doc_id, lang,
@@ -476,7 +478,10 @@ _DSIR_ORACLE = f"""
     w AS (SELECT doc_id,
                  CAST(SUM(cnt * lr.lr) AS BIGINT) AS weight_micro,
                  CAST(SUM(cnt) AS BIGINT) AS n_tokens
-          FROM dbc JOIN lr ON lr.b = dbc.b GROUP BY 1)
+          FROM dbc JOIN lr ON lr.b = dbc.b GROUP BY 1)"""
+
+_DSIR_ORACLE = f"""
+    WITH {_DSIR_W_CTES}
     SELECT d.doc_id, d.source, d.lang, w.n_tokens, w.weight_micro,
            round(CAST(w.weight_micro AS DOUBLE) / 1000000.0, 6) + 0.0
              AS logweight
@@ -527,6 +532,29 @@ def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (indexjs.go:73-191) has no curation surface; this extends the
     LLM-pipeline operator family the engine adds beyond reference
     parity."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "weight_micro",
+            (
+                F.round(F.col("weight_micro").cast("double") / 1000000.0, 6)
+                + F.lit(0.0)
+            ).alias("logweight"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+
+
+def _dsir_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document DSIR importance-weight table (doc_id, source,
+    lang, weight_micro, n_tokens) — the ONE Spark spelling shared by the
+    ranking query and the Gumbel-top-k selection query (mirrors the
+    shared ``_DSIR_W_CTES`` oracle chain)."""
     from pyspark import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
@@ -564,28 +592,13 @@ def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("b", F.expr(_DSIR_LR_MICRO).alias("lr"))
     )
-    w = (
+    return (
         dbc.join(lr, "b")
         .groupBy("doc_id", "source", "lang")
         .agg(
             F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("weight_micro"),
             F.sum("cnt").cast("long").alias("n_tokens"),
         )
-    )
-    return (
-        w.select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_tokens",
-            "weight_micro",
-            (
-                F.round(F.col("weight_micro").cast("double") / 1000000.0, 6)
-                + F.lit(0.0)
-            ).alias("logweight"),
-        )
-        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
-        .limit(_DSIR_TOPK)
     )
 
 
@@ -1013,4 +1026,87 @@ def q_curation_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nf").cast("long").alias("n_feats"),
         )
         .orderBy("source")
+    )
+
+
+# ==========================================================================
+# round 13b: DSIR Gumbel-top-k selection (the sampling half of DSIR)
+# ==========================================================================
+
+#: documents drawn by the Gumbel-top-k selection
+_DSIR_SAMPLE_K = 30
+
+
+@query(
+    "curation_dsir_sample",
+    oracle=f"""
+    WITH {_DSIR_W_CTES},
+    g AS (SELECT w.doc_id, d.source, w.n_tokens, w.weight_micro,
+            round(CAST(w.weight_micro AS DOUBLE) / 1000000.0
+                  - ln(-ln((CAST(({duck_hex_int(
+                      "md5('dsg:' || CAST(w.doc_id AS VARCHAR))")})
+                      AS DOUBLE) + 0.5) / 4294967296.0)), 6) + 0.0
+              AS gumbel_key
+          FROM w JOIN documents d ON d.doc_id = w.doc_id)
+    SELECT doc_id, source, n_tokens, weight_micro, gumbel_key
+    FROM g ORDER BY gumbel_key DESC, doc_id LIMIT {_DSIR_SAMPLE_K}
+    """,
+    tags=("llm", "curation", "dsir", "gumbel", "sampling"),
+)
+def q_curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's SELECTION step — Gumbel-top-k sampling without replacement
+    over the importance weights (Xie et al. NeurIPS'23 §2.3 select with
+    Gumbel noise on the log importance weights; the Gumbel-top-k theorem
+    — Vieira 2014, Kool et al. ICML'19 — makes the top-k of
+    logweight + Gumbel an exact without-replacement draw with inclusion
+    probability ∝ exp(logweight)). [q:curation_dsir_weights] RANKS the
+    corpus; this DRAWS the training subset from it, completing the
+    method: key = logweight − ln(−ln(u)) with u derived from the
+    document id under a domain-separated hash ('dsg:' prefix) — the
+    hash-derived-uniform design rule of [q:curation_weighted_sample]'s
+    A-Res draw (which this generalizes: A-Res is the w-exponentiated
+    special case), so the sample is a pure function of the corpus with
+    no RNG state to coordinate.
+
+    Determinism/parity: the weight table rides the SHARED integer-exact
+    DSIR kernel (``_dsir_weight_frame`` ↔ ``_DSIR_W_CTES`` — one
+    spelling per engine pair); the Gumbel chain is two ln's over an
+    exactly-representable uniform, spelled identically on both sides,
+    rounded to the 6-dp grid before the (gumbel_key DESC, doc_id)
+    total order.
+
+    Scale shape: identical to the weights query up to the ``w`` table
+    (one corpus-sized (doc,bucket) exchange, ≤4096-row broadcast LMs);
+    the Gumbel key is a scan-local expression over ``w`` and the draw is
+    a TakeOrdered — per-partition heaps, one k-row merge, the corpus
+    never globally sorted."""
+    w = _dsir_weight_frame(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dsg:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    gkey = (
+        F.round(
+            F.col("weight_micro").cast("double") / 1000000.0
+            - F.log(-F.log(u)),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "weight_micro",
+            gkey.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(_DSIR_SAMPLE_K)
     )

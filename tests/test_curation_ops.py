@@ -541,3 +541,54 @@ def test_fasttext_gate_plan_is_codegen_scoring(spark):
     # only exchanges are those two plus the output sort's range partition
     assert "partial_sum" in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_dsir_sample_is_gumbel_top_k_of_the_weights(spark):
+    """The Gumbel-top-k draw re-derived in pure Python on top of the
+    weights the ranking query serves under the same shared kernel: key =
+    logweight - ln(-ln(u)) with u from the domain-separated doc-id hash;
+    and the draw must genuinely differ from the plain weight top-k (the
+    noise does its sampling job) while still being weight-biased."""
+    import hashlib
+    import math
+
+    from mapreduceindex_demo_spark.plans.curation_ops import (
+        _DSIR_SAMPLE_K,
+        _dsir_weight_frame,
+    )
+
+    w = {
+        r.doc_id: (r.source, r.n_tokens, r.weight_micro)
+        for r in _dsir_weight_frame(spark, PARITY_SF_DIR).collect()
+    }
+
+    def key(doc_id, wm):
+        h = int(hashlib.md5(f"dsg:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round(wm / 1000000.0 - math.log(-math.log(u)), 6) + 0.0
+
+    scored = sorted(
+        ((key(d, v[2]), d) for d, v in w.items()), key=lambda t: (-t[0], t[1])
+    )[:_DSIR_SAMPLE_K]
+    expected = [
+        (d, w[d][0], w[d][1], w[d][2], k) for k, d in scored
+    ]
+    got = [
+        (r.doc_id, r.source, r.n_tokens, r.weight_micro, r.gumbel_key)
+        for r in QUERIES["curation_dsir_sample"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    # the noise genuinely samples: the draw is not the plain weight top-k
+    plain = {
+        d
+        for d, _ in sorted(
+            w.items(), key=lambda kv: (-kv[1][2], kv[0])
+        )[:_DSIR_SAMPLE_K]
+    }
+    drawn = {d for d, *_ in got}
+    assert drawn != plain
+    # ... but remains weight-biased: the drawn set's mean weight sits
+    # above the corpus mean
+    mean_all = sum(v[2] for v in w.values()) / len(w)
+    mean_drawn = sum(w[d][2] for d in drawn) / len(drawn)
+    assert mean_drawn > mean_all
