@@ -61,7 +61,13 @@ PRIORITY_50 = [
     # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
     # curation_fasttext_gate, text_bpe_train_merges,
     # curation_kcenter_coreset, embedding_anisotropy_abtt,
-    # text_zipf_fit, graph_kcore_decomposition, curation_dsir_sample.
+    # text_zipf_fit, graph_kcore_decomposition, curation_dsir_sample,
+    # text_bpe_apply_merges — plus graph_pagerank_topk, whose SECOND
+    # green (it holds one, r8) was ceded to fit the eleventh new query
+    # (it is the one r8 single with no family guard — the graph family
+    # is represented by the r13b k-core — and multimodal_ahash_apply
+    # must stay as the multimodal family's only in-window member); it
+    # rejoins in r14 to finish the >=2-greens program.
     # ---
     # --- NEW this round (zero external rows — machine-enforced
     # in-window): DSIR importance weighting, the Gopher quality +
@@ -82,6 +88,7 @@ PRIORITY_50 = [
     "embedding_anisotropy_abtt",
     "text_zipf_fit",
     "graph_kcore_decomposition",
+    "text_bpe_apply_merges",
     # --- changed this round (machine-enforced to stay in-window) ---
     # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
     # (r12 ADVICE guard)
@@ -95,7 +102,6 @@ PRIORITY_50 = [
     "events_gap_fill_hourly",
     "events_scd2_temporal_join",
     "feature_target_encoding",
-    "graph_pagerank_topk",
     "graph_triangle_count",
     "purchase_linear_attribution",
     "quality_benford_audit",

@@ -764,6 +764,47 @@ _BPE_ORACLE = f"""
     """
 
 
+def _bpe_train(spark: SparkSession, sf_dir: str, final_seq: bool):
+    """The ONE Spark spelling of the BPE training loop, shared by the
+    merge-mining query and the apply/fertility query: returns
+    (bests, seq_final) where ``bests`` is the per-round 1-row argmax
+    frame list and ``seq_final`` the fully-rewritten word-type table —
+    built (and persisted) ONLY when ``final_seq`` is requested, since
+    the merge query has no reader for the last rewrite (r13b review)."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    seq = wf.select(
+        F.concat(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" " + _BPE_EOW)
+        ).alias("seq"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_ONLY)
+
+    bests = []
+    for i in range(_BPE_MERGES):
+        pairs = seq.select(
+            F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+        )
+        bests.append(best)
+        if final_seq or i < _BPE_MERGES - 1:
+            seq = seq.crossJoin(F.broadcast(best)).select(
+                F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
+            ).persist(StorageLevel.MEMORY_ONLY)
+    return bests, (seq if final_seq else None)
+
+
 @query(
     "text_bpe_train_merges",
     oracle=_BPE_ORACLE,
@@ -807,38 +848,7 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     tokenizer surface; this extends the LLM-pipeline text family beyond
     reference parity."""
-    d = _t(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
-    seq = wf.select(
-        F.concat(
-            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" " + _BPE_EOW)
-        ).alias("seq"),
-        "cnt",
-    ).persist(StorageLevel.MEMORY_ONLY)
-
-    bests = []
-    for i in range(_BPE_MERGES):
-        pairs = seq.select(
-            F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
-            "cnt",
-        )
-        best = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").cast("long").alias("pc"))
-            .orderBy(F.desc("pc"), F.asc("pair"))
-            .limit(1)
-        )
-        bests.append(best)
-        if i < _BPE_MERGES - 1:  # the last round's rewrite has no reader
-            seq = seq.crossJoin(F.broadcast(best)).select(
-                F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
-            ).persist(StorageLevel.MEMORY_ONLY)
-
+    bests, _ = _bpe_train(spark, sf_dir, final_seq=False)
     out = None
     for i, best in enumerate(bests, start=1):
         row = best.select(
@@ -961,4 +971,96 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ZIPF_STATS['slope']} AS zipf_slope",
         f"{_ZIPF_STATS['intercept']} AS zipf_intercept",
         f"{_ZIPF_STATS['r2']} AS fit_r2",
+    )
+
+
+_BPE_APPLY_ORACLE = f"""
+    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1),
+    r0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                    || ' {_BPE_EOW}' AS seq, cnt FROM wf),
+    {_bpe_duck_iter(1, 'r0')},
+    {_bpe_duck_iter(2, 'r1')},
+    {_bpe_duck_iter(3, 'r2')},
+    bef AS (SELECT CAST(SUM(length(text) + 1) AS BIGINT) AS tokens_before
+            FROM documents),
+    aft AS (SELECT CAST(COUNT(*) AS BIGINT) AS word_types,
+                   CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT)
+                     AS tokens_after
+            FROM r3),
+    voc AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS vocab_after
+            FROM (SELECT unnest(string_split(seq, ' ')) AS s FROM r3))
+    SELECT {_BPE_MERGES} AS n_merges, word_types, tokens_before,
+           tokens_after,
+           round(CAST(tokens_before AS DOUBLE)
+                 / CAST(tokens_after AS DOUBLE), 6) + 0.0 AS compression,
+           vocab_after
+    FROM bef CROSS JOIN aft CROSS JOIN voc
+    """
+
+
+@query(
+    "text_bpe_apply_merges",
+    oracle=_BPE_APPLY_ORACLE,
+    tags=("llm", "text", "tokenizer", "bpe", "fertility"),
+)
+def q_text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges and measure what they bought — the
+    tokenizer-fertility report that closes the lifecycle
+    ([q:text_bpe_train_merges] learns the merge table; this applies it
+    to the corpus and serves the numbers a tokenizer team tracks):
+    corpus token count under the base character vocabulary
+    (every character + one end-of-word symbol per word occurrence —
+    computable scan-locally as Σ length(text)+1 per document), the
+    count after the ``_BPE_MERGES`` learned merges, their ratio (the
+    compression each merge buys — Sennrich's §5 evaluation), and the
+    symbol-vocabulary size after merging (base characters + end-of-word
+    + the surviving merged symbols).
+
+    Rides the SHARED training loop (``_bpe_train`` — one Spark spelling
+    for both BPE queries, the ``_dsir_weight_frame`` precedent), with
+    ``final_seq=True`` so the last round's rewrite — dead code for the
+    merge-mining query — is built and persisted here where it has two
+    readers (the token sum and the vocabulary count).
+
+    Determinism: every served number is an exact integer except one
+    rounded division. Scale shape: identical to the training query (one
+    corpus exchange, vocabulary-sized rounds) plus one scan-local
+    aggregate over documents for the base-vocab token count — the apply
+    itself never rescans the corpus because Sennrich tokenization is a
+    pure function of the word-TYPE table."""
+    bests, seqf = _bpe_train(spark, sf_dir, final_seq=True)
+    d = _t(spark, sf_dir, "documents")
+    bef = d.agg(
+        F.sum(F.length("text") + 1).cast("long").alias("tokens_before")
+    )
+    aft = seqf.agg(
+        F.count(F.lit(1)).cast("long").alias("word_types"),
+        F.sum(F.col("cnt") * F.size(F.split("seq", " ")))
+        .cast("long")
+        .alias("tokens_after"),
+    )
+    voc = (
+        seqf.select(F.explode(F.split("seq", " ")).alias("s"))
+        .agg(F.countDistinct("s").cast("long").alias("vocab_after"))
+    )
+    return (
+        aft.crossJoin(F.broadcast(bef))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            F.lit(_BPE_MERGES).alias("n_merges"),
+            "word_types",
+            "tokens_before",
+            "tokens_after",
+            (
+                F.round(
+                    F.col("tokens_before").cast("double")
+                    / F.col("tokens_after").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("compression"),
+            "vocab_after",
+        )
     )

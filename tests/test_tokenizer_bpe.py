@@ -187,3 +187,38 @@ def test_zipf_window_is_vocabulary_scoped(spark):
         or "InMemoryTableScan" in below_window
     ), plan
     assert "hashpartitioning(doc_id" not in plan, plan
+
+
+def test_bpe_apply_matches_pure_python_fertility(spark):
+    """The apply/fertility report re-derived on top of the reference
+    training loop: run _python_bpe to the final symbol table, count
+    base-vocab and merged tokens, the symbol vocabulary, and the
+    compression ratio — compared exactly; and applying merges must
+    genuinely compress (after < before) while growing the symbol
+    vocabulary by at most the merge count."""
+    words = Counter()
+    texts = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    for text in texts:
+        words.update(text.split(" "))
+    seqs = Counter()
+    for w, c in words.items():
+        seqs[" ".join(list(w)) + " " + _BPE_EOW] += c
+    base_vocab = {s for seq in seqs for s in seq.split(" ")}
+    for pair, _ in _python_bpe(words, _BPE_MERGES):
+        nxt = Counter()
+        for s, c in seqs.items():
+            nxt[_greedy_rewrite(s, pair)] += c
+        seqs = nxt
+    tokens_before = sum(len(t) + 1 for t in texts)
+    tokens_after = sum(len(s.split(" ")) * c for s, c in seqs.items())
+    vocab_after = len({sym for s in seqs for sym in s.split(" ")})
+    [row] = QUERIES["text_bpe_apply_merges"].fn(spark, PARITY_SF_DIR).collect()
+    assert (row.n_merges, row.word_types, row.tokens_before,
+            row.tokens_after, row.vocab_after) == (
+        _BPE_MERGES, len(words), tokens_before, tokens_after, vocab_after
+    )
+    assert row.compression == round(tokens_before / tokens_after, 6)
+    assert row.tokens_after < row.tokens_before
+    assert len(base_vocab) <= vocab_after <= len(base_vocab) + _BPE_MERGES
