@@ -867,18 +867,26 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the least-squares slope/intercept/r² over (ln rank, ln count), spelled
 #: ONCE for both engines as one expression chain over the five raw sums —
 #: exact integer counts enter through ln, only the final statistics are
-#: rounded (the [q:text_pmi_collocations] ln-parity precedent).
+#: rounded (the [q:text_pmi_collocations] ln-parity precedent). The
+#: variance denominators are nullif-guarded (r13 ADVICE): on a degenerate
+#: corpus (1-term vocabulary, or all term counts equal so the ln-count
+#: variance is 0) Spark's Divide serves NULL on a zero divisor while
+#: DuckDB's default ieee_floating_point_ops serves inf/nan — nullif(den,
+#: 0) makes BOTH engines serve NULL exactly where the fit is undefined.
 _ZIPF_STATS = {
     "slope": (
-        "round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) + 0.0"
+        "round((nn * sxy - sx * sy)"
+        " / nullif(nn * sxx - sx * sx, 0), 6) + 0.0"
     ),
     "intercept": (
-        "round((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)"
+        "round((sy - ((nn * sxy - sx * sy)"
+        " / nullif(nn * sxx - sx * sx, 0)) * sx)"
         " / nn, 6) + 0.0"
     ),
     "r2": (
         "round(((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
-        " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) + 0.0"
+        " / nullif((nn * sxx - sx * sx) * (nn * syy - sy * sy), 0), 6)"
+        " + 0.0"
     ),
 }
 

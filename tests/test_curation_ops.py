@@ -506,8 +506,13 @@ def test_fasttext_gate_matches_pure_python_model(spark):
         a[1] += 1 if lm >= 0 else 0
         a[2] += lm
         a[3] += len(feats)
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
+    # abtt_g6, not Python round(): the engines round the shortest-decimal
+    # repr HALF_UP, so a keep ratio landing on a 6-dp half would diverge
+    # from round()'s half-to-even (r13 ADVICE item).
     expected = {
-        s: (v[0], v[1], round(v[1] / v[0], 6), v[2], v[3])
+        s: (v[0], v[1], abtt_g6(v[1] / v[0]), v[2], v[3])
         for s, v in agg.items()
     }
     got = {
@@ -562,10 +567,15 @@ def test_dsir_sample_is_gumbel_top_k_of_the_weights(spark):
         for r in _dsir_weight_frame(spark, PARITY_SF_DIR).collect()
     }
 
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
     def key(doc_id, wm):
         h = int(hashlib.md5(f"dsg:{doc_id}".encode()).hexdigest()[:8], 16)
         u = (h + 0.5) / 4294967296.0
-        return round(wm / 1000000.0 - math.log(-math.log(u)), 6) + 0.0
+        # abtt_g6 mirrors the engines' HALF_UP-on-repr rounding; Python
+        # round() (half-to-even) can flip a key on a 6-dp half and even
+        # reorder the top-k cutoff (r13 ADVICE item).
+        return abtt_g6(wm / 1000000.0 - math.log(-math.log(u)))
 
     scored = sorted(
         ((key(d, v[2]), d) for d, v in w.items()), key=lambda t: (-t[0], t[1])

@@ -219,6 +219,58 @@ def test_bpe_apply_matches_pure_python_fertility(spark):
             row.tokens_after, row.vocab_after) == (
         _BPE_MERGES, len(words), tokens_before, tokens_after, vocab_after
     )
-    assert row.compression == round(tokens_before / tokens_after, 6)
+    # abtt_g6, not Python round(): the engines' round(x, 6) is HALF_UP on
+    # the shortest-decimal repr, so a ratio on a 6-dp half would make
+    # round()'s half-to-even mirror fail spuriously (r13 ADVICE item).
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
+    assert row.compression == abtt_g6(tokens_before / tokens_after)
     assert row.tokens_after < row.tokens_before
     assert len(base_vocab) <= vocab_after <= len(base_vocab) + _BPE_MERGES
+
+
+def test_zipf_fit_degenerate_corpora_serve_null_in_both_engines(
+    spark, tmp_path
+):
+    """The nullif guard on the variance denominators (r13 ADVICE): on a
+    1-term vocabulary (rank variance 0) and on an all-equal-counts
+    vocabulary (count variance 0), Spark's Divide serves NULL on a zero
+    divisor while DuckDB's default ieee_floating_point_ops would serve
+    inf/nan — the shared _ZIPF_STATS spelling must make BOTH engines
+    serve NULL in exactly the undefined cells and agree on the rest."""
+    import duckdb
+    import pyarrow as pa
+
+    from mapreduceindex_demo_spark.plans.corpus_ops import _ZIPF_ORACLE
+
+    cases = {
+        # 1-term vocabulary: nn*sxx - sx*sx == 0 -> slope/intercept/r2
+        # all undefined
+        "one_term": (["foo foo", "foo"], (None, None, None)),
+        # 4 terms, all count 1: ln-count variance 0 -> r2 undefined, but
+        # the slope fit itself is defined (and exactly flat: slope 0,
+        # intercept 0)
+        "flat_counts": (["aa bb", "cc dd"], (0.0, 0.0, None)),
+    }
+    for name, (texts, want) in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"text": texts}), str(d / "documents.parquet")
+        )
+        [srow] = (
+            QUERIES["text_zipf_fit"].fn(spark, str(d)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d / 'documents.parquet'}')"
+        )
+        [drow] = con.execute(_ZIPF_ORACLE).fetchall()
+        con.close()
+        got_spark = (srow.zipf_slope, srow.zipf_intercept, srow.fit_r2)
+        got_duck = tuple(drow[2:5])
+        assert got_spark == want, (name, got_spark)
+        assert got_duck == want, (name, got_duck)
+        # the defined cells still match the exact counts
+        assert srow.n_terms == drow[0] and srow.total_tokens == drow[1]
