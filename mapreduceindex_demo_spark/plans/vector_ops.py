@@ -1041,6 +1041,40 @@ def abtt_power_iteration(C: list, iters: int = _ABTT_ITERS) -> list:
     return v
 
 
+def _abtt_moment_sums(ee_frame: DataFrame) -> DataFrame:
+    """Arrow-batched partial-moment kernel: reduce each Arrow batch of
+    ``ee`` vectors to ONE flat partial — dim² outer-product sums
+    (``arr.T @ arr``, BLAS), dim column sums, and the batch count — then
+    fold the per-batch partials with a 4161-key posexplode+groupBy-sum.
+    The exchange therefore carries one row per ARROW BATCH (~10k vectors
+    under the default maxRecordsPerBatch), never per-row moment cells:
+    at 100 TB the shuffle is ~|batches| x 33 KB while the O(n·dim²)
+    arithmetic runs vectorized executor-side. Returns the (p, s) cell
+    frame; the caller collects its DIM*(DIM+1)+1 rows (corpus-independent
+    bounded metadata) and re-rounds sums/count on the ``abtt_g6`` grid."""
+    dim = _ABTT_DIM
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = np.asarray(pdf["ee"].to_list(), dtype=np.float64)
+            mom = np.concatenate(
+                [(arr.T @ arr).ravel(), arr.sum(axis=0), [float(len(pdf))]]
+            )
+            yield pd.DataFrame({"mom": [mom.tolist()]})
+
+    return (
+        ee_frame.mapInPandas(part, schema="mom array<double>")
+        .select(F.posexplode("mom").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("s"))
+    )
+
+
 @query(
     "embedding_anisotropy_abtt",
     oracle=_abtt_duck_oracle(),
@@ -1062,23 +1096,34 @@ def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings measure ~0.027 ≈ 1.76/64).
 
     Execution splits by SIZE CLASS, the [q:similarity_pq_adc_ann]
-    codebook precedent: the corpus-sized work is ONE fused scan — each
-    row emits its 64x64 outer-product array concatenated with the raw
-    vector (one Generate), and a map-side-combined groupBy reduces it to
-    the DIM*(DIM+1) = 4160 second/first-moment cells — which is then a
-    BOUNDED-METADATA collect (dim²-sized, corpus-INDEPENDENT; the suite's
-    third such site). The power iteration itself runs driver-side over
-    that 6-dp grid (``abtt_power_iteration`` — pure IEEE doubles,
-    deterministic, exactly what a production pipeline does: numpy eig on
-    the driver after a distributed moment pass), and the trained
-    direction re-enters the plan as a LITERAL array for the per-label
-    projection scan. Total: two corpus passes at read bandwidth, zero
-    joins, no vec_id-keyed exchange anywhere.
+    codebook precedent: the corpus-sized work is ONE Arrow-batched scan —
+    ``mapInPandas`` reduces each Arrow batch to a single
+    DIM*(DIM+1)+1-cell partial (one BLAS ``arr.T @ arr`` outer-product
+    accumulation + column sums + the batch count), so the exchange
+    carries one ~33 KB row PER BATCH, never per-vector cells — and a
+    tiny posexplode+groupBy folds the per-batch partials into the 4160
+    second/first-moment cells, which is then a BOUNDED-METADATA collect
+    (dim²-sized, corpus-INDEPENDENT; the suite's third such site). This
+    replaced the r13b per-row fused-Generate spelling (each row
+    materialized its own 4160-element product array through the row
+    pipeline) after that spelling measured as the suite's only
+    rising-with-scale ratio (5.84x -> 7.52x at ~sf1 -> ~sf3, BASELINE.md
+    r14 cell pair); the vectorized kernel moves the O(n·dim²) work into
+    NumPy matmul at Arrow-batch granularity. The power iteration itself
+    runs driver-side over the 6-dp grid (``abtt_power_iteration`` — pure
+    IEEE doubles, deterministic, exactly what a production pipeline
+    does: numpy eig on the driver after a distributed moment pass), and
+    the trained direction re-enters the plan as a LITERAL array for the
+    per-label projection scan. Total: two corpus passes at read
+    bandwidth, zero joins, no vec_id-keyed exchange anywhere.
 
     Determinism/parity: every moment is rounded to the 6-dp grid before
-    use (the [q:similarity_ivf_ann] n·eps argument covers the cross-engine
-    avg summation order), the iteration re-rounds each round, and the
-    oracle replays the identical chain in SQL over MATERIALIZED CTEs (see
+    use (the [q:similarity_ivf_ann] n·eps argument covers the
+    cross-engine — and cross-kernel: NumPy pairwise vs engine sequential
+    — summation order), the grid round is ``abtt_g6``, the PROVEN mirror
+    of both engines' round(x, 6) (test_abtt_g6_mirrors_engine_rounding),
+    the iteration re-rounds each round, and the oracle replays the
+    identical chain in SQL over MATERIALIZED CTEs (see
     ``_abtt_duck_oracle`` for why materialization is load-bearing).
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
@@ -1088,36 +1133,15 @@ def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("ee")
     )
-    # one fused moment pass: positions [0, dim²) are the outer product
-    # (i = p div dim + 1, j = p mod dim + 1), positions >= dim² the raw
-    # vector (j = 0 marks a first-moment cell)
-    fused = e.select(
-        F.posexplode(
-            F.expr("concat(flatten(transform(ee, x -> transform(ee, y -> x * y))), ee)")
-        ).alias("p", "v")
-    ).select(
-        F.when(F.col("p") < dim * dim, F.floor(F.col("p") / dim) + 1)
-        .otherwise(F.col("p") - dim * dim + 1)
-        .cast("int")
-        .alias("i"),
-        F.when(F.col("p") < dim * dim, F.col("p") % dim + 1)
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("j"),
-        "v",
-    )
-    cells = (
-        fused.groupBy("i", "j")
-        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("m"))
-        .collect()
-    )
-    mu = [0.0] * dim
-    M = [[0.0] * dim for _ in range(dim)]
-    for r in cells:
-        if r.j == 0:
-            mu[r.i - 1] = r.m
-        else:
-            M[r.i - 1][r.j - 1] = r.m
+    sums = _abtt_moment_sums(e.select("ee")).collect()
+    raw = [0.0] * (dim * dim + dim + 1)
+    for r in sums:
+        raw[r.p] = r.s
+    n = raw[dim * dim + dim]
+    # cell layout: [0, dim²) second moments row-major, then dim first
+    # moments, then the count; avg = sum/n re-rounded on the engine grid
+    mu = [g(raw[dim * dim + i] / n) for i in range(dim)]
+    M = [[g(raw[i * dim + j] / n) for j in range(dim)] for i in range(dim)]
     C = [[g(M[i][j] - mu[i] * mu[j]) for j in range(dim)] for i in range(dim)]
     v = abtt_power_iteration(C)
     var_top = g(sum(C[i][j] * v[i] * v[j] for i in range(dim) for j in range(dim)))

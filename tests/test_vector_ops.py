@@ -515,3 +515,39 @@ def test_abtt_g6_mirrors_engine_rounding(spark, duck):
     # and the cases are genuinely adversarial: python round() gets two wrong
     assert round(0.1015625, 6) != abtt_g6(0.1015625)
     assert round(0.1234565, 6) != abtt_g6(0.1234565)
+
+
+def test_abtt_moment_pass_is_arrow_batched_partials(spark):
+    """The r14 respell's scale contract (the r13 verdict's one
+    rising-with-scale ratio): the moment pass must reduce each Arrow
+    batch to ONE flat partial inside MapInPandas — no per-row dim²
+    product array through the row pipeline (the old fused-Generate
+    spelling), so the only Generate explodes per-BATCH partials and the
+    cell fold is a map-side-combined 4161-key sum."""
+    from mapreduceindex_demo_spark.plans.vector_ops import (
+        _ABTT_DIM,
+        _abtt_moment_sums,
+    )
+    from mapreduceindex_demo_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, PARITY_SF_DIR, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("ee")
+    )
+    df = _abtt_moment_sums(e)
+    rows = df.collect()
+    # exactly dim*(dim+1)+1 cells, and the count cell equals the corpus size
+    assert len(rows) == _ABTT_DIM * (_ABTT_DIM + 1) + 1
+    n = {r.p: r.s for r in rows}[_ABTT_DIM * _ABTT_DIM + _ABTT_DIM]
+    assert n == e.count()
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in plan, plan
+    # the per-row outer-product lambda chain is gone from the plan
+    assert "transform(ee" not in plan.replace(" ", ""), plan
+    # one Generate (the per-batch posexplode), sitting ABOVE MapInPandas
+    assert plan.count("Generate") == 1, plan
+    assert plan.index("Generate") < plan.index("MapInPandas"), plan
+    # the cell fold partial-aggregates map-side before the 4161-key exchange
+    assert "partial_sum" in plan, plan
