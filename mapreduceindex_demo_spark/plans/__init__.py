@@ -45,76 +45,32 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r13 rotation (the r12 verdict's item 1: this window completes
-    # the external-verification program — after it, every one of the 193
-    # registered queries has >=2 committed external green rows): the 18
-    # r8-era singles (the waiting list named here since r12) plus the
-    # r12-new multimodal_ahash_apply all collect second greens, the three
-    # r13-NEW queries and the two changed queries are in by the
-    # machine-enforced rules, and the 7 spare slots go to the
-    # OLDEST-last-green queries (r3/r4/r5) for third
-    # confirmations. Family constraints
-    # (tests/test_coverage_integrity.py) honored below; choice-family
-    # guards pick the member with the OLDEST last green.
-    # r14 waiting list (the only queries that will then hold fewer than
-    # 2 external greens): the seven r13-new operators below —
-    # curation_dsir_weights, text_gopher_gate, text_ccnet_ppl_buckets,
-    # curation_fasttext_gate, text_bpe_train_merges,
-    # curation_kcenter_coreset, embedding_anisotropy_abtt,
-    # text_zipf_fit, graph_kcore_decomposition, curation_dsir_sample,
-    # text_bpe_apply_merges — plus graph_pagerank_topk, whose SECOND
-    # green (it holds one, r8) was ceded to fit the eleventh new query
-    # (it is the one r8 single with no family guard — the graph family
-    # is represented by the r13b k-core — and multimodal_ahash_apply
-    # must stay as the multimodal family's only in-window member); it
-    # rejoins in r14 to finish the >=2-greens program.
+    # --- r14 rotation (the r13 verdict's item 1): the 12 queries holding
+    # a single external green — the 11 r13/r13b-new published-method
+    # operators plus graph_pagerank_topk (whose second-green slot was
+    # ceded in r13, documented here since then) — collect their second
+    # greens, closing the >=2-external-greens program for every
+    # registered query. Two of them (embedding_anisotropy_abtt,
+    # text_zipf_fit) are ALSO in by the changed-this-round rule: the
+    # ABTT moment pass was respelled as Arrow-batched partial moments
+    # (the r13 verdict's item 2) and the Zipf fit gained the
+    # nullif-guarded denominators (r13 ADVICE). Family guards pick the
+    # member with the OLDEST last green; the spare slots go to the
+    # OLDEST-last-green queries overall (r3-r5) for third confirmations.
     # ---
-    # --- NEW this round (zero external rows — machine-enforced
-    # in-window): DSIR importance weighting, the Gopher quality +
-    # repetition gate, CCNet perplexity buckets, the fastText-style
-    # classifier gate, BPE tokenizer training, k-center coreset
-    # selection, the all-but-the-top anisotropy diagnostic, the Zipf
-    # rank-frequency fit, k-core degeneracy peeling, and the DSIR
-    # Gumbel-top-k selection — the ten published-method
-    # curation/tokenizer/embedding/graph operators the LLM-pipeline and
-    # graph families lacked ---
+    # --- the 12 second-green rows ---
     "curation_dsir_weights",
     "curation_dsir_sample",
     "text_gopher_gate",
     "text_ccnet_ppl_buckets",
     "curation_fasttext_gate",
     "text_bpe_train_merges",
-    "curation_kcenter_coreset",
-    "embedding_anisotropy_abtt",
-    "text_zipf_fit",
-    "graph_kcore_decomposition",
     "text_bpe_apply_merges",
-    # --- changed this round (machine-enforced to stay in-window) ---
-    # SNM pass-3 sort key gained the NULL-balance sentinel coalesce
-    # (r12 ADVICE guard)
-    "er_snm_multipass",
-    # brute-force baseline gained the deterministic md5-keyed sample cap
-    # (r12 verdict stretch item); also serves as the dedup family rep
-    "dedup_embedding_neardup_top20",
-    # --- the 18 r8-era singles + the r12 single (second greens) ---
-    "curation_pareto_frontier",
-    "events_changepoint_scan",
-    "events_gap_fill_hourly",
-    "events_scd2_temporal_join",
-    "feature_target_encoding",
-    "graph_triangle_count",
-    "purchase_linear_attribution",
-    "quality_benford_audit",
-    "quality_constraint_audit",
-    "quality_psi_drift",
-    "similarity_hamming_ann",
-    "similarity_ivf_pq_ann",
-    "similarity_pq_adc_ann",
-    "similarity_projection_recall",
-    "text_chisq_feature_select",
-    "text_pmi_collocations",
-    "text_shingle_novelty",
-    "multimodal_ahash_apply",
+    "curation_kcenter_coreset",
+    "embedding_anisotropy_abtt",   # changed: Arrow-batched moment pass
+    "text_zipf_fit",               # changed: nullif-guarded denominators
+    "graph_kcore_decomposition",
+    "graph_pagerank_topk",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -124,27 +80,41 @@ PRIORITY_50 = [
     "mapreduce_wordcount",
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
-    # --- choice family guards, oldest last-green member preferred (the
-    # five r12-window members all re-greened r12; these five are
-    # r11-last-green) ---
-    "streaming_tumbling_counts",   # last green r11 (session: r12)
-    "curated_training_set",        # last green r11 (balanced: r12)
-    "customer_running_spend",      # last green r11 (sessionization: r12)
-    "skew_salted_join_volume",     # last green r11 (suppliers_above: r12)
-    "blocking_suppliers",          # last green r11 (nation_market: r12)
+    # --- choice family guards, oldest last-green member ---
+    "streaming_session_windows",   # last green r12 (tumbling: r13)
+    "dedup_apply_neardup_free",    # last green r5 — oldest dedup
+    "similarity_lsh_buckets",      # last green r5 — oldest similarity
+    "multimodal_feature_extract",  # last green r5 — oldest multimodal
+    "balanced_source_sample",      # last green r12 (curated_training: r13)
+    "events_daily_rollup",         # last green r4 — oldest events
+    "user_sessionization",         # last green r12 (running_spend: r13)
+    "suppliers_above_nation_avg",  # last green r12 (skew_salted: r13)
+    "nation_market_share_yearly",  # last green r12 (blocking: r13)
     # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
-    # members (r8/r9) get fresh confirmations ---
-    "mapindex_reduce_view_durable",
-    "mapindex_sketch_view",
-    "mapindex_reduce_view_minmax",
-    "mapindex_scan_intersect",
-    "mapindex_scan_union",
-    # (all seven spare third-confirmation slots ceded to the r13b-new
-    # queries above)
-    # bigram-extraction helper refactor touched this query's builder
-    # (byte-identical generated SQL, parity re-verified) — in-window by
-    # the changed-this-round rule
-    "text_bigram_logprob",
+    # members (r9/r11) ---
+    "mapindex_expr_build",
+    "mapindex_incremental_cdc",
+    "mapindex_array_build",
+    "mapindex_collated_scan",
+    "mapindex_primary_build",
+    # --- spare slots: the 16 OLDEST-last-green queries (r3-r5) get
+    # third confirmations ---
+    "text_langid_heuristic",       # r3
+    "text_quality_score",          # r3
+    "local_supplier_volume",       # r4
+    "pricing_summary",             # r4
+    "shipping_priority",           # r4
+    "text_token_stats",            # r4
+    "bracketed_discounted_revenue",  # r5
+    "churned_customer_segments",   # r5
+    "customer_order_count_distribution",  # r5
+    "frequent_bigrams_per_lang",   # r5
+    "idle_customer_balance_by_prefix",  # r5
+    "important_parts_by_value",    # r5
+    "large_volume_customers",      # r5
+    "late_shipment_priority_counts",  # r5
+    "min_offer_supplier_per_part",  # r5
+    "multimodal_frame_sample",     # r5
 ]
 
 
