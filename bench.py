@@ -36,8 +36,11 @@ _RETRY_COOLDOWN_SEC = 30
 #: `forced_queries` and the GRAND totals (`value`/`forced_total`), which
 #: therefore step up at r10. Round 13 adds the two SNM queries and the
 #: ahash APPLY ledger (r12 verdict item 3) — grand totals step again.
-#: Compare grand totals within a flag era (r10-r12, r13+), legacy totals
-#: across all rounds.
+#: Round 14 adds the respelled anisotropy diagnostic, the fastText gate
+#: (the two adverse/borderline r13 ratios), and the k-core decomposition
+#: (the widest with-scale WIN) per r13 verdict item 3 — grand totals step
+#: once more. Compare grand totals within a flag era (r10-r12, r13,
+#: r14+), legacy totals across all rounds.
 _LEGACY_15 = frozenset(
     {
         "mapreduce_wordcount",

@@ -946,6 +946,7 @@ _FT_ORACLE = f"""
     "curation_fasttext_gate",
     oracle=_FT_ORACLE,
     tags=("llm", "curation", "classifier", "fasttext"),
+    bench=True,  # r14: the borderline 3.13x ratio gets a per-round series (r13 verdict item 3)
 )
 def q_curation_fasttext_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear text-classifier quality gate — fastText-architecture

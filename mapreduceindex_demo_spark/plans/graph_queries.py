@@ -253,6 +253,7 @@ def _kcore_oracle() -> str:
     "graph_kcore_decomposition",
     oracle=_kcore_oracle(),
     tags=("graph", "iterative", "kcore"),
+    bench=True,  # r14: the widest with-scale WIN joins the per-round series (r13 verdict item 3)
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the trade graph — degeneracy peeling

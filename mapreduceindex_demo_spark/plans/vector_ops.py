@@ -1079,6 +1079,7 @@ def _abtt_moment_sums(ee_frame: DataFrame) -> DataFrame:
     "embedding_anisotropy_abtt",
     oracle=_abtt_duck_oracle(),
     tags=("llm", "embedding", "anisotropy", "abtt"),
+    bench=True,  # r14: driver-tracked after the Arrow-batched respell (r13 verdict item 3)
 )
 def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space anisotropy diagnostic — the measurement half of
