@@ -97,8 +97,21 @@ PRIORITY_50 = [
     "mapindex_array_build",
     "mapindex_collated_scan",
     "mapindex_primary_build",
-    # --- spare slots: the 16 OLDEST-last-green queries (r3-r5) get
-    # third confirmations ---
+    # --- NEW this round (zero external rows — machine-enforced
+    # in-window): interpolated Kneser-Ney bigram scoring (the KenLM
+    # smoothing the CCNet-style filters actually run), winnowing
+    # fingerprints (the MOSS local fingerprinting), the Heaps-law
+    # vocabulary-growth fit (the Zipf diagnostic's twin),
+    # label-propagation communities (the fifth classic graph operator),
+    # and nDCG@10 graded retrieval evaluation ---
+    "text_kneser_ney_bigram",
+    "dedup_winnowing_pairs",
+    "text_heaps_law_fit",
+    "graph_label_propagation",
+    "similarity_ndcg_eval",
+    # --- spare slots: the 11 OLDEST-last-green queries (r3-r5) get
+    # third confirmations (five spare slots ceded to the r14-new
+    # queries above) ---
     "text_langid_heuristic",       # r3
     "text_quality_score",          # r3
     "local_supplier_volume",       # r4
@@ -110,11 +123,6 @@ PRIORITY_50 = [
     "customer_order_count_distribution",  # r5
     "frequent_bigrams_per_lang",   # r5
     "idle_customer_balance_by_prefix",  # r5
-    "important_parts_by_value",    # r5
-    "large_volume_customers",      # r5
-    "late_shipment_priority_counts",  # r5
-    "min_offer_supplier_per_part",  # r5
-    "multimodal_frame_sample",     # r5
 ]
 
 

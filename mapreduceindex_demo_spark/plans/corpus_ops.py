@@ -1072,3 +1072,474 @@ def q_text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 14: interpolated Kneser-Ney bigram LM (the KenLM smoothing method)
+# ---------------------------------------------------------------------------
+
+#: absolute discount. 0.75 is the textbook value (Chen-Goodman 1998 report
+#: D in [0.7, 0.8] optimal across corpora) and is exactly representable in
+#: binary, so the discount itself adds zero cross-engine float surface.
+_KN_D = "0.75"
+
+#: the interpolated-KN probability and its backoff-mass share, spelled
+#: ONCE for both engines over the five count columns (c12 bigram count,
+#: c1 history count, n1pf = N1+(w1,*) continuation fan-out, n1pb =
+#: N1+(*,w2) continuation fan-in, tt = distinct bigram types). Every
+#: input is an exact BIGINT; the arithmetic is the identical IEEE chain
+#: in both engines (the _ZIPF_STATS shared-spelling pattern). max(c-D, 0)
+#: folds to c-D because every scored bigram occurs in the training corpus
+#: (same-corpus scoring: c12 >= 1 > D).
+_KN_P = (
+    f"((CAST(c12 AS DOUBLE) - {_KN_D}) + {_KN_D} * CAST(n1pf AS DOUBLE)"
+    " * (CAST(n1pb AS DOUBLE) / CAST(tt AS DOUBLE))) / CAST(c1 AS DOUBLE)"
+)
+_KN_BACKOFF = (
+    f"({_KN_D} * CAST(n1pf AS DOUBLE)"
+    " * (CAST(n1pb AS DOUBLE) / CAST(tt AS DOUBLE)) / CAST(c1 AS DOUBLE))"
+    f" / ({_KN_P})"
+)
+
+_KN_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+    big AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM tk),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1),
+    hs AS (SELECT split_part(gram, ' ', 1) AS h,
+                  CAST(SUM(c12) AS BIGINT) AS c1,
+                  CAST(COUNT(*) AS BIGINT) AS n1pf
+           FROM c2 GROUP BY 1),
+    ts AS (SELECT split_part(gram, ' ', 2) AS t,
+                  CAST(COUNT(*) AS BIGINT) AS n1pb
+           FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM c2),
+    ev AS (SELECT b.doc_id, b.source, c2.c12, hs.c1, hs.n1pf, ts.n1pb, tot.tt
+           FROM big b JOIN c2 USING (gram)
+           JOIN hs ON split_part(b.gram, ' ', 1) = hs.h
+           JOIN ts ON split_part(b.gram, ' ', 2) = ts.t
+           CROSS JOIN tot),
+    scored AS (SELECT doc_id, source, -ln({_KN_P}) AS nlp,
+                      {_KN_BACKOFF} AS bsh
+               FROM ev)
+    SELECT source,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      round(AVG(nlp), 6) + 0.0 AS avg_neg_logprob,
+      round(AVG(bsh), 6) + 0.0 AS backoff_share
+    FROM scored GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle=_KN_ORACLE,
+    tags=("llm", "text", "lm", "kneser-ney"),
+)
+def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — THE production
+    n-gram smoothing (Kneser & Ney 1995; the interpolated form and the
+    D≈0.75 discount from Chen & Goodman 1998's empirical study): the
+    method KenLM implements and therefore what actually runs inside the
+    CCNet/LLaMA perplexity filters that [q:text_ccnet_ppl_buckets]
+    models. Differs from the add-k twin [q:text_bigram_logprob] in both
+    halves of the estimator: the numerator is ABSOLUTE-DISCOUNTED
+    (max(c-D,0), mass removed per observed type, not added per possible
+    type) and the backoff distribution is the CONTINUATION unigram
+    P_cont(w2) = N1+(*,w2)/|bigram types| — "how many contexts does w2
+    complete" — rather than raw frequency (the San-Francisco effect:
+    'Francisco' is frequent but completes one context, so KN backs off
+    to it rarely). Served per source: document/bigram-event counts, mean
+    negative log-probability (the perplexity dashboard number), and the
+    mean backoff-mass share — the KN-specific health signal (a source
+    whose probability mass comes mostly from the backoff term is
+    lexically alien to the corpus LM).
+
+    Determinism/parity: all five LM statistics are exact BIGINT counts;
+    the probability and backoff share are ONE shared expression chain
+    (``_KN_P``/``_KN_BACKOFF``) over those integers, so both engines
+    evaluate the identical IEEE sequence; ln sits on the established
+    ln-parity precedent ([q:text_pmi_collocations]) and the served
+    means are rounded to the 6-dp grid (n·eps argument for summation
+    order).
+
+    Scale shape: the [q:text_bigram_logprob] posture — bigram extraction
+    is a zero-shuffle array transform; the four LM tables (bigram,
+    history, continuation, 1-row total) are combiner-friendly groupBys
+    over the VOCABULARY-sized gram table (hs/ts/tot derive from c2, not
+    from the corpus); scoring re-joins on gram/history/tail keys, which
+    AQE broadcasts when the LM fits (at 100 TB: per-partition after the
+    heavy-hitter cut); the rollup carries |sources| rows. No per-doc
+    state, no windows, nothing quadratic.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    LM surface; this extends the LLM-pipeline text family beyond
+    reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    big = d.select(
+        "doc_id", "source",
+        F.explode(F.expr(spark_bigram_sql(w))).alias("gram"),
+    )
+    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    hs = c2.groupBy(F.substring_index("gram", " ", 1).alias("h")).agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1pf"),
+    )
+    ts = c2.groupBy(F.substring_index("gram", " ", -1).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1pb")
+    )
+    tot = c2.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    ev = (
+        big.join(c2, "gram")
+        .withColumn("h", F.substring_index("gram", " ", 1))
+        .withColumn("t", F.substring_index("gram", " ", -1))
+        .join(hs, "h")
+        .join(ts, "t")
+        .crossJoin(F.broadcast(tot))
+    )
+    scored = ev.selectExpr(
+        "doc_id", "source", f"-ln({_KN_P}) AS nlp", f"{_KN_BACKOFF} AS bsh"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.round(F.avg("nlp"), 6) + F.lit(0.0)).alias("avg_neg_logprob"),
+            (F.round(F.avg("bsh"), 6) + F.lit(0.0)).alias("backoff_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 14: winnowing fingerprints (the MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: character k-gram length and winnowing window (guarantee threshold
+#: t = _WIN_W + _WIN_K - 1 = 11: any shared substring of >= 11 chars is
+#: guaranteed to share a fingerprint — the paper's correctness property).
+_WIN_K = 8
+_WIN_W = 4
+#: position packing base: argmin-with-rightmost-tiebreak is computed as
+#: min(h * 2^20 + (2^20-1 - pos)) over each window — pure integer order,
+#: no struct/min_by cross-engine surface. Requires pos < 2^20 (docs are
+#: bounded well under 1M chars; asserted in tests).
+_WIN_PB = 1 << 20
+#: served pair list size
+_WIN_TOPN = 20
+
+_WIN_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(1, length(lower(text)) - {_WIN_K} + 2)) AS p,
+             lower(text) AS t
+      FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+    h AS (SELECT doc_id, p,
+            ({duck_hex_int(f"md5(substring(t, p, {_WIN_K}))")}) AS hv
+          FROM pos),
+    keyed AS (SELECT doc_id, p,
+                hv * {_WIN_PB} + ({_WIN_PB - 1} - p) AS key,
+                unnest(range(0, {_WIN_W})) AS off
+              FROM h),
+    wins AS (SELECT doc_id, p - off AS ws, key FROM keyed
+             WHERE p - off >= 1),
+    nw AS (SELECT doc_id, CAST(length(lower(text)) - {_WIN_K + _WIN_W} + 2
+                      AS BIGINT) AS last_ws
+           FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+    sel AS (SELECT w.doc_id, MIN(w.key) AS mk
+            FROM wins w JOIN nw ON w.doc_id = nw.doc_id
+            WHERE w.ws <= nw.last_ws GROUP BY w.doc_id, w.ws),
+    fph AS (SELECT DISTINCT doc_id, mk // {_WIN_PB} AS fph FROM sel),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared_fps
+              FROM fph a JOIN fph b
+                ON a.fph = b.fph AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fph GROUP BY 1)
+    SELECT p.doc_a, p.doc_b, p.shared_fps,
+           x.nfp AS fps_a, y.nfp AS fps_b,
+           round(CAST(p.shared_fps AS DOUBLE)
+                 / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE), 6) + 0.0
+             AS containment
+    FROM pairs p JOIN na x ON x.doc_id = p.doc_a
+    JOIN na y ON y.doc_id = p.doc_b
+    ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+    LIMIT {_WIN_TOPN}
+    """
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=_WIN_ORACLE,
+    tags=("llm", "dedup", "fingerprint", "winnowing"),
+)
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprinting — the MOSS algorithm (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): hash every character ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and in each window select
+    the MINIMUM hash (rightmost occurrence on ties — the paper's rule);
+    the selected (hash, position) set is the document's fingerprint. The
+    guarantee property (§3 of the paper): any substring match of length
+    >= w + k - 1 shares at least one fingerprint, with density ~2/(w+1) —
+    LOCAL selection, unlike [q:text_fingerprint]'s prefix hash (whole-doc
+    only) or MinHash's global sketch ([q:dedup_minhash_lsh_pairs] —
+    set-similarity, no positional guarantee). Served: the top
+    ``_WIN_TOPN`` cross-document pairs by shared-fingerprint count with
+    per-doc fingerprint sizes and containment — the plagiarism/boilerplate
+    report MOSS serves.
+
+    Determinism/parity: hashes are the engine's md5-first-8-hex integers;
+    argmin-with-rightmost-tiebreak is ONE integer min over the packed key
+    h·2^20 + (2^20−1−pos) (no float, no struct ordering, no min_by
+    cross-engine surface); position packing needs pos < 2^20 — five
+    orders of magnitude above the corpus's document lengths and checked
+    by the recomputation test. Ranking carries a total (count, a, b)
+    tiebreak.
+
+    Scale shape: the k-gram/window explode is scan-local fan-out (O(chars
+    × w) rows, zero shuffle until the per-(doc, window) combiner groupBy,
+    which reduces to ~2·chars/(w+1) fingerprints per doc); the pair join
+    is a fingerprint-keyed EQUI-join over the winnowed (not raw) stream —
+    the same banded posture as the LSH families, never all-pairs; the
+    top-N is a TakeOrdered heap. At 100 TB the fingerprint table is
+    ~1/(w+1) of the corpus chars and partitions by hash.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    fingerprint surface; this extends the LLM-pipeline dedup family
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.length("text") >= _WIN_K + _WIN_W - 1
+    )
+    base = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        (F.length("text") - F.lit(_WIN_K + _WIN_W) + 2).cast("long").alias(
+            "last_ws"
+        ),
+    )
+    h = base.select(
+        "doc_id",
+        "last_ws",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {_WIN_K} + 1), "
+                f"i -> conv(substring(md5(substring(t, i, {_WIN_K})), 1, 8),"
+                " 16, 10))"
+            )
+        ).alias("p0", "hs"),
+    ).select(
+        "doc_id",
+        "last_ws",
+        (F.col("p0") + 1).alias("p"),
+        (
+            F.col("hs").cast("long") * F.lit(_WIN_PB)
+            + (F.lit(_WIN_PB - 1) - F.col("p0") - 1)
+        ).alias("key"),
+    )
+    wins = h.select(
+        "doc_id",
+        "last_ws",
+        "key",
+        F.explode(F.expr(f"sequence(0, {_WIN_W - 1})")).alias("off"),
+        "p",
+    ).where(
+        (F.col("p") - F.col("off") >= 1)
+        & (F.col("p") - F.col("off") <= F.col("last_ws"))
+    )
+    sel = wins.groupBy(
+        "doc_id", (F.col("p") - F.col("off")).alias("ws")
+    ).agg(F.min("key").alias("mk"))
+    fph = sel.select(
+        "doc_id", (F.col("mk") / F.lit(_WIN_PB)).cast("long").alias("fph")
+    ).distinct()
+    na = fph.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nfp"))
+    a = fph.select(F.col("doc_id").alias("doc_a"), "fph")
+    b = fph.select(F.col("doc_id").alias("doc_b"), "fph")
+    pairs = (
+        a.join(b, "fph")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return (
+        pairs.join(na.select(F.col("doc_id").alias("doc_a"),
+                             F.col("nfp").alias("fps_a")), "doc_a")
+        .join(na.select(F.col("doc_id").alias("doc_b"),
+                        F.col("nfp").alias("fps_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_fps", "fps_a", "fps_b",
+            (
+                F.round(
+                    F.col("shared_fps").cast("double")
+                    / F.least("fps_a", "fps_b").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(_WIN_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 14: Heaps-law vocabulary-growth fit (the Zipf diagnostic's twin)
+# ---------------------------------------------------------------------------
+
+#: prefix checkpoints for the growth curve. 16 log-log points is plenty
+#: for a 2-parameter fit; the checkpoint table is metadata however large
+#: the corpus grows.
+_HEAPS_CP = 16
+
+#: k_bucket of a doc: the smallest checkpoint k in [1, _HEAPS_CP] with
+#: doc_id <= floor(max_id * k / _HEAPS_CP) — exact integer ceil-division,
+#: identical in both engines (no doubles near the boundary).
+_HEAPS_BUCKET_SPARK = (
+    f"greatest(1L, ({_HEAPS_CP} * {{id}} + mx - 1) div mx)"
+)
+_HEAPS_BUCKET_DUCK = (
+    f"GREATEST(1, ({_HEAPS_CP} * {{id}} + mx - 1) // mx)"
+)
+
+_HEAPS_ORACLE = f"""
+    WITH m AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+    db AS (SELECT {_HEAPS_BUCKET_DUCK.format(id='doc_id')} AS k,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents CROSS JOIN m),
+    tb AS (SELECT k, CAST(SUM(ntok) AS BIGINT) AS tok FROM db GROUP BY 1),
+    fd AS (SELECT term, MIN(doc_id) AS fdoc FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) GROUP BY 1),
+    vb AS (SELECT {_HEAPS_BUCKET_DUCK.format(id='fdoc')} AS k,
+                  CAST(COUNT(*) AS BIGINT) AS newterms
+           FROM fd CROSS JOIN m GROUP BY 1),
+    ks AS (SELECT unnest(range(1, {_HEAPS_CP + 1})) AS k),
+    cum AS (SELECT ks.k,
+              CAST(SUM(COALESCE(tb.tok, 0))
+                   OVER (ORDER BY ks.k) AS BIGINT) AS n,
+              CAST(SUM(COALESCE(vb.newterms, 0))
+                   OVER (ORDER BY ks.k) AS BIGINT) AS v
+            FROM ks LEFT JOIN tb ON tb.k = ks.k
+            LEFT JOIN vb ON vb.k = ks.k),
+    pts AS (SELECT n, v FROM cum WHERE n >= 1 AND v >= 1),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(MAX(n) AS BIGINT) AS total_tokens,
+                 CAST(MAX(v) AS BIGINT) AS total_terms,
+                 SUM(ln(CAST(n AS DOUBLE))) AS sx,
+                 SUM(ln(CAST(v AS DOUBLE))) AS sy,
+                 SUM(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))) AS sxy,
+                 SUM(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxx,
+                 SUM(ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE))) AS syy
+          FROM pts)
+    SELECT n_points, total_tokens, total_terms,
+           {_ZIPF_STATS['slope']} AS heaps_beta,
+           {_ZIPF_STATS['intercept']} AS heaps_ln_k,
+           {_ZIPF_STATS['r2']} AS fit_r2
+    FROM s
+    """
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=("llm", "text", "heaps", "diagnostics"),
+)
+def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit — the second classic lexical law
+    beside [q:text_zipf_fit] (Heaps 1978; Herdan 1960): vocabulary size
+    grows as V(n) = K·n^beta over corpus prefixes (natural text:
+    beta ≈ 0.4-0.6). Served as the least-squares line through
+    (ln n, ln V) over ``_HEAPS_CP`` doc-id-ordered prefix checkpoints:
+    point count, final token/term totals, beta (slope), ln K
+    (intercept), and r². Curation teams read it as the
+    vocabulary-SATURATION dashboard: a corpus whose beta collapses
+    toward 0 is recycling its vocabulary (template/boilerplate floods),
+    one whose beta stays near 1 is unbounded-novelty noise (serial
+    numbers, hashes) — the growth-rate complement to the Zipf slope's
+    static shape (this near-uniform synthetic corpus fits beta ≈ 0.05
+    at high r²: saturated vocabulary, exactly what its 31-word
+    generator should measure).
+
+    Determinism/parity: checkpoint assignment is exact integer
+    ceil-division (``(16·id + mx − 1) div mx``, no doubles near any
+    boundary); token/new-term partials are exact BIGINTs; ln enters
+    only over those integers (the [q:text_pmi_collocations] precedent)
+    and the fit reuses the ``_ZIPF_STATS`` shared spelling —
+    nullif-guarded denominators included (degenerate corpora serve NULL
+    in both engines).
+
+    Scale shape: ONE corpus scan reduces docs to (bucket, ntok) — the
+    bucket comes from a 1-row broadcast max — and one wordcount-shaped
+    exchange reduces terms to first-occurrence docs (min(doc_id)
+    combiner); everything after runs on the 16-row checkpoint table
+    (the cumulative window orders 16 rows — metadata, the
+    [q:text_zipf_fit] vocabulary-window precedent taken further: the
+    window input here is CONSTANT-sized). No corpus-wide window, no
+    range join (each doc maps to exactly its first checkpoint; the
+    prefix sums fold on the checkpoint table).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    corpus-statistics surface; this extends the LLM-pipeline text
+    family beyond reference parity."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").cast("long").alias("mx"))
+    bucket = _HEAPS_BUCKET_SPARK
+    db = d.crossJoin(F.broadcast(mx)).selectExpr(
+        f"{bucket.format(id='doc_id')} AS k",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS ntok",
+    )
+    tb = db.groupBy("k").agg(F.sum("ntok").cast("long").alias("tok"))
+    fd = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    vb = (
+        fd.crossJoin(F.broadcast(mx))
+        .selectExpr(f"{bucket.format(id='fdoc')} AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("newterms"))
+    )
+    ks = spark.range(1, _HEAPS_CP + 1).select(F.col("id").alias("k"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        ks.join(tb, "k", "left")
+        .join(vb, "k", "left")
+        .select(
+            "k",
+            F.sum(F.coalesce("tok", F.lit(0))).over(w).cast("long").alias("n"),
+            F.sum(F.coalesce("newterms", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    pts = cum.where((F.col("n") >= 1) & (F.col("v") >= 1))
+    lx = F.log(F.col("n").cast("double"))
+    ly = F.log(F.col("v").cast("double"))
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("n").cast("long").alias("total_tokens"),
+        F.max("v").cast("long").alias("total_terms"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    return s.selectExpr(
+        "n_points",
+        "total_tokens",
+        "total_terms",
+        f"{_ZIPF_STATS['slope']} AS heaps_beta",
+        f"{_ZIPF_STATS['intercept']} AS heaps_ln_k",
+        f"{_ZIPF_STATS['r2']} AS fit_r2",
+    )

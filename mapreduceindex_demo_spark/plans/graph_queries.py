@@ -332,3 +332,146 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(stats(edges, r))
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# round 14: label-propagation communities (the fifth classic graph operator)
+# ---------------------------------------------------------------------------
+
+#: synchronous propagation rounds, unrolled identically on both engines
+_LPA_ROUNDS = 4
+_LPA_TOPN = 20
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA in DuckDB. Rounds are MATERIALIZED (the
+    [q:graph_kcore_decomposition] lesson: default CTE inlining would
+    re-evaluate the edge join chain exponentially)."""
+    steps, prev = [], "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        steps.append(f"""
+    c{r} AS MATERIALIZED (SELECT e.v AS node, l.label,
+                                 CAST(COUNT(*) AS BIGINT) AS c
+                          FROM e JOIN {prev} l ON e.u = l.node GROUP BY 1, 2),
+    l{r} AS MATERIALIZED (SELECT node, label FROM
+                           (SELECT node, label,
+                              row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rn
+                            FROM c{r})
+                          WHERE rn = 1)""")
+        prev = f"l{r}"
+    return f"""
+    WITH raw AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                        's' || CAST(l_suppkey AS VARCHAR) AS v
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS MATERIALIZED (SELECT u, v FROM raw
+                       UNION ALL SELECT v AS u, u AS v FROM raw),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+    {",".join(steps)}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN substring(node, 1, 1) = 'c' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN substring(node, 1, 1) = 's' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suppliers,
+           MIN(node) AS min_member
+    FROM l{_LPA_ROUNDS}
+    GROUP BY 1 ORDER BY n_members DESC, community LIMIT {_LPA_TOPN}
+    """
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "iterative", "communities", "lpa"),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (Raghavan, Albert & Kumara
+    2007) over the trade graph — the fifth classic graph operator beside
+    components, PageRank, triangles, and the k-core peel: every node
+    starts as its own label and repeatedly adopts the label held by the
+    PLURALITY of its neighbors. Curation pipelines use LPA communities
+    as the mid-resolution grouping between connected components (too
+    coarse once a hub stitches everything together) and pairwise dedup
+    clusters (too fine for source-level analysis). On a BIPARTITE graph
+    the synchronous variant is two-mode: after an even number of rounds
+    labels are side-pure (a customer community = the customers sharing a
+    supplier-influence basin — the co-shopping grouping; the supplier
+    communities are the dual), and a dense graph collapsing toward one
+    epidemic label is itself the graph-density alarm the dashboard
+    flags. Served: the top ``_LPA_TOPN`` communities after
+    ``_LPA_ROUNDS`` synchronous rounds — size, the bipartite member
+    split (which also makes the two-mode parity visible; pinned by
+    test), and the min member id.
+
+    Determinism: the paper's algorithm breaks plurality ties RANDOMLY
+    and updates asynchronously; this operator pins the deterministic
+    twin both engines can replay exactly — SYNCHRONOUS rounds (label_t+1
+    computed wholly from label_t) and total tie-break (count DESC, label
+    ASC via row_number) — counts are exact integers over the DISTINCT
+    string-keyed edge set, so the trajectory is bit-identical
+    cross-engine (the [q:graph_pagerank_topk] integer-grid rationale,
+    achieved here with no grid because nothing is fractional).
+
+    Scale shape: per round, ONE |E|-row hash join (edges against the
+    |V|-row label table — the Pregel message exchange), a map-side
+    combined (node, label) count, and a node-partitioned window (ranks
+    each node's label multiset independently — parallel, never global);
+    each round's label table persists MEMORY_ONLY so round t+1 never
+    replays round t (the k-core pattern). The rollup carries |labels|
+    rows, TakeOrdered serves the top-N. No corpus-independent collect,
+    no global window, nothing quadratic.
+
+    Reference anchor: the reference engine has no iterative operator
+    (SURVEY §2.2); like the other four graph operators this is
+    engine-completeness work beyond the reference surface."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    # symmetrize without distinct: the 'c'/'s' prefixes make
+    # cross-duplicates impossible (the k-core r13b review finding)
+    edges = raw.unionByName(
+        raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_ONLY)
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+    pre = F.substring("node", 1, 1)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(pre == "c", 1).otherwise(0)).cast("long").alias(
+                "n_customers"
+            ),
+            F.sum(F.when(pre == "s", 1).otherwise(0)).cast("long").alias(
+                "n_suppliers"
+            ),
+            F.min("node").alias("min_member"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LPA_TOPN)
+    )

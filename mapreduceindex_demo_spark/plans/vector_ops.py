@@ -1171,3 +1171,144 @@ def q_embedding_anisotropy_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 14: nDCG@k retrieval evaluation (graded-relevance ranking quality)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+#: the per-hit DCG term, spelled ONCE for both engines over integer gain
+#: and rank columns (the _ZIPF_STATS shared-spelling pattern): graded
+#: exponential gain (2^g - 1) discounted by log2(rank + 1), the standard
+#: formulation (Burges et al. 2005 popularized; Järvelin-Kekäläinen 2002
+#: define the metric family).
+_NDCG_TERM = (
+    "(pow(2.0, CAST(g AS DOUBLE)) - 1.0)"
+    " / log2(CAST(rn AS DOUBLE) + 1.0)"
+)
+#: synthetic graded relevance over the integer labels: 2 = exact label
+#: match, 1 = adjacent label, 0 otherwise — the grading is demo data
+#: policy (real pipelines bring judgment labels); the METRIC machinery
+#: is the published one.
+_NDCG_GAIN = "greatest(0, 2 - abs(label - qlabel))"
+
+
+def _ndcg_oracle() -> str:
+    dot = _duck_dot("ee", "qe")
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ee
+          FROM embeddings WHERE vec_id >= 5),
+    sims AS (SELECT q.qid, q.qlabel, c.vec_id, c.label,
+               round({dot} / (sqrt({_duck_dot('ee', 'ee')})
+                              * sqrt({_duck_dot('qe', 'qe')})), 6) + 0.0 AS cs
+             FROM c CROSS JOIN q),
+    graded AS (SELECT qid, vec_id, cs, {_NDCG_GAIN} AS g FROM sims),
+    ranked AS (SELECT qid, g,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, vec_id) AS rn
+               FROM graded),
+    ideal AS (SELECT qid, g,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY g DESC, vec_id) AS rn
+              FROM graded),
+    dcg AS (SELECT qid, SUM({_NDCG_TERM}) AS dcg
+            FROM ranked WHERE rn <= {_NDCG_K} GROUP BY 1),
+    idcg AS (SELECT qid, SUM({_NDCG_TERM}) AS idcg
+             FROM ideal WHERE rn <= {_NDCG_K} GROUP BY 1)
+    SELECT q.qid, q.qlabel,
+           round(dcg.dcg, 6) + 0.0 AS dcg_at_10,
+           round(idcg.idcg, 6) + 0.0 AS idcg_at_10,
+           round(dcg.dcg / nullif(idcg.idcg, 0.0), 6) + 0.0 AS ndcg_at_10
+    FROM q JOIN dcg ON dcg.qid = q.qid JOIN idcg ON idcg.qid = q.qid
+    ORDER BY q.qid
+    """
+
+
+@query(
+    "similarity_ndcg_eval",
+    oracle=_ndcg_oracle(),
+    tags=("llm", "similarity", "eval", "ndcg"),
+)
+def q_similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval evaluation (Järvelin & Kekäläinen, TOIS 2002;
+    exponential-gain form per Burges et al. 2005) — the GRADED-relevance
+    ranking metric beside the binary reciprocal-rank harness
+    ([q:similarity_label_mrr]): gains of 2/1/0 for exact/adjacent/other
+    label (synthetic grading — real pipelines substitute judgment
+    labels; the metric machinery is what the operator contributes),
+    discounted by log2(rank+1), normalized by the ideal ordering of the
+    same corpus gains. Served per eval query: DCG@10, the ideal IDCG@10,
+    and their ratio — the number a retrieval team tracks when swapping
+    retrievers (brute force here; the IVF/LSH/PQ variants price their
+    recall loss in nDCG terms exactly as [q:similarity_ivf_recall] does
+    in recall terms).
+
+    Determinism/parity: gains are exact integers from integer labels;
+    both rankings order by (rounded-6dp cosine DESC, vec_id) /
+    (gain DESC, vec_id) — total orders, so ranks are bit-identical
+    cross-engine; each served sum folds <= 10 terms of the ONE shared
+    ``_NDCG_TERM`` spelling (log2 on the ln-parity precedent), rounded
+    to the 6-dp grid; IDCG's nullif guard serves NULL in both engines
+    if a query somehow had zero graded mass.
+
+    Scale shape: the 5-query panel broadcasts against one corpus scan
+    (the [q:similarity_ivf_batch] batch shape); both windows partition
+    by qid (parallel, never global); the metric aggregates <= 2·10 rows
+    per query. Eval-panel size is the knob at 100 TB — a sampled query
+    panel, never corpus-vs-corpus.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    retrieval-eval surface; this extends the LLM-pipeline similarity
+    family beyond reference parity."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ee")
+    )
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("ee").alias("qe"),
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    graded = corpus.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        S.cosine(F.col("ee"), F.col("qe")).alias("cs"),
+        F.expr(_NDCG_GAIN).alias("g"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    wi = Window.partitionBy("qid").orderBy(F.desc("g"), F.asc("vec_id"))
+    dcg = (
+        graded.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _NDCG_K)
+        .groupBy("qid")
+        .agg(F.sum(F.expr(_NDCG_TERM)).alias("dcg"))
+    )
+    idcg = (
+        graded.withColumn("rn", F.row_number().over(wi))
+        .where(F.col("rn") <= _NDCG_K)
+        .groupBy("qid")
+        .agg(F.sum(F.expr(_NDCG_TERM)).alias("idcg"))
+    )
+    return (
+        qs.select("qid", "qlabel")
+        .join(dcg, "qid")
+        .join(idcg, "qid")
+        .select(
+            "qid",
+            "qlabel",
+            (F.round("dcg", 6) + F.lit(0.0)).alias("dcg_at_10"),
+            (F.round("idcg", 6) + F.lit(0.0)).alias("idcg_at_10"),
+            (
+                F.round(
+                    F.col("dcg") / F.expr("nullif(idcg, 0.0)"), 6
+                )
+                + F.lit(0.0)
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("qid")
+    )
