@@ -109,8 +109,13 @@ PRIORITY_50 = [
     "text_heaps_law_fit",
     "graph_label_propagation",
     "similarity_ndcg_eval",
-    # --- spare slots: the 11 OLDEST-last-green queries (r3-r5) get
-    # third confirmations (five spare slots ceded to the r14-new
+    # --- NEW this round, second batch: WordPiece training (the BERT
+    # likelihood-ratio merge rule) and the winnowing pairs->DECISION
+    # clusters step ---
+    "text_wordpiece_train_merges",
+    "dedup_winnowing_clusters",
+    # --- spare slots: the 9 OLDEST-last-green queries (r3-r5) get
+    # third confirmations (seven spare slots ceded to the r14-new
     # queries above) ---
     "text_langid_heuristic",       # r3
     "text_quality_score",          # r3
@@ -121,8 +126,6 @@ PRIORITY_50 = [
     "bracketed_discounted_revenue",  # r5
     "churned_customer_segments",   # r5
     "customer_order_count_distribution",  # r5
-    "frequent_bigrams_per_lang",   # r5
-    "idle_customer_balance_by_prefix",  # r5
 ]
 
 

@@ -1233,8 +1233,11 @@ _WIN_PB = 1 << 20
 #: served pair list size
 _WIN_TOPN = 20
 
-_WIN_ORACLE = f"""
-    WITH pos AS (
+#: the shared winnowing CTE chain (k-gram hashes -> window argmin ->
+#: distinct fingerprints -> cross-doc pair counts + per-doc sizes), used
+#: by BOTH the pairs ranking and the clusters DECISION oracle so the two
+#: can never fork (the _DSIR_W_CTES precedent).
+_WIN_CTES = f"""pos AS (
       SELECT doc_id, unnest(range(1, length(lower(text)) - {_WIN_K} + 2)) AS p,
              lower(text) AS t
       FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
@@ -1259,15 +1262,20 @@ _WIN_ORACLE = f"""
               FROM fph a JOIN fph b
                 ON a.fph = b.fph AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fph GROUP BY 1)
-    SELECT p.doc_a, p.doc_b, p.shared_fps,
-           x.nfp AS fps_a, y.nfp AS fps_b,
-           round(CAST(p.shared_fps AS DOUBLE)
-                 / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE), 6) + 0.0
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fph GROUP BY 1),
+    pn AS (SELECT p.doc_a, p.doc_b, p.shared_fps,
+                  x.nfp AS fps_a, y.nfp AS fps_b
+           FROM pairs p JOIN na x ON x.doc_id = p.doc_a
+           JOIN na y ON y.doc_id = p.doc_b)"""
+
+_WIN_ORACLE = f"""
+    WITH {_WIN_CTES}
+    SELECT doc_a, doc_b, shared_fps, fps_a, fps_b,
+           round(CAST(shared_fps AS DOUBLE)
+                 / CAST(LEAST(fps_a, fps_b) AS DOUBLE), 6) + 0.0
              AS containment
-    FROM pairs p JOIN na x ON x.doc_id = p.doc_a
-    JOIN na y ON y.doc_id = p.doc_b
-    ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+    FROM pn
+    ORDER BY shared_fps DESC, doc_a, doc_b
     LIMIT {_WIN_TOPN}
     """
 
@@ -1311,6 +1319,28 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     fingerprint surface; this extends the LLM-pipeline dedup family
     beyond reference parity."""
+    pn = _winnowing_pairs_frame(spark, sf_dir)
+    return (
+        pn.select(
+            "doc_a", "doc_b", "shared_fps", "fps_a", "fps_b",
+            (
+                F.round(
+                    F.col("shared_fps").cast("double")
+                    / F.least("fps_a", "fps_b").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(_WIN_TOPN)
+    )
+
+
+def _winnowing_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE Spark spelling of the winnowing pair table (doc_a, doc_b,
+    shared_fps, fps_a, fps_b) — shared by the pairs ranking and the
+    clusters DECISION (mirrors ``_WIN_CTES``)."""
     d = _t(spark, sf_dir, "documents").where(
         F.length("text") >= _WIN_K + _WIN_W - 1
     )
@@ -1370,19 +1400,7 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("nfp").alias("fps_a")), "doc_a")
         .join(na.select(F.col("doc_id").alias("doc_b"),
                         F.col("nfp").alias("fps_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b", "shared_fps", "fps_a", "fps_b",
-            (
-                F.round(
-                    F.col("shared_fps").cast("double")
-                    / F.least("fps_a", "fps_b").cast("double"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("containment"),
-        )
-        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
-        .limit(_WIN_TOPN)
+        .select("doc_a", "doc_b", "shared_fps", "fps_a", "fps_b")
     )
 
 
@@ -1542,4 +1560,236 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ZIPF_STATS['slope']} AS heaps_beta",
         f"{_ZIPF_STATS['intercept']} AS heaps_ln_k",
         f"{_ZIPF_STATS['r2']} AS fit_r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 14: WordPiece tokenizer training (the BERT merge-selection rule)
+# ---------------------------------------------------------------------------
+
+_WP_MERGES = 3
+
+#: the WordPiece pair score, spelled ONCE for both engines over the three
+#: exact BIGINT counts: pc (weighted pair count), ca/cb (weighted symbol
+#: counts of the pair's halves in the CURRENT sequences). The division of
+#: exact integers is the identical IEEE double in both engines, so the
+#: (score DESC, pair ASC) argmax is cross-engine deterministic.
+_WP_SCORE = (
+    "CAST(pc AS DOUBLE) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))"
+)
+
+
+def _wp_duck_iter(i: int, prev: str) -> str:
+    """One unrolled WordPiece training round in DuckDB SQL: weighted pair
+    AND symbol counts over the word-type table, likelihood-ratio argmax,
+    greedy rewrite. The rewritten table is MATERIALIZED — it is
+    referenced three times by the next round (pairs, symbol counts,
+    rewrite), the k-core inlining lesson."""
+    return f"""
+    p{i} AS (SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                   j -> (string_split(seq, ' '))[j] || ' '
+                        || (string_split(seq, ' '))[j + 1])) AS pair, cnt
+             FROM {prev}),
+    s{i} AS (SELECT sym, CAST(SUM(cnt) AS BIGINT) AS c FROM
+               (SELECT unnest(string_split(seq, ' ')) AS sym, cnt
+                FROM {prev}) GROUP BY 1),
+    g{i} AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc
+             FROM p{i} GROUP BY 1),
+    b{i} AS (SELECT pair, pc, a.c AS ca, b.c AS cb
+             FROM g{i} JOIN s{i} a ON a.sym = split_part(pair, ' ', 1)
+             JOIN s{i} b ON b.sym = split_part(pair, ' ', 2)
+             ORDER BY {_WP_SCORE} DESC, pair LIMIT 1),
+    r{i} AS MATERIALIZED (SELECT {_bpe_seq_rewrite_sql('seq', 'pair')} AS seq,
+                                 cnt
+                          FROM {prev} CROSS JOIN b{i})"""
+
+
+_WP_ORACLE = f"""
+    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+                  (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents) GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                    || ' {_BPE_EOW}' AS seq, cnt FROM wf),
+    {_wp_duck_iter(1, 'r0')},
+    {_wp_duck_iter(2, 'r1')},
+    {_wp_duck_iter(3, 'r2')}
+    SELECT * FROM (
+      SELECT 1 AS merge_rank, pair, pc AS pair_count, ca AS left_count,
+             cb AS right_count, round({_WP_SCORE}, 6) + 0.0 AS score
+      FROM b1
+      UNION ALL SELECT 2, pair, pc, ca, cb, round({_WP_SCORE}, 6) + 0.0
+      FROM b2
+      UNION ALL SELECT 3, pair, pc, ca, cb, round({_WP_SCORE}, 6) + 0.0
+      FROM b3)
+    ORDER BY merge_rank
+    """
+
+
+@query(
+    "text_wordpiece_train_merges",
+    oracle=_WP_ORACLE,
+    tags=("llm", "text", "tokenizer", "wordpiece"),
+)
+def q_text_wordpiece_train_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WordPiece tokenizer training — the BERT family's merge-selection
+    rule (Schuster & Nakajima, ICASSP 2012; Wu et al. 2016 §3.1): where
+    BPE ([q:text_bpe_train_merges]) merges the most FREQUENT adjacent
+    pair, WordPiece merges the pair maximizing the unigram-LM likelihood
+    gain — score(a,b) = count(ab) / (count(a)·count(b)) — so a
+    moderately frequent pair of RARE symbols beats a frequent pair of
+    ubiquitous ones (the published divergence between the two
+    tokenizers, and exactly what this corpus exhibits: the learned merge
+    tables differ from round 1, asserted in tests). Framing (character
+    init + end-of-word symbol, greedy left-to-right rewrite) is shared
+    with the BPE trainer so the SCORING RULE is the only degree of
+    freedom; the '##' continuation-prefix surface of the BERT vocab
+    format is presentation, not algorithm, and is out of scope. Serves
+    (merge_rank, pair, pair_count, left_count, right_count, score).
+
+    Determinism/parity: all three counts are exact weighted BIGINTs over
+    the word-type table; the score is ONE shared spelling (``_WP_SCORE``)
+    whose integer-fed double division is bit-identical cross-engine, so
+    the (score DESC, pair ASC) argmax is a total order both engines
+    replay; the rewrite is the shared marker-wrap spelling
+    (``_bpe_seq_rewrite_sql``). The oracle MATERIALIZES each round's
+    rewritten table (three references per round — the k-core CTE-inlining
+    lesson).
+
+    Scale shape: the [q:text_bpe_train_merges] posture with one extra
+    vocabulary-sized aggregate per round (the symbol-count table): the
+    corpus is touched ONCE (the wordcount exchange), every round runs on
+    persisted vocabulary-sized tables with a 1-row argmax broadcast into
+    the rewrite; the argmax join probes two symbol-count rows per pair —
+    vocabulary-keyed equi-joins, AQE-broadcast at any real size.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    tokenizer surface; this extends the LLM-pipeline tokenizer family
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    seq = wf.select(
+        F.concat(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" " + _BPE_EOW)
+        ).alias("seq"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_ONLY)
+
+    out = None
+    for i in range(1, _WP_MERGES + 1):
+        pairs = seq.select(
+            F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
+            "cnt",
+        )
+        g = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("pc"))
+        s = (
+            seq.select(F.explode(F.split("seq", " ")).alias("sym"), "cnt")
+            .groupBy("sym")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        best = (
+            g.join(
+                s.select(F.col("sym").alias("la"), F.col("c").alias("ca")),
+                F.substring_index("pair", " ", 1) == F.col("la"),
+            )
+            .join(
+                s.select(F.col("sym").alias("lb"), F.col("c").alias("cb")),
+                F.substring_index("pair", " ", -1) == F.col("lb"),
+            )
+            .select("pair", "pc", "ca", "cb")
+            .orderBy(F.expr(_WP_SCORE).desc(), F.asc("pair"))
+            .limit(1)
+        )
+        row = best.selectExpr(
+            f"{i} AS merge_rank",
+            "pair",
+            "pc AS pair_count",
+            "ca AS left_count",
+            "cb AS right_count",
+            f"round({_WP_SCORE}, 6) + 0.0 AS score",
+        )
+        out = row if out is None else out.unionAll(row)
+        if i < _WP_MERGES:
+            seq = seq.crossJoin(F.broadcast(best)).select(
+                F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"),
+                "cnt",
+            ).persist(StorageLevel.MEMORY_ONLY)
+    return out.orderBy("merge_rank")
+
+
+#: near-dup DECISION threshold on the winnowing containment, applied as
+#: the exact integer cross-multiplication 5·shared >= 4·min(fps) (i.e.
+#: containment >= 0.8) — no float enters the edge-set decision.
+_WIN_CL_NUM, _WIN_CL_DEN = 4, 5
+
+_WIN_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_WIN_CTES},
+    strong AS (SELECT doc_a, doc_b FROM pn
+               WHERE {_WIN_CL_DEN} * shared_fps
+                     >= {_WIN_CL_NUM} * LEAST(fps_a, fps_b)),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM strong
+            UNION ALL SELECT doc_b AS u, doc_a AS v FROM strong),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, reach.r FROM sym s JOIN reach ON reach.node = s.v),
+    comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+    SELECT c AS canonical_doc, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp GROUP BY c ORDER BY cluster_size DESC, canonical_doc
+    """
+
+
+@query(
+    "dedup_winnowing_clusters",
+    oracle=_WIN_CLUSTERS_ORACLE,
+    tags=("llm", "dedup", "fingerprint", "winnowing", "graph", "iterative"),
+)
+def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DECISION over the winnowing fingerprint pairs — the
+    pairs→clusters step of the MOSS-style pipeline, mirroring the ladder
+    every other dedup family in the suite climbs
+    ([q:dedup_minhash_lsh_pairs]→[q:dedup_minhash_components],
+    [q:multimodal_ahash_neardup]→[q:multimodal_ahash_clusters]):
+    fingerprint pairs with containment >= 0.8 (decided by the EXACT
+    integer cross-multiplication 5·shared >= 4·min(fps) — no float in
+    the edge set) feed min-label connected components; each cluster
+    serves (canonical_doc = min member, cluster_size, n_dropped) — keep
+    the canonical, drop the rest.
+
+    Rides the SHARED pair kernel (``_winnowing_pairs_frame`` ↔
+    ``_WIN_CTES`` — one spelling per engine, extracted this round so the
+    ranking and the DECISION can never fork; the ``_dsir_weight_frame``
+    precedent) and the suite's iterative components operator
+    (operators/graph.py — O(diameter) join+groupBy rounds, lineage cuts,
+    no driver loop). The oracle is the transitive-closure recursive CTE,
+    exact for the clique-union graphs near-dup detection produces.
+
+    Scale shape: the pair table is fingerprint-banded (never all-pairs);
+    the strong-edge filter is scan-local integer arithmetic; components
+    shard on node id. Same 100 TB posture as the MinHash DECISION.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    fingerprint surface; this completes the winnowing family's
+    pairs→DECISION ladder beyond reference parity."""
+    from mapreduceindex_demo_spark.operators.graph import connected_components
+
+    pn = _winnowing_pairs_frame(spark, sf_dir)
+    strong = pn.where(
+        F.lit(_WIN_CL_DEN) * F.col("shared_fps")
+        >= F.lit(_WIN_CL_NUM) * F.least("fps_a", "fps_b")
+    ).select("doc_a", "doc_b")
+    comps = connected_components(strong, "doc_a", "doc_b")
+    return (
+        comps.groupBy(F.col("comp").alias("canonical_doc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy(F.desc("cluster_size"), "canonical_doc")
     )

@@ -1,8 +1,11 @@
 """Independent recomputations and plan contracts for the round-14
 published-method operators: interpolated Kneser-Ney bigram scoring
 ([q:text_kneser_ney_bigram]), winnowing fingerprints
-([q:dedup_winnowing_pairs]), and the Heaps-law vocabulary-growth fit
-([q:text_heaps_law_fit])."""
+([q:dedup_winnowing_pairs]), the Heaps-law vocabulary-growth fit
+([q:text_heaps_law_fit]), label-propagation communities
+([q:graph_label_propagation]), nDCG@10 retrieval evaluation
+([q:similarity_ndcg_eval]), and WordPiece tokenizer training
+([q:text_wordpiece_train_merges])."""
 
 from __future__ import annotations
 
@@ -135,7 +138,11 @@ def test_winnowing_matches_pure_python_reference(spark):
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
                 pair_counts[(ds[i], ds[j])] += 1
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
     ranked = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    # abtt_g6, not Python round(): the engines round HALF_UP on the
+    # shortest repr (the r13 ADVICE class)
     expected = [
         (
             a,
@@ -143,7 +150,7 @@ def test_winnowing_matches_pure_python_reference(spark):
             c,
             len(fps[a]),
             len(fps[b]),
-            round(c / min(len(fps[a]), len(fps[b])), 6),
+            abtt_g6(c / min(len(fps[a]), len(fps[b]))),
         )
         for (a, b), c in ranked[:_WIN_TOPN]
     ]
@@ -381,3 +388,118 @@ def test_ndcg_matches_pure_python(spark):
         # perfect nor useless on the synthetic labels
         assert 0.0 < g[4] <= 1.0
     assert any(g[4] < 1.0 for g in got)
+
+
+def test_wordpiece_matches_pure_python_and_diverges_from_bpe(spark):
+    """The WordPiece trainer re-derived in pure Python: per-round
+    weighted pair/symbol counts, the likelihood-ratio argmax with
+    (score DESC, pair ASC) tie-break, greedy rewrite — compared exactly
+    (counts are integers; scores re-rounded on the engine grid). And the
+    published divergence must be real on this corpus: the WordPiece
+    merge table differs from the BPE one."""
+    from mapreduceindex_demo_spark.plans.corpus_ops import _WP_MERGES
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+    from tests.test_tokenizer_bpe import _greedy_rewrite, _python_bpe
+
+    words = Counter()
+    for _, text in _docs(["doc_id", "text"]):
+        words.update(text.split(" "))
+    seqs = Counter()
+    for w, c in words.items():
+        seqs[" ".join(list(w)) + " </w>"] += c
+    expected = []
+    for rank in range(1, _WP_MERGES + 1):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for s, c in seqs.items():
+            syms = s.split(" ")
+            for sym in syms:
+                sc[sym] += c
+            for x, y in zip(syms, syms[1:]):
+                pc[f"{x} {y}"] += c
+        best = min(
+            pc.items(),
+            key=lambda kv: (
+                -(kv[1] / (sc[kv[0].split(" ")[0]] * sc[kv[0].split(" ")[1]])),
+                kv[0],
+            ),
+        )
+        a, b = best[0].split(" ")
+        expected.append(
+            (rank, best[0], best[1], sc[a], sc[b],
+             abtt_g6(best[1] / (sc[a] * sc[b])))
+        )
+        nxt = Counter()
+        for s, c in seqs.items():
+            nxt[_greedy_rewrite(s, best[0])] += c
+        seqs = nxt
+    got = [
+        (r.merge_rank, r.pair, r.pair_count, r.left_count, r.right_count,
+         r.score)
+        for r in QUERIES["text_wordpiece_train_merges"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    bpe = [p for p, _ in _python_bpe(words, _WP_MERGES)]
+    assert [g[1] for g in got] != bpe, (
+        "WordPiece must diverge from BPE on this corpus"
+    )
+
+
+def test_winnowing_clusters_match_pure_python_union_find(spark):
+    """The DECISION re-derived independently: strong edges by the exact
+    integer containment rule, union-find components, (canonical, size,
+    dropped) — compared exactly; and the DECISION must be consistent
+    with the pairs ranking (every full-containment top pair lands in
+    one cluster)."""
+    from mapreduceindex_demo_spark.plans.corpus_ops import (
+        _WIN_CL_DEN,
+        _WIN_CL_NUM,
+        _WIN_K,
+        _WIN_W,
+    )
+
+    rows = _docs(["doc_id", "text"])
+    fps = {d: _py_winnow(t, _WIN_K, _WIN_W) for d, t in rows}
+    by_hash = defaultdict(list)
+    for d, s in fps.items():
+        for h in s:
+            by_hash[h].append(d)
+    pair_counts: Counter = Counter()
+    for h, ds in by_hash.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_counts[(ds[i], ds[j])] += 1
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    strong = []
+    for (a, b), c in pair_counts.items():
+        if _WIN_CL_DEN * c >= _WIN_CL_NUM * min(len(fps[a]), len(fps[b])):
+            strong.append((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    members = defaultdict(set)
+    for n in {n for e in strong for n in e}:
+        members[find(n)].add(n)
+    expected = sorted(
+        ((min(ms), len(ms), len(ms) - 1) for ms in members.values()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = [
+        (r.canonical_doc, r.cluster_size, r.n_dropped)
+        for r in QUERIES["dedup_winnowing_clusters"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    # the corpus's exact dups must form at least one real (>=2) cluster,
+    # and the threshold genuinely prunes: strong edges < all pairs
+    assert any(s >= 2 for _, s, _ in got)
+    assert len(strong) < len(pair_counts)
