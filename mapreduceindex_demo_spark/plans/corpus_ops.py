@@ -1232,6 +1232,15 @@ _WIN_W = 4
 _WIN_PB = 1 << 20
 #: served pair list size
 _WIN_TOPN = 20
+#: hot-fingerprint document-frequency cap — MOSS's published rule
+#: (Schleimer et al. §5 / the MOSS service: matches appearing in more
+#: than N documents are boilerplate and are ignored). ALSO the 100 TB
+#: posture: a fingerprint shared by f docs fans the pair join out f²/2
+#: ways, so an uncapped hot posting list (template floods, license
+#: headers) is quadratic — the cap bounds every posting list's fan-out
+#: at maxdf²/2 (measured: the uncapped spelling GC-thrashed on the
+#: replica harness, whose copies multiply every dup family).
+_WIN_MAXDF = 64
 
 #: the shared winnowing CTE chain (k-gram hashes -> window argmin ->
 #: distinct fingerprints -> cross-doc pair counts + per-doc sizes), used
@@ -1257,12 +1266,15 @@ _WIN_CTES = f"""pos AS (
             FROM wins w JOIN nw ON w.doc_id = nw.doc_id
             WHERE w.ws <= nw.last_ws GROUP BY w.doc_id, w.ws),
     fph AS (SELECT DISTINCT doc_id, mk // {_WIN_PB} AS fph FROM sel),
+    fdf AS (SELECT fph, CAST(COUNT(*) AS BIGINT) AS df FROM fph GROUP BY 1),
+    fpk AS (SELECT f.doc_id, f.fph FROM fph f JOIN fdf USING (fph)
+            WHERE fdf.df <= {_WIN_MAXDF}),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(COUNT(*) AS BIGINT) AS shared_fps
-              FROM fph a JOIN fph b
+              FROM fpk a JOIN fpk b
                 ON a.fph = b.fph AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fph GROUP BY 1),
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fpk GROUP BY 1),
     pn AS (SELECT p.doc_a, p.doc_b, p.shared_fps,
                   x.nfp AS fps_a, y.nfp AS fps_b
            FROM pairs p JOIN na x ON x.doc_id = p.doc_a
@@ -1295,10 +1307,15 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= w + k - 1 shares at least one fingerprint, with density ~2/(w+1) —
     LOCAL selection, unlike [q:text_fingerprint]'s prefix hash (whole-doc
     only) or MinHash's global sketch ([q:dedup_minhash_lsh_pairs] —
-    set-similarity, no positional guarantee). Served: the top
-    ``_WIN_TOPN`` cross-document pairs by shared-fingerprint count with
-    per-doc fingerprint sizes and containment — the plagiarism/boilerplate
-    report MOSS serves.
+    set-similarity, no positional guarantee). Fingerprints appearing in
+    more than ``_WIN_MAXDF`` documents are IGNORED — MOSS's own
+    boilerplate rule (§5: matches in too many documents are noise), and
+    the quadratic-fan-out bound (see the constant's comment; the
+    uncapped spelling was measured GC-thrashing on the dup-multiplying
+    replica harness and replaced). Served: the top ``_WIN_TOPN``
+    cross-document pairs by shared-fingerprint count with per-doc
+    (capped-index) fingerprint sizes and containment — the
+    plagiarism/boilerplate report MOSS serves.
 
     Determinism/parity: hashes are the engine's md5-first-8-hex integers;
     argmin-with-rightmost-tiebreak is ONE integer min over the packed key
@@ -1386,9 +1403,20 @@ def _winnowing_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     fph = sel.select(
         "doc_id", (F.col("mk") / F.lit(_WIN_PB)).cast("long").alias("fph")
     ).distinct()
-    na = fph.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nfp"))
-    a = fph.select(F.col("doc_id").alias("doc_a"), "fph")
-    b = fph.select(F.col("doc_id").alias("doc_b"), "fph")
+    fdf = (
+        fph.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WIN_MAXDF)
+        .select("fph")
+    )
+    # the MOSS hot-fingerprint cap, then persist: the capped index feeds
+    # THREE readers (both pair sides + the per-doc sizes) — without the
+    # persist each reader replays the whole winnow chain (the PMI
+    # triangle rule)
+    fpk = fph.join(fdf, "fph", "left_semi").persist(StorageLevel.MEMORY_ONLY)
+    na = fpk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("nfp"))
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fph")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fph")
     pairs = (
         a.join(b, "fph")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -1770,7 +1798,8 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver loop). The oracle is the transitive-closure recursive CTE,
     exact for the clique-union graphs near-dup detection produces.
 
-    Scale shape: the pair table is fingerprint-banded (never all-pairs);
+    Scale shape: the pair table is fingerprint-banded (never all-pairs)
+    and hot-capped (``_WIN_MAXDF``, inherited from the shared kernel);
     the strong-edge filter is scan-local integer arithmetic; components
     shard on node id. Same 100 TB posture as the MinHash DECISION.
 

@@ -124,20 +124,33 @@ def test_winnowing_matches_pure_python_reference(spark):
         _WIN_W,
     )
 
+    from mapreduceindex_demo_spark.plans.corpus_ops import _WIN_MAXDF
+
     rows = _docs(["doc_id", "text"])
     # packing precondition: positions fit under 2^20
     assert max(len(t) for _, t in rows) < _WIN_PB
-    fps = {d: _py_winnow(t, _WIN_K, _WIN_W) for d, t in rows}
+    raw_fps = {d: _py_winnow(t, _WIN_K, _WIN_W) for d, t in rows}
     by_hash = defaultdict(list)
-    for d, s in fps.items():
+    for d, s in raw_fps.items():
         for h in s:
             by_hash[h].append(d)
+    # the MOSS hot-fingerprint cap: boilerplate hashes (df > maxdf) are
+    # ignored by index, sizes, and pairs alike
+    by_hash = {h: ds for h, ds in by_hash.items() if len(ds) <= _WIN_MAXDF}
+    fps = defaultdict(set)
+    for h, ds in by_hash.items():
+        for d in ds:
+            fps[d].add(h)
     pair_counts: Counter = Counter()
     for h, ds in by_hash.items():
         ds = sorted(ds)
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
                 pair_counts[(ds[i], ds[j])] += 1
+    # the cap genuinely binds on this repetitive 31-word corpus
+    assert sum(len(s) for s in fps.values()) < sum(
+        len(s) for s in raw_fps.values()
+    )
     from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
 
     ranked = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -163,7 +176,7 @@ def test_winnowing_matches_pure_python_reference(spark):
     assert got[0][5] == 1.0
     # winnowing density ~ 2/(w+1): the fingerprint sets are a real
     # compression of the k-gram stream, not the whole stream
-    tot_fps = sum(len(s) for s in fps.values())
+    tot_fps = sum(len(s) for s in raw_fps.values())
     tot_grams = sum(max(len(t) - _WIN_K + 1, 0) for _, t in rows)
     assert tot_fps < 0.8 * tot_grams
 
@@ -460,12 +473,19 @@ def test_winnowing_clusters_match_pure_python_union_find(spark):
         _WIN_W,
     )
 
+    from mapreduceindex_demo_spark.plans.corpus_ops import _WIN_MAXDF
+
     rows = _docs(["doc_id", "text"])
-    fps = {d: _py_winnow(t, _WIN_K, _WIN_W) for d, t in rows}
+    raw_fps = {d: _py_winnow(t, _WIN_K, _WIN_W) for d, t in rows}
     by_hash = defaultdict(list)
-    for d, s in fps.items():
+    for d, s in raw_fps.items():
         for h in s:
             by_hash[h].append(d)
+    by_hash = {h: ds for h, ds in by_hash.items() if len(ds) <= _WIN_MAXDF}
+    fps = defaultdict(set)
+    for h, ds in by_hash.items():
+        for d in ds:
+            fps[d].add(h)
     pair_counts: Counter = Counter()
     for h, ds in by_hash.items():
         ds = sorted(ds)
