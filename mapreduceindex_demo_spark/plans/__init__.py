@@ -114,8 +114,11 @@ PRIORITY_50 = [
     # clusters step ---
     "text_wordpiece_train_merges",
     "dedup_winnowing_clusters",
-    # --- spare slots: the 9 OLDEST-last-green queries (r3-r5) get
-    # third confirmations (seven spare slots ceded to the r14-new
+    # --- NEW this round, third batch: the outer twin of the
+    # stream-stream interval join ---
+    "streaming_left_interval_join",
+    # --- spare slots: the 8 OLDEST-last-green queries (r3-r5) get
+    # third confirmations (eight spare slots ceded to the r14-new
     # queries above) ---
     "text_langid_heuristic",       # r3
     "text_quality_score",          # r3
@@ -125,7 +128,6 @@ PRIORITY_50 = [
     "text_token_stats",            # r4
     "bracketed_discounted_revenue",  # r5
     "churned_customer_segments",   # r5
-    "customer_order_count_distribution",  # r5
 ]
 
 

@@ -1166,14 +1166,19 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are rounded to the 6-dp grid (n·eps argument for summation
     order).
 
-    Scale shape: the [q:text_bigram_logprob] posture — bigram extraction
-    is a zero-shuffle array transform; the four LM tables (bigram,
-    history, continuation, 1-row total) are combiner-friendly groupBys
-    over the VOCABULARY-sized gram table (hs/ts/tot derive from c2, not
-    from the corpus); scoring re-joins on gram/history/tail keys, which
-    AQE broadcasts when the LM fits (at 100 TB: per-partition after the
-    heavy-hitter cut); the rollup carries |sources| rows. No per-doc
-    state, no windows, nothing quadratic.
+    Scale shape: bigram extraction is a zero-shuffle array transform;
+    the four LM tables (bigram, history, continuation, 1-row total) are
+    combiner-friendly groupBys over the VOCABULARY-sized gram table
+    (hs/ts/tot derive from c2, not from the corpus), and the per-gram
+    nlp/backoff scores are assembled by joins among those vocab-sized
+    tables ONLY — the corpus-sized event stream then takes ONE
+    gram-keyed join (broadcast when the scored vocabulary fits; at
+    100 TB: per-partition after the heavy-hitter cut). The first
+    spelling joined the three LM tables onto the event stream directly
+    and measured 6.2 s at ~sf1; this one collapses it to the single
+    probe (BASELINE.md r14). The rollup carries |sources| rows (plus
+    the (source, doc_id) count-distinct expansion — a |docs|-row hop).
+    No per-doc state, no windows, nothing quadratic.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     LM surface; this extends the LLM-pipeline text family beyond
@@ -1193,17 +1198,20 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n1pb")
     )
     tot = c2.agg(F.count(F.lit(1)).cast("long").alias("tt"))
-    ev = (
-        big.join(c2, "gram")
-        .withColumn("h", F.substring_index("gram", " ", 1))
+    # score each DISTINCT gram on the vocabulary-sized table (all four
+    # LM joins stay vocab x vocab), so the corpus-sized event stream
+    # takes ONE broadcast join instead of three — measured 6.2 s -> see
+    # BASELINE.md r14 (the r13b fastText lesson: exchanges and join
+    # chains carry |vocab|, never the event stream)
+    sc = (
+        c2.withColumn("h", F.substring_index("gram", " ", 1))
         .withColumn("t", F.substring_index("gram", " ", -1))
         .join(hs, "h")
         .join(ts, "t")
         .crossJoin(F.broadcast(tot))
+        .selectExpr("gram", f"-ln({_KN_P}) AS nlp", f"{_KN_BACKOFF} AS bsh")
     )
-    scored = ev.selectExpr(
-        "doc_id", "source", f"-ln({_KN_P}) AS nlp", f"{_KN_BACKOFF} AS bsh"
-    )
+    scored = big.join(sc, "gram").select("doc_id", "source", "nlp", "bsh")
     return (
         scored.groupBy("source")
         .agg(
@@ -1245,7 +1253,11 @@ _WIN_MAXDF = 64
 #: the shared winnowing CTE chain (k-gram hashes -> window argmin ->
 #: distinct fingerprints -> cross-doc pair counts + per-doc sizes), used
 #: by BOTH the pairs ranking and the clusters DECISION oracle so the two
-#: can never fork (the _DSIR_W_CTES precedent).
+#: can never fork (the _DSIR_W_CTES precedent). The chain-ending and
+#: multiply-referenced CTEs are MATERIALIZED (the k-core inlining
+#: lesson, which bites HARD here: inside the clusters' WITH RECURSIVE,
+#: an un-materialized chain re-evaluates the whole winnowing scan every
+#: recursion step — measured as a 300+ CPU-minute hang at ~sf1).
 _WIN_CTES = f"""pos AS (
       SELECT doc_id, unnest(range(1, length(lower(text)) - {_WIN_K} + 2)) AS p,
              lower(text) AS t
@@ -1262,12 +1274,12 @@ _WIN_CTES = f"""pos AS (
     nw AS (SELECT doc_id, CAST(length(lower(text)) - {_WIN_K + _WIN_W} + 2
                       AS BIGINT) AS last_ws
            FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
-    sel AS (SELECT w.doc_id, MIN(w.key) AS mk
+    sel AS MATERIALIZED (SELECT w.doc_id, MIN(w.key) AS mk
             FROM wins w JOIN nw ON w.doc_id = nw.doc_id
             WHERE w.ws <= nw.last_ws GROUP BY w.doc_id, w.ws),
     fph AS (SELECT DISTINCT doc_id, mk // {_WIN_PB} AS fph FROM sel),
     fdf AS (SELECT fph, CAST(COUNT(*) AS BIGINT) AS df FROM fph GROUP BY 1),
-    fpk AS (SELECT f.doc_id, f.fph FROM fph f JOIN fdf USING (fph)
+    fpk AS MATERIALIZED (SELECT f.doc_id, f.fph FROM fph f JOIN fdf USING (fph)
             WHERE fdf.df <= {_WIN_MAXDF}),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(COUNT(*) AS BIGINT) AS shared_fps
@@ -1275,7 +1287,7 @@ _WIN_CTES = f"""pos AS (
                 ON a.fph = b.fph AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
     na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fpk GROUP BY 1),
-    pn AS (SELECT p.doc_a, p.doc_b, p.shared_fps,
+    pn AS MATERIALIZED (SELECT p.doc_a, p.doc_b, p.shared_fps,
                   x.nfp AS fps_a, y.nfp AS fps_b
            FROM pairs p JOIN na x ON x.doc_id = p.doc_a
            JOIN na y ON y.doc_id = p.doc_b)"""
@@ -1757,10 +1769,10 @@ _WIN_CL_NUM, _WIN_CL_DEN = 4, 5
 
 _WIN_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_WIN_CTES},
-    strong AS (SELECT doc_a, doc_b FROM pn
+    strong AS MATERIALIZED (SELECT doc_a, doc_b FROM pn
                WHERE {_WIN_CL_DEN} * shared_fps
                      >= {_WIN_CL_NUM} * LEAST(fps_a, fps_b)),
-    sym AS (SELECT doc_a AS u, doc_b AS v FROM strong
+    sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM strong
             UNION ALL SELECT doc_b AS u, doc_a AS v FROM strong),
     reach(node, r) AS (
       SELECT u, u FROM sym

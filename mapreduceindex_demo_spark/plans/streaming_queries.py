@@ -339,3 +339,47 @@ def q_streaming_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "streaming_left_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, c.click_id, p.user_id,
+      strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+      strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      p.purchase_value,
+      c.click_id IS NULL AS is_organic
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def q_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (every purchase, attributed
+    or ORGANIC) — the outer twin of [q:streaming_interval_join],
+    completing the T6 join family with the semantics Structured
+    Streaming reserves for watermarked time-bound joins: the NULL side
+    of an outer stream-stream join can only be emitted once the
+    watermark proves no matching click can still arrive, which is also
+    the state-eviction moment (SS rejects an un-watermarked outer
+    stream-stream join outright). Batch run here for the oracle; the
+    identical builder runs as a TRUE watermarked outer stream-stream
+    join in tests/test_streaming.py, NULL rows included.
+
+    Scale shape: [q:streaming_interval_join]'s — user_id hash shuffle
+    both sides, state bounded by the watermark horizon × arrival rate,
+    independent of stream length."""
+    from mapreduceindex_demo_spark.streaming.joins import (
+        purchase_attribution_left_join,
+        split_click_purchase,
+    )
+
+    clicks, purchases = split_click_purchase(load_table(spark, sf_dir, "events"))
+    return purchase_attribution_left_join(clicks, purchases)

@@ -74,3 +74,45 @@ def click_attribution_join(
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
         F.col("purchase_value"),
     )
+
+
+def purchase_attribution_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str | None = None,
+) -> DataFrame:
+    """LEFT-OUTER interval join — the attribution join's organic-traffic
+    twin: EVERY purchase survives; purchases with no same-user click in
+    the horizon emit with NULL click columns and is_organic = true.
+
+    In streaming mode this is the Structured Streaming outer
+    stream-stream join: the watermark + event-time bound are REQUIRED
+    (they define when a purchase's join window can no longer receive a
+    matching click, which is the moment the NULL row may be emitted and
+    its state evicted) — without them an outer join would have to hold
+    every purchase forever. Same one-declaration/both-modes contract as
+    ``click_attribution_join``.
+    """
+    if watermark is not None:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return purchases.join(clicks, cond, "leftOuter").select(
+        F.col("purchase_id"),
+        F.col("click_id"),
+        F.col("p_user_id").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_time"
+        ),
+        F.col("purchase_value"),
+        F.col("click_id").isNull().alias("is_organic"),
+    )

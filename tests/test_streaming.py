@@ -657,3 +657,100 @@ def test_streaming_daily_counts_feed_the_batch_anomaly_scores(spark, tmp_path):
     )
     batch = QUERIES["events_anomaly_daily"].fn(spark, SMOKE_SF_DIR).collect()
     assert sorted(map(tuple, folded)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_left_interval_join_matches_batch(spark, tmp_path):
+    """The LEFT-OUTER attribution join run as a true watermarked outer
+    stream-stream join — pinning the OUTER-emission semantics exactly:
+    (phase 1) at stream end the emitted set is the matched rows plus the
+    NULL (organic) rows whose join window the final watermark has
+    passed; the tail organics are WITHHELD (no future data proves their
+    window closed — the published SS outer-join behavior, not a bug);
+    (phase 2) restarting from the checkpoint with one watermark-advancing
+    late click flushes exactly the withheld rows — eventual completeness
+    vs the batch answer, NULL rows included."""
+    import datetime
+
+    from mapreduceindex_demo_spark.streaming.joins import (
+        purchase_attribution_left_join,
+        split_click_purchase,
+    )
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    clicks_b, purchases_b = split_click_purchase(events)
+    expected = sorted(
+        tuple(r)
+        for r in purchase_attribution_left_join(clicks_b, purchases_b).collect()
+    )
+    assert any(r[1] is None for r in expected), "no organic purchases at smoke SF"
+    assert any(r[1] is not None for r in expected)
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.repartition(4).write.parquet(cdir)
+    purchases_b.write.parquet(pdir)
+    cschema = "c_user_id bigint, click_id bigint, click_ts timestamp"
+    pschema = (
+        "p_user_id bigint, purchase_id bigint, purchase_ts timestamp, "
+        "purchase_value double"
+    )
+
+    outdir = str(tmp_path / "out")
+    oschema = (
+        "purchase_id bigint, click_id bigint, user_id bigint, "
+        "click_time string, purchase_time string, purchase_value double, "
+        "is_organic boolean"
+    )
+
+    def run():
+        # file sink, not memory: only a fault-tolerant sink supports the
+        # phase-2 checkpoint resume
+        clicks_s = spark.readStream.schema(cschema).option(
+            "maxFilesPerTrigger", "2"
+        ).parquet(cdir)
+        purchases_s = spark.readStream.schema(pschema).parquet(pdir)
+        q = (
+            purchase_attribution_left_join(
+                clicks_s, purchases_s, watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            tuple(r) for r in spark.read.schema(oschema).parquet(outdir).collect()
+        ]
+
+    got1 = run()
+    # the global watermark is min(per-stream max event time) - lateness
+    max_c = max(r.click_ts for r in clicks_b.collect())
+    max_p = max(r.purchase_ts for r in purchases_b.collect())
+    wm = min(max_c, max_p) - datetime.timedelta(hours=2)
+    emittable = sorted(
+        r
+        for r in expected
+        if r[1] is not None
+        or datetime.datetime.strptime(r[4], "%Y-%m-%d %H:%M:%S") < wm
+    )
+    assert sorted(got1) == emittable
+    withheld = len(expected) - len(emittable)
+    assert withheld > 0, "the tail-withholding branch must be exercised"
+
+    # phase 2: one late event on EACH stream a day past the end — the
+    # global watermark is the MIN of the per-stream watermarks, so both
+    # must advance to flush the withheld organics. The sentinel click
+    # matches no purchase; the sentinel purchase is itself withheld
+    # (nothing ever advances the watermark past it), so the resumed
+    # output is exactly the original batch answer.
+    late = max_p + datetime.timedelta(days=1)
+    spark.createDataFrame(
+        [(int(-1), int(-1), late)], cschema
+    ).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(int(-2), int(-2), late, float(0.0))], pschema
+    ).write.mode("append").parquet(pdir)
+    got_all = run()
+    assert sorted(got_all) == expected
