@@ -117,8 +117,11 @@ PRIORITY_50 = [
     # --- NEW this round, third batch: the outer twin of the
     # stream-stream interval join ---
     "streaming_left_interval_join",
-    # --- spare slots: the 8 OLDEST-last-green queries (r3-r5) get
-    # third confirmations (eight spare slots ceded to the r14-new
+    # --- NEW this round, fourth batch: SoftDedup duplication-aware
+    # reweighting (the soft complement of the hard dedup APPLY ledgers)
+    "curation_soft_dedup_weights",
+    # --- spare slots: the 7 OLDEST-last-green queries (r3-r5) get
+    # third confirmations (nine spare slots ceded to the r14-new
     # queries above) ---
     "text_langid_heuristic",       # r3
     "text_quality_score",          # r3
@@ -127,7 +130,6 @@ PRIORITY_50 = [
     "shipping_priority",           # r4
     "text_token_stats",            # r4
     "bracketed_discounted_revenue",  # r5
-    "churned_customer_segments",   # r5
 ]
 
 

@@ -1169,15 +1169,16 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bigram extraction is a zero-shuffle array transform;
     the four LM tables (bigram, history, continuation, 1-row total) are
     combiner-friendly groupBys over the VOCABULARY-sized gram table
-    (hs/ts/tot derive from c2, not from the corpus), and the per-gram
+    (hs/ts/tot derive from c2, not from the corpus); the per-gram
     nlp/backoff scores are assembled by joins among those vocab-sized
-    tables ONLY — the corpus-sized event stream then takes ONE
-    gram-keyed join (broadcast when the scored vocabulary fits; at
-    100 TB: per-partition after the heavy-hitter cut). The first
-    spelling joined the three LM tables onto the event stream directly
-    and measured 6.2 s at ~sf1; this one collapses it to the single
-    probe (BASELINE.md r14). The rollup carries |sources| rows (plus
-    the (source, doc_id) count-distinct expansion — a |docs|-row hop).
+    tables ONLY; and the corpus event stream is folded to (source,
+    gram) COUNTS before any join — map-side combined, so every exchange
+    and every join after the two corpus scans carries |sources|·|vocab|
+    rows. The served means are the count-weighted vocab-side sums
+    (identical values to the oracle's per-event AVG modulo summation
+    order — the 6-dp n·eps band). Measured ladder at ~sf1 (BASELINE.md
+    r14): three LM joins on the stream 6.2 s → one stream join 7.0 s →
+    this fold 2.2 s. The doc count is a scan-side |sources| aggregate.
     No per-doc state, no windows, nothing quadratic.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
@@ -1186,8 +1187,7 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = "split(text, ' ')"
     big = d.select(
-        "doc_id", "source",
-        F.explode(F.expr(spark_bigram_sql(w))).alias("gram"),
+        "source", F.explode(F.expr(spark_bigram_sql(w))).alias("gram")
     )
     c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("c12"))
     hs = c2.groupBy(F.substring_index("gram", " ", 1).alias("h")).agg(
@@ -1211,15 +1211,42 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .selectExpr("gram", f"-ln({_KN_P}) AS nlp", f"{_KN_BACKOFF} AS bsh")
     )
-    scored = big.join(sc, "gram").select("doc_id", "source", "nlp", "bsh")
-    return (
-        scored.groupBy("source")
+    # fold the event stream to (source, gram) COUNTS before any join —
+    # map-side combined, so the exchange and every join carry
+    # |sources|x|vocab| rows and the 40M-row gram stream never enters a
+    # join (first spelling: three LM joins on the stream, 6.2 s at ~sf1;
+    # second: one stream join, 7.0 s; this one: 2.2 s — BASELINE.md r14)
+    sg = big.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_src = (
+        sg.join(sc, "gram")
+        .groupBy("source")
         .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            (F.round(F.avg("nlp"), 6) + F.lit(0.0)).alias("avg_neg_logprob"),
-            (F.round(F.avg("bsh"), 6) + F.lit(0.0)).alias("backoff_share"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum(F.col("c") * F.col("nlp")) / F.sum("c"), 6
+                )
+                + F.lit(0.0)
+            ).alias("avg_neg_logprob"),
+            (
+                F.round(
+                    F.sum(F.col("c") * F.col("bsh")) / F.sum("c"), 6
+                )
+                + F.lit(0.0)
+            ).alias("backoff_share"),
         )
+    )
+    docs = (
+        d.where(F.size(F.split("text", " ")) >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        docs.join(per_src, "source")
+        .select("source", "n_docs", "n_bigrams", "avg_neg_logprob",
+                "backoff_share")
         .orderBy("source")
     )
 
@@ -1762,16 +1789,21 @@ def q_text_wordpiece_train_merges(
     return out.orderBy("merge_rank")
 
 
-#: near-dup DECISION threshold on the winnowing containment, applied as
-#: the exact integer cross-multiplication 5·shared >= 4·min(fps) (i.e.
-#: containment >= 0.8) — no float enters the edge-set decision.
+#: near-dup DECISION threshold, applied as the exact integer
+#: cross-multiplication 5·shared >= 4·max(fps) — SYMMETRIC similarity
+#: (both docs' fingerprint sets >= 80% shared), not one-sided
+#: containment. Measured reason (BASELINE.md r14): containment edges
+#: chain through doc-in-doc hubs — at sf0.1 they weld a 1,512-node
+#: sparse component (diameter-bound recursion, quadratic closure);
+#: symmetric edges cap the largest component at 4. No float enters the
+#: edge decision either way.
 _WIN_CL_NUM, _WIN_CL_DEN = 4, 5
 
 _WIN_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_WIN_CTES},
     strong AS MATERIALIZED (SELECT doc_a, doc_b FROM pn
                WHERE {_WIN_CL_DEN} * shared_fps
-                     >= {_WIN_CL_NUM} * LEAST(fps_a, fps_b)),
+                     >= {_WIN_CL_NUM} * GREATEST(fps_a, fps_b)),
     sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM strong
             UNION ALL SELECT doc_b AS u, doc_a AS v FROM strong),
     reach(node, r) AS (
@@ -1796,9 +1828,11 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every other dedup family in the suite climbs
     ([q:dedup_minhash_lsh_pairs]→[q:dedup_minhash_components],
     [q:multimodal_ahash_neardup]→[q:multimodal_ahash_clusters]):
-    fingerprint pairs with containment >= 0.8 (decided by the EXACT
-    integer cross-multiplication 5·shared >= 4·min(fps) — no float in
-    the edge set) feed min-label connected components; each cluster
+    fingerprint pairs with SYMMETRIC similarity >= 0.8 (both sides:
+    5·shared >= 4·max(fps), an exact integer cross-multiplication — no
+    float in the edge set; one-sided containment was measured chaining
+    doc-in-doc hubs into a 1,512-node sparse component at sf0.1, see
+    ``_WIN_CL_NUM``) feed min-label connected components; each cluster
     serves (canonical_doc = min member, cluster_size, n_dropped) — keep
     the canonical, drop the rest.
 
@@ -1823,7 +1857,7 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = _winnowing_pairs_frame(spark, sf_dir)
     strong = pn.where(
         F.lit(_WIN_CL_DEN) * F.col("shared_fps")
-        >= F.lit(_WIN_CL_NUM) * F.least("fps_a", "fps_b")
+        >= F.lit(_WIN_CL_NUM) * F.greatest("fps_a", "fps_b")
     ).select("doc_a", "doc_b")
     comps = connected_components(strong, "doc_a", "doc_b")
     return (

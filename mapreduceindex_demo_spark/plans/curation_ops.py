@@ -1171,3 +1171,142 @@ def q_curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(_DSIR_SAMPLE_K)
     )
+
+
+# ==========================================================================
+# round 14: SoftDedup duplication-aware reweighting
+# ==========================================================================
+
+#: reweighting sharpness (the paper's alpha knob: 0 = no reweighting;
+#: higher = harder suppression of common text). 0.5 keeps every weight
+#: strictly positive and the weight span modest on this corpus.
+_SD_ALPHA = "0.5"
+
+#: micro-unit per-gram log-probability — the DSIR integer-grid rule:
+#: round once per VOCABULARY entry, then every per-doc statistic is an
+#: exact integer sum.
+_SD_LP = "CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+
+_SD_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+    big AS (SELECT doc_id, source,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM tk),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM c2),
+    lp AS (SELECT gram, {_SD_LP} AS lpm FROM c2 CROSS JOIN tot),
+    d AS (SELECT b.doc_id, b.source,
+            CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(lp.lpm) AS BIGINT) AS sum_lp
+          FROM big b JOIN lp USING (gram) GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(sum_lp) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)
+            AS corpus_mean FROM d),
+    wt AS (SELECT doc_id, source, n_grams,
+             CAST(round(exp(-{_SD_ALPHA} * (CAST(sum_lp AS DOUBLE)
+                    / CAST(n_grams AS DOUBLE) - corpus_mean) / 1000000.0)
+                  * 1000000, 0) AS BIGINT) AS w_micro
+           FROM d CROSS JOIN m)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_grams) AS BIGINT) AS raw_grams,
+      CAST(SUM(w_micro) AS BIGINT) AS weight_mass_micro,
+      CAST(SUM(w_micro * n_grams) AS BIGINT) AS effective_grams_micro,
+      round(CAST(SUM(w_micro * n_grams) AS DOUBLE)
+            / (1000000.0 * CAST(SUM(n_grams) AS DOUBLE)), 6) + 0.0
+        AS effective_ratio
+    FROM wt GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "curation_soft_dedup_weights",
+    oracle=_SD_ORACLE,
+    tags=("llm", "curation", "dedup", "reweighting"),
+)
+def q_curation_soft_dedup_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SoftDedup duplication-aware reweighting (He et al., ACL 2024:
+    instead of HARD-dropping near-duplicate text, downweight each
+    sample by its n-gram "commonness" so the training distribution is
+    deduplicated in expectation while no data is discarded): per-doc
+    commonness = mean corpus log-probability of its word bigrams, and
+    sampling weight w = exp(−alpha·(commonness − corpus mean)) — docs
+    more common than average (the near-dup mass the hard pipelines
+    [q:dedup_apply_keep_best] would delete) get w < 1, rare docs w > 1.
+    Served per source: doc count, raw bigram mass, the micro-unit
+    weight mass, the weighted (effective) gram mass, and the effective
+    ratio — the "how much does soft dedup shrink this source in
+    expectation" dashboard, the soft complement of the hard APPLY
+    ledgers.
+
+    Determinism/parity: the DSIR integer-grid discipline end-to-end —
+    per-gram log-probs rounded ONCE on the vocabulary table to exact
+    micro BIGINTs, per-doc sums exact, the corpus mean ONE division of
+    two exact integer sums, each doc's weight ONE identical exp chain
+    rounded to a micro integer, and every served aggregate an exact
+    integer sum (the only served double is the final ratio, rounded to
+    the 6-dp grid).
+
+    Scale shape: the [q:curation_dsir_weights] posture — one corpus
+    bigram exchange feeds both the LM and the scoring join; the
+    log-prob table is vocabulary-sized (broadcast at any real scale,
+    per-partition after the heavy-hitter cut at 100 TB); the corpus
+    mean is a 1-row broadcast; rollup carries |sources| rows.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    curation surface; this extends the LLM-pipeline curation family
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    big = d.select(
+        "doc_id", "source",
+        F.explode(F.expr(spark_bigram_sql(ws))).alias("gram"),
+    )
+    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = c2.agg(F.sum("cnt").cast("long").alias("tt"))
+    lp = c2.crossJoin(F.broadcast(tot)).selectExpr(
+        "gram", f"{_SD_LP} AS lpm"
+    )
+    dd = (
+        big.join(lp, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lpm").cast("long").alias("sum_lp"),
+        )
+    )
+    m = dd.agg(
+        (
+            F.sum("sum_lp").cast("double") / F.sum("n_grams").cast("double")
+        ).alias("corpus_mean")
+    )
+    wt = dd.crossJoin(F.broadcast(m)).selectExpr(
+        "source",
+        "n_grams",
+        f"CAST(round(exp(-{_SD_ALPHA} * (CAST(sum_lp AS DOUBLE)"
+        " / CAST(n_grams AS DOUBLE) - corpus_mean) / 1000000.0)"
+        " * 1000000, 0) AS BIGINT) AS w_micro",
+    )
+    return (
+        wt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("raw_grams"),
+            F.sum("w_micro").cast("long").alias("weight_mass_micro"),
+            F.sum(F.col("w_micro") * F.col("n_grams"))
+            .cast("long")
+            .alias("effective_grams_micro"),
+            (
+                F.round(
+                    F.sum(F.col("w_micro") * F.col("n_grams")).cast("double")
+                    / (F.lit(1000000.0) * F.sum("n_grams").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("effective_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -74,10 +74,10 @@ def test_kneser_ney_matches_pure_python_lm(spark):
 
 def test_kneser_ney_lm_tables_are_vocabulary_scoped(spark):
     """Scale contract: the history/continuation/total tables derive from
-    the gram-count table (vocabulary-sized), never from the corpus
-    stream; the only doc_id-keyed exchange is the (source, doc_id)
-    count-distinct expansion — a |docs|-row hop (the fastText-gate doc
-    hop class), never the bigram-event stream."""
+    the gram-count table (vocabulary-sized), the event stream is folded
+    to (source, gram) counts MAP-SIDE before any join (partial_count
+    below the exchange), and NO exchange anywhere is keyed on doc_id —
+    the gram stream never enters a join."""
     import re
 
     df = QUERIES["text_kneser_ney_bigram"].fn(spark, PARITY_SF_DIR)
@@ -86,11 +86,8 @@ def test_kneser_ney_lm_tables_are_vocabulary_scoped(spark):
         df._jdf.queryExecution().executedPlan().toString()
     ).split("== Initial Plan ==")[0]
     for m in re.finditer(r"Exchange (\w+partitioning)\(([^)]*)\)", plan):
-        if "doc_id" in m.group(2):
-            # allowed ONLY as the countDistinct expansion, partial-
-            # aggregated map-side so it carries |docs| rows
-            assert "source" in m.group(2), plan
-    assert "partial_avg" in plan, plan
+        assert "doc_id" not in m.group(2), plan
+    assert "partial_count" in plan, plan
     # scoring joins broadcast the LM tables at parity SF (planner choice)
     assert "SortMergeJoin" not in plan, plan
 
@@ -462,10 +459,8 @@ def test_wordpiece_matches_pure_python_and_diverges_from_bpe(spark):
 
 def test_winnowing_clusters_match_pure_python_union_find(spark):
     """The DECISION re-derived independently: strong edges by the exact
-    integer containment rule, union-find components, (canonical, size,
-    dropped) — compared exactly; and the DECISION must be consistent
-    with the pairs ranking (every full-containment top pair lands in
-    one cluster)."""
+    integer SYMMETRIC-similarity rule, union-find components,
+    (canonical, size, dropped) — compared exactly."""
     from mapreduceindex_demo_spark.plans.corpus_ops import (
         _WIN_CL_DEN,
         _WIN_CL_NUM,
@@ -502,7 +497,7 @@ def test_winnowing_clusters_match_pure_python_union_find(spark):
 
     strong = []
     for (a, b), c in pair_counts.items():
-        if _WIN_CL_DEN * c >= _WIN_CL_NUM * min(len(fps[a]), len(fps[b])):
+        if _WIN_CL_DEN * c >= _WIN_CL_NUM * max(len(fps[a]), len(fps[b])):
             strong.append((a, b))
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -523,3 +518,70 @@ def test_winnowing_clusters_match_pure_python_union_find(spark):
     # and the threshold genuinely prunes: strong edges < all pairs
     assert any(s >= 2 for _, s, _ in got)
     assert len(strong) < len(pair_counts)
+
+
+def test_soft_dedup_weights_match_pure_python(spark):
+    """The SoftDedup chain — bigram corpus LM on the micro integer grid,
+    per-doc exact sums, the exp reweighting, per-source exact
+    aggregates — re-derived in pure Python. Integer columns compare
+    exactly; the ratio on the abtt_g6 grid. Property checks: by Jensen
+    the GLOBAL effective ratio is >= 1 while the dup-heavy sources sit
+    below their rare peers (the reweighting genuinely discriminates)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
+    rows = _docs(["doc_id", "source", "text"])
+    c2: Counter = Counter()
+    per_doc = {}
+    for doc_id, source, text in rows:
+        ws = text.split(" ")
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        per_doc[doc_id] = (source, grams)
+        c2.update(grams)
+    tt = sum(c2.values())
+
+    def half_away(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    lpm = {g: half_away(math.log(c / tt) * 1_000_000) for g, c in c2.items()}
+    docs = {
+        d: (src, len(gs), sum(lpm[g] for g in gs))
+        for d, (src, gs) in per_doc.items()
+        if gs
+    }
+    corpus_mean = sum(s for _, _, s in docs.values()) / sum(
+        n for _, n, _ in docs.values()
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, n, s in docs.values():
+        w = half_away(
+            math.exp(-0.5 * (s / n - corpus_mean) / 1_000_000.0) * 1_000_000
+        )
+        a = agg[src]
+        a[0] += 1
+        a[1] += n
+        a[2] += w
+        a[3] += w * n
+    expected = {
+        src: (v[0], v[1], v[2], v[3], abtt_g6(v[3] / (1_000_000.0 * v[1])))
+        for src, v in agg.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.raw_grams,
+            r.weight_mass_micro,
+            r.effective_grams_micro,
+            r.effective_ratio,
+        )
+        for r in QUERIES["curation_soft_dedup_weights"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    }
+    assert got == expected
+    ratios = [v[4] for v in got.values()]
+    tot_eff = sum(v[3] for v in got.values())
+    tot_raw = sum(v[1] for v in got.values())
+    assert tot_eff / (1_000_000.0 * tot_raw) >= 1.0  # Jensen
+    assert max(ratios) > min(ratios)  # the weighting discriminates
