@@ -1172,14 +1172,18 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hs/ts/tot derive from c2, not from the corpus); the per-gram
     nlp/backoff scores are assembled by joins among those vocab-sized
     tables ONLY; and the corpus event stream is folded to (source,
-    gram) COUNTS before any join — map-side combined, so every exchange
-    and every join after the two corpus scans carries |sources|·|vocab|
-    rows. The served means are the count-weighted vocab-side sums
-    (identical values to the oracle's per-event AVG modulo summation
-    order — the 6-dp n·eps band). Measured ladder at ~sf1 (BASELINE.md
-    r14): three LM joins on the stream 6.2 s → one stream join 7.0 s →
-    this fold 2.2 s. The doc count is a scan-side |sources| aggregate.
-    No per-doc state, no windows, nothing quadratic.
+    gram) COUNTS in ONE persisted map-side-combined exchange — the only
+    corpus-sized shuffle; every table after it (c2/hs/ts/tot/scores and
+    the rollup) derives from the persisted fold, so every later
+    exchange and join carries |sources|·|vocab| rows. The served means
+    are the count-weighted vocab-side sums (identical values to the
+    oracle's per-event AVG modulo summation order — the 6-dp n·eps
+    band). Measured ladder at ~sf1 (BASELINE.md r14): three LM joins on
+    the event stream 6.2 s → one stream join 7.0 s → un-persisted fold
+    (c2's four readers re-ran the corpus wordcount five times) 11.5 s →
+    this persisted fold, see the r14 table. The doc count is a
+    scan-side |sources| aggregate. No per-doc state, no windows,
+    nothing quadratic.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     LM surface; this extends the LLM-pipeline text family beyond
@@ -1189,7 +1193,22 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = d.select(
         "source", F.explode(F.expr(spark_bigram_sql(w))).alias("gram")
     )
-    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    # ONE corpus exchange: the (source, gram) count fold is the only
+    # corpus-sized shuffle, persisted so the four LM tables and the
+    # scoring join all derive from it without re-scanning (the DSIR
+    # one-exchange lesson — the un-persisted spelling re-ran the corpus
+    # wordcount FIVE times via c2's four readers: 11.5 s at ~sf1,
+    # BASELINE.md r14)
+    sg = (
+        big.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    c2 = (
+        sg.groupBy("gram")
+        .agg(F.sum("c").cast("long").alias("c12"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     hs = c2.groupBy(F.substring_index("gram", " ", 1).alias("h")).agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1pf"),
@@ -1210,14 +1229,6 @@ def q_text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ts, "t")
         .crossJoin(F.broadcast(tot))
         .selectExpr("gram", f"-ln({_KN_P}) AS nlp", f"{_KN_BACKOFF} AS bsh")
-    )
-    # fold the event stream to (source, gram) COUNTS before any join —
-    # map-side combined, so the exchange and every join carry
-    # |sources|x|vocab| rows and the 40M-row gram stream never enters a
-    # join (first spelling: three LM joins on the stream, 6.2 s at ~sf1;
-    # second: one stream join, 7.0 s; this one: 2.2 s — BASELINE.md r14)
-    sg = big.groupBy("source", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     per_src = (
         sg.join(sc, "gram")

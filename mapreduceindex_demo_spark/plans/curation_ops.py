@@ -1250,22 +1250,39 @@ def q_curation_soft_dedup_weights(
     integer sum (the only served double is the final ratio, rounded to
     the 6-dp grid).
 
-    Scale shape: the [q:curation_dsir_weights] posture — one corpus
-    bigram exchange feeds both the LM and the scoring join; the
-    log-prob table is vocabulary-sized (broadcast at any real scale,
-    per-partition after the heavy-hitter cut at 100 TB); the corpus
-    mean is a 1-row broadcast; rollup carries |sources| rows.
+    Scale shape: two read-bandwidth corpus passes (LM build + scoring),
+    zero corpus-sized exchanges: the log-prob table is vocabulary-sized
+    and PERSISTED (so the planner sees its true size and broadcasts the
+    scoring probe; at 100 TB: per-partition after the heavy-hitter
+    cut), the per-doc sums partial-aggregate map-side into a |docs|-row
+    hop, the corpus mean is a 1-row broadcast, and the rollup carries
+    |sources| rows.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     curation surface; this extends the LLM-pipeline curation family
     beyond reference parity."""
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
     ws = "split(text, ' ')"
     big = d.select(
         "doc_id", "source",
         F.explode(F.expr(spark_bigram_sql(ws))).alias("gram"),
     )
-    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # the vocabulary LM is persisted so (a) tot/lp derive from it
+    # without re-running the corpus wordcount (the un-persisted spelling
+    # re-ran the explode three times: 10.6 s at ~sf1) and (b) the cached
+    # relation reports its TRUE vocabulary size, so the planner
+    # broadcasts the scoring join (the post-aggregate size estimate
+    # otherwise inherits the corpus-sized child and plans a corpus
+    # shuffle: the dgc-exchange spelling measured 4.5 s; this one 3.6 s
+    # — BASELINE.md r14). Result: two read-bandwidth corpus passes, a
+    # broadcast probe, and a map-side-combined |docs|-row hop.
+    c2 = (
+        big.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     tot = c2.agg(F.sum("cnt").cast("long").alias("tt"))
     lp = c2.crossJoin(F.broadcast(tot)).selectExpr(
         "gram", f"{_SD_LP} AS lpm"
