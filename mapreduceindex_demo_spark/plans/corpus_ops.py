@@ -873,20 +873,29 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: variance is 0) Spark's Divide serves NULL on a zero divisor while
 #: DuckDB's default ieee_floating_point_ops serves inf/nan — nullif(den,
 #: 0) makes BOTH engines serve NULL exactly where the fit is undefined.
+#: the denominators are rounded to the 6-dp grid BEFORE the nullif: a
+#: variance that is ANALYTICALLY zero (all-equal inputs) accumulates
+#: engine- and partitioning-dependent fp residue (~1e-13) through the
+#: sums, so a bare nullif(den, 0) fires in one engine and not the other
+#: — measured as a flaky 0.0-vs-NULL Heaps r² divergence (r14; the
+#: driver run and the test run of the SAME code disagreed because
+#: shuffle partitioning changed Spark's summation order). Rounding
+#: first maps the residue to exact 0 in both engines; genuinely
+#: non-degenerate denominators are O(1)+ and unaffected at 1e-6.
 _ZIPF_STATS = {
     "slope": (
         "round((nn * sxy - sx * sy)"
-        " / nullif(nn * sxx - sx * sx, 0), 6) + 0.0"
+        " / nullif(round(nn * sxx - sx * sx, 6), 0), 6) + 0.0"
     ),
     "intercept": (
         "round((sy - ((nn * sxy - sx * sy)"
-        " / nullif(nn * sxx - sx * sx, 0)) * sx)"
+        " / nullif(round(nn * sxx - sx * sx, 6), 0)) * sx)"
         " / nn, 6) + 0.0"
     ),
     "r2": (
         "round(((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
-        " / nullif((nn * sxx - sx * sx) * (nn * syy - sy * sy), 0), 6)"
-        " + 0.0"
+        " / nullif(round((nn * sxx - sx * sx) * (nn * syy - sy * sy), 6),"
+        " 0), 6) + 0.0"
     ),
 }
 
@@ -1557,9 +1566,10 @@ def q_text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward 0 is recycling its vocabulary (template/boilerplate floods),
     one whose beta stays near 1 is unbounded-novelty noise (serial
     numbers, hashes) — the growth-rate complement to the Zipf slope's
-    static shape (this near-uniform synthetic corpus fits beta ≈ 0.05
-    at high r²: saturated vocabulary, exactly what its 31-word
-    generator should measure).
+    static shape (this synthetic corpus is the EXTREME alarm case: its
+    31-word vocabulary is exhausted in the first prefix, so beta reads
+    0 and r² is served NULL — the vocabulary-variance denominator is
+    analytically zero, caught by the grid-rounded nullif guard).
 
     Determinism/parity: checkpoint assignment is exact integer
     ceil-division (``(16·id + mx − 1) div mx``, no doubles near any

@@ -220,6 +220,8 @@ def test_heaps_fit_matches_pure_python(spark):
         v += new_b.get(k, 0)
         if n >= 1 and v >= 1:
             pts.append((n, v))
+    from mapreduceindex_demo_spark.plans.vector_ops import abtt_g6
+
     nn = float(len(pts))
     xs = [math.log(n) for n, _ in pts]
     ys = [math.log(v) for _, v in pts]
@@ -229,20 +231,34 @@ def test_heaps_fit_matches_pure_python(spark):
     syy = sum(y * y for y in ys)
     beta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
     lnk = (sy - beta * sx) / nn
-    r2 = ((nn * sxy - sx * sy) ** 2) / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    # mirror the engines' grid-rounded nullif guard: a variance that is
+    # ANALYTICALLY zero leaves only fp residue in the sums, which the
+    # 6-dp round maps to exact 0 -> r2 is served NULL (this corpus's
+    # vocabulary saturates in the first prefix, so the y-variance IS
+    # analytically zero — the guard's live branch)
+    r2_den = abtt_g6((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    r2 = (
+        None
+        if r2_den == 0.0
+        else ((nn * sxy - sx * sy) ** 2) / r2_den
+    )
     [row] = QUERIES["text_heaps_law_fit"].fn(spark, PARITY_SF_DIR).collect()
     assert row.n_points == len(pts)
     assert row.total_tokens == pts[-1][0]
     assert row.total_terms == pts[-1][1]
     assert abs(row.heaps_beta - beta) < 2e-6
     assert abs(row.heaps_ln_k - lnk) < 2e-6
-    assert abs(row.fit_r2 - r2) < 2e-6
+    if r2 is None:
+        assert row.fit_r2 is None
+    else:
+        assert abs(row.fit_r2 - r2) < 2e-6
     # the alarm branch: this synthetic corpus's 31-word vocabulary is
     # exhausted in the FIRST prefix, so growth is fully saturated —
-    # beta reads ~0 on the 6-dp grid (deeply sublinear), exactly what
-    # the diagnostic flags
+    # beta reads ~0 on the 6-dp grid and r2 is NULL (zero vocabulary
+    # variance), exactly what the diagnostic flags
     assert 0.0 <= row.heaps_beta < 0.5
     assert row.total_terms < 100
+    assert row.fit_r2 is None
 
 
 def test_heaps_checkpoint_table_is_constant_sized(spark):
