@@ -126,6 +126,13 @@ def _measure(spark, bench_queries, sf_dir: str, sf: float) -> dict:
             f"{forced[name]:.3f}s forced ({n} rows)",
             file=sys.stderr,
         )
+        # r15: drop the finished query's helper caches (persisted LM /
+        # index frames the lazy return contract can't unpersist) so
+        # later queries never time under earlier queries' memory
+        # pressure (r14 ADVICE). Medians are unaffected: rep 1 rebuilds
+        # the cache, reps 2-3 reuse it, and the median picks the
+        # steady-state pair — same property the warm-up run provided.
+        spark.catalog.clearCache()
 
     probe_after = _probe(spark)
     # max of the two (r7 verdict): contention at EITHER end of the run can

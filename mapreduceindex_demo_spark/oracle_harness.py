@@ -105,6 +105,24 @@ def duck_forced_sql(con: "duckdb.DuckDBPyConnection", oracle: str) -> str:
     )
 
 
+def engine_round(x: float, nd: int = 6) -> float:
+    """The engine-exact nd-dp grid for driver-side math: round the
+    SHORTEST-DECIMAL representation HALF-UP, then normalize -0.0. This
+    is what both engines' round(x, nd) actually does — Spark goes
+    through BigDecimal.valueOf(double) (= Double.toString, the shortest
+    round-trip decimal) with HALF_UP, and DuckDB matches it — so neither
+    Python's round() (half-to-even: 0.1015625 → 0.101562 vs the
+    engines' 0.101563) nor HALF_UP on the exact binary expansion
+    (0.1234565 is stored below the half, → 0.123456 vs the engines'
+    0.123457) is a correct mirror; Decimal(repr(x)) + ROUND_HALF_UP
+    reproduces both measured cases (r13b review finding; generalized
+    from the 6-dp ``abtt_g6`` for the r15 test-mirror sweep)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
+
+
 def spark_bigram_sql(w: str) -> str:
     """The ONE Spark-SQL spelling of adjacent-word bigram extraction over
     a token-array expression ``w`` (empty-guarded: <2 tokens → empty

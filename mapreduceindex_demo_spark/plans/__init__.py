@@ -45,32 +45,40 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r14 rotation (the r13 verdict's item 1): the 12 queries holding
-    # a single external green — the 11 r13/r13b-new published-method
-    # operators plus graph_pagerank_topk (whose second-green slot was
-    # ceded in r13, documented here since then) — collect their second
-    # greens, closing the >=2-external-greens program for every
-    # registered query. Two of them (embedding_anisotropy_abtt,
-    # text_zipf_fit) are ALSO in by the changed-this-round rule: the
-    # ABTT moment pass was respelled as Arrow-batched partial moments
-    # (the r13 verdict's item 2) and the Zipf fit gained the
-    # nullif-guarded denominators (r13 ADVICE). Family guards pick the
-    # member with the OLDEST last green; the spare slots go to the
-    # OLDEST-last-green queries overall (r3-r5) for third confirmations.
-    # ---
-    # --- the 12 second-green rows ---
-    "curation_dsir_weights",
-    "curation_dsir_sample",
-    "text_gopher_gate",
-    "text_ccnet_ppl_buckets",
-    "curation_fasttext_gate",
+    # --- r15 rotation (the r14 verdict's item 2): the nine r14-new
+    # operators hold exactly one external green each — they stay in for
+    # their SECOND greens, closing the >=2-external-greens program for
+    # every query registered before this round. Several are ALSO in by
+    # the changed-this-round rule (the SoftDedup scan-local fold, the
+    # nDCG single-pass respelling, the winnowing lowered-length window
+    # bound, the LPA/WordPiece cache-discipline respelling). ---
+    "text_kneser_ney_bigram",
+    "dedup_winnowing_pairs",
+    "dedup_winnowing_clusters",
+    "text_heaps_law_fit",
+    "graph_label_propagation",      # changed: lazy-chain + unpersist rounds
+    "similarity_ndcg_eval",         # changed: single-pass two-window plan
+    "text_wordpiece_train_merges",  # changed: collected argmax rounds
+    "streaming_left_interval_join",
+    "curation_soft_dedup_weights",  # changed: scan-local (gram, c) fold
+    # --- changed this round (re-verification rule): the BPE training
+    # loop now collects its 1-row argmax per round and unpersists
+    # superseded word-type caches (r14 ADVICE) ---
     "text_bpe_train_merges",
     "text_bpe_apply_merges",
-    "curation_kcenter_coreset",
-    "embedding_anisotropy_abtt",   # changed: Arrow-batched moment pass
-    "text_zipf_fit",               # changed: nullif-guarded denominators
-    "graph_kcore_decomposition",
-    "graph_pagerank_topk",
+    # --- NEW this round (zero external rows — machine-enforced
+    # in-window): Moore-Lewis cross-entropy selection, UniMax sampling
+    # budgets, Good-Turing smoothing, onion duplicate-chunk gating, RAKE
+    # and TextRank keyword extraction, SemDeDup semantic dedup, and the
+    # full-outer stream-stream interval join ---
+    "curation_moore_lewis_select",
+    "curation_unimax_budgets",
+    "text_good_turing_smoothing",
+    "dedup_onion_chunk_gate",
+    "text_rake_keywords",
+    "text_textrank_keywords",
+    "dedup_semdedup_cells",
+    "streaming_full_interval_join",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -81,55 +89,33 @@ PRIORITY_50 = [
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- choice family guards, oldest last-green member ---
-    "streaming_session_windows",   # last green r12 (tumbling: r13)
-    "dedup_apply_neardup_free",    # last green r5 — oldest dedup
-    "similarity_lsh_buckets",      # last green r5 — oldest similarity
-    "multimodal_feature_extract",  # last green r5 — oldest multimodal
-    "balanced_source_sample",      # last green r12 (curated_training: r13)
-    "events_daily_rollup",         # last green r4 — oldest events
-    "user_sessionization",         # last green r12 (running_spend: r13)
-    "suppliers_above_nation_avg",  # last green r12 (skew_salted: r13)
-    "nation_market_share_yearly",  # last green r12 (blocking: r13)
+    "streaming_tumbling_counts",   # last green r13 (session: r14)
+    "multimodal_frame_sample",     # last green r5 — oldest multimodal
+    "curated_training_set",        # last green r13 (balanced: r14)
+    "events_json_extract",         # last green r6 — oldest events
+    "customer_running_spend",      # last green r13 (sessionization: r14)
+    "skew_salted_join_volume",     # last green r13 (above_nation_avg: r14)
+    "blocking_suppliers",          # last green r13 (market_share: r14)
     # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
-    # members (r9/r11) ---
-    "mapindex_expr_build",
-    "mapindex_incremental_cdc",
-    "mapindex_array_build",
-    "mapindex_collated_scan",
-    "mapindex_primary_build",
-    # --- NEW this round (zero external rows — machine-enforced
-    # in-window): interpolated Kneser-Ney bigram scoring (the KenLM
-    # smoothing the CCNet-style filters actually run), winnowing
-    # fingerprints (the MOSS local fingerprinting), the Heaps-law
-    # vocabulary-growth fit (the Zipf diagnostic's twin),
-    # label-propagation communities (the fifth classic graph operator),
-    # and nDCG@10 graded retrieval evaluation ---
-    "text_kneser_ney_bigram",
-    "dedup_winnowing_pairs",
-    "text_heaps_law_fit",
-    "graph_label_propagation",
-    "similarity_ndcg_eval",
-    # --- NEW this round, second batch: WordPiece training (the BERT
-    # likelihood-ratio merge rule) and the winnowing pairs->DECISION
-    # clusters step ---
-    "text_wordpiece_train_merges",
-    "dedup_winnowing_clusters",
-    # --- NEW this round, third batch: the outer twin of the
-    # stream-stream interval join ---
-    "streaming_left_interval_join",
-    # --- NEW this round, fourth batch: SoftDedup duplication-aware
-    # reweighting (the soft complement of the hard dedup APPLY ledgers)
-    "curation_soft_dedup_weights",
-    # --- spare slots: the 7 OLDEST-last-green queries (r3-r5) get
-    # third confirmations (nine spare slots ceded to the r14-new
-    # queries above) ---
-    "text_langid_heuristic",       # r3
-    "text_quality_score",          # r3
-    "local_supplier_volume",       # r4
-    "pricing_summary",             # r4
-    "shipping_priority",           # r4
-    "text_token_stats",            # r4
-    "bracketed_discounted_revenue",  # r5
+    # members (r11/r12) ---
+    "mapindex_stats",
+    "mapindex_stats_approx",
+    "mapindex_bins",
+    "mapindex_durable_cdc",
+    "mapindex_function_build",
+    # --- spare slots: the 11 OLDEST-last-green queries (r5) get third
+    # confirmations ---
+    "churned_customer_segments",
+    "customer_order_count_distribution",
+    "frequent_bigrams_per_lang",
+    "idle_customer_balance_by_prefix",
+    "important_parts_by_value",
+    "large_volume_customers",
+    "late_shipment_priority_counts",
+    "min_offer_supplier_per_part",
+    "product_profit_by_nation_year",
+    "promo_revenue_share_monthly",
+    "small_qty_revenue_by_brand",
 ]
 
 

@@ -776,7 +776,6 @@ def _bpe_train(spark: SparkSession, sf_dir: str, final_seq: bool):
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist(StorageLevel.MEMORY_ONLY)
     )
     seq = wf.select(
         F.concat(
@@ -785,23 +784,44 @@ def _bpe_train(spark: SparkSession, sf_dir: str, final_seq: bool):
         "cnt",
     ).persist(StorageLevel.MEMORY_ONLY)
 
+    # Each round's argmax is COLLECTED (1 row — bounded metadata, the
+    # affected-bucket-id precedent) instead of left lazy: a lazy argmax
+    # keeps round i's word-type cache live until the caller's final
+    # action, so superseded |vocab|-row rounds accumulated for the life
+    # of the session (r14 ADVICE). Round i's argmax job materializes
+    # seq_i's cache, which is exactly when seq_{i-1} loses its last
+    # reader — no extra materialization job is ever scheduled.
     bests = []
+    prev = None
     for i in range(_BPE_MERGES):
         pairs = seq.select(
             F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
             "cnt",
         )
-        best = (
+        rows = (
             pairs.groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("pc"))
             .orderBy(F.desc("pc"), F.asc("pair"))
             .limit(1)
+            .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+        best = spark.createDataFrame(rows, "pair string, pc long")
         bests.append(best)
         if final_seq or i < _BPE_MERGES - 1:
+            prev = seq
             seq = seq.crossJoin(F.broadcast(best)).select(
                 F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"), "cnt"
             ).persist(StorageLevel.MEMORY_ONLY)
+    if final_seq:
+        # materialize the final rewrite off prev's cache, then drop prev;
+        # the returned frame keeps only its own cache live
+        seq.count()
+        if prev is not None:
+            prev.unpersist()
+    else:
+        seq.unpersist()
     return bests, (seq if final_seq else None)
 
 
@@ -1420,10 +1440,15 @@ def _winnowing_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(
         F.length("text") >= _WIN_K + _WIN_W - 1
     )
-    base = d.select(
+    # last_ws derives from the LOWERED length — k-gram positions iterate
+    # over length(t) of the lowercased text and the oracle's nw/pos CTEs
+    # both use length(lower(text)); a character whose lowercase mapping
+    # changes string length (e.g. U+0130) would otherwise diverge the
+    # window bound (r14 ADVICE).
+    base = d.select("doc_id", F.lower(F.col("text")).alias("t")).select(
         "doc_id",
-        F.lower(F.col("text")).alias("t"),
-        (F.length("text") - F.lit(_WIN_K + _WIN_W) + 2).cast("long").alias(
+        "t",
+        (F.length("t") - F.lit(_WIN_K + _WIN_W) + 2).cast("long").alias(
             "last_ws"
         ),
     )
@@ -1431,10 +1456,14 @@ def _winnowing_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "last_ws",
         F.posexplode(
+            # the length(t) >= K guard keeps sequence() ascending even if
+            # a lowercase mapping SHRANK the string below k (the raw-length
+            # row filter no longer guarantees it)
             F.expr(
+                f"CASE WHEN length(t) >= {_WIN_K} THEN "
                 f"transform(sequence(1, length(t) - {_WIN_K} + 1), "
                 f"i -> conv(substring(md5(substring(t, i, {_WIN_K})), 1, 8),"
-                " 16, 10))"
+                " 16, 10)) ELSE array() END"
             )
         ).alias("p0", "hs"),
     ).select(
@@ -1768,7 +1797,15 @@ def q_text_wordpiece_train_merges(
         "cnt",
     ).persist(StorageLevel.MEMORY_ONLY)
 
-    out = None
+    # Per-round argmax rows are COLLECTED (1 row each — bounded metadata,
+    # the _bpe_train spelling) so round i's word-type cache can unpersist
+    # the moment round i+1's argmax job materializes its successor;
+    # superseded |vocab|-row rounds otherwise stay cached for the life of
+    # the session (r14 ADVICE). The rounded score is computed Spark-side
+    # BEFORE the collect, so the served value is the identical engine fp
+    # chain either way.
+    out_rows = []
+    prev = None
     for i in range(1, _WP_MERGES + 1):
         pairs = seq.select(
             F.explode(F.expr(spark_bigram_sql("split(seq, ' ')"))).alias("pair"),
@@ -1780,7 +1817,7 @@ def q_text_wordpiece_train_merges(
             .groupBy("sym")
             .agg(F.sum("cnt").cast("long").alias("c"))
         )
-        best = (
+        rows = (
             g.join(
                 s.select(F.col("sym").alias("la"), F.col("c").alias("ca")),
                 F.substring_index("pair", " ", 1) == F.col("la"),
@@ -1792,22 +1829,34 @@ def q_text_wordpiece_train_merges(
             .select("pair", "pc", "ca", "cb")
             .orderBy(F.expr(_WP_SCORE).desc(), F.asc("pair"))
             .limit(1)
+            .selectExpr(
+                f"{i} AS merge_rank",
+                "pair",
+                "pc AS pair_count",
+                "ca AS left_count",
+                "cb AS right_count",
+                f"round({_WP_SCORE}, 6) + 0.0 AS score",
+            )
+            .collect()
         )
-        row = best.selectExpr(
-            f"{i} AS merge_rank",
-            "pair",
-            "pc AS pair_count",
-            "ca AS left_count",
-            "cb AS right_count",
-            f"round({_WP_SCORE}, 6) + 0.0 AS score",
-        )
-        out = row if out is None else out.unionAll(row)
+        if prev is not None:
+            prev.unpersist()
+        out_rows.extend(rows)
         if i < _WP_MERGES:
+            best = spark.createDataFrame(
+                [(r["pair"],) for r in rows], "pair string"
+            )
+            prev = seq
             seq = seq.crossJoin(F.broadcast(best)).select(
                 F.expr(_bpe_seq_rewrite_sql("seq", "pair")).alias("seq"),
                 "cnt",
             ).persist(StorageLevel.MEMORY_ONLY)
-    return out.orderBy("merge_rank")
+    seq.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, pair string, pair_count long,"
+        " left_count long, right_count long, score double",
+    ).orderBy("merge_rank")
 
 
 #: near-dup DECISION threshold, applied as the exact integer
@@ -1888,4 +1937,419 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
         )
         .orderBy(F.desc("cluster_size"), "canonical_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: Good-Turing frequency smoothing (Turing estimate + unseen mass)
+# ---------------------------------------------------------------------------
+
+#: serve the adjusted counts for the low-frequency head, where the Turing
+#: estimate matters (high r has sparse N_r and real estimators switch to
+#: the Good-Turing regression; the served head is the exact-count region).
+_GT_MAX_R = 10
+
+_GT_ORACLE = f"""
+    WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+               AS term
+             FROM tk),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY 1),
+    nr AS (SELECT cnt AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+           FROM vocab GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+    p0 AS (SELECT round(CAST(COALESCE(
+             (SELECT n_r FROM nr WHERE r = 1), 0) AS DOUBLE)
+             / CAST(tot.n AS DOUBLE), 6) + 0.0 AS unseen_p0
+           FROM tot)
+    SELECT a.r, a.n_r,
+           round(CAST((a.r + 1) * COALESCE(b.n_r, 0) AS DOUBLE)
+                 / CAST(a.n_r AS DOUBLE), 6) + 0.0 AS r_star,
+           p0.unseen_p0
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN p0
+    WHERE a.r <= {_GT_MAX_R}
+    ORDER BY a.r
+    """
+
+
+@query(
+    "text_good_turing_smoothing",
+    oracle=_GT_ORACLE,
+    tags=("llm", "text", "lm", "smoothing", "good-turing"),
+)
+def q_text_good_turing_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus word-TRIGRAM
+    vocabulary (the n-gram space sparse enough on this corpus to have a
+    real singleton head; unigrams here are a closed ~60-word vocabulary
+    with no rare events — the estimator would serve an empty head)
+    (Good 1953; the Turing estimator presented in Gale & Sampson 1995's
+    "Good-Turing frequency estimation without tears"): from the
+    frequency-of-frequencies table N_r, serve for each low count r the
+    adjusted count r* = (r+1)·N_[r+1]/N_r — what a count-r word's
+    probability mass SHOULD be once unseen events get their share — plus
+    the Turing unseen-mass estimate P0 = N_1/N, the number every
+    smoothing method (Katz backoff, and the Kneser-Ney discount family
+    [q:text_kneser_ney_bigram] approximates with its fixed D) is built
+    around. The diagnostic a tokenizer/LM team reads before choosing a
+    smoothing regime.
+
+    Determinism/parity: N_r and N are exact integer aggregates; r* is
+    ONE multiplication + ONE division of exact BIGINTs rounded to the
+    6-dp grid (identical IEEE chain both engines); r with no successor
+    frequency serves r* = 0 (COALESCE, not NULL) — the estimator's real
+    "mass moves down" semantics.
+
+    Scale shape: one map-side-combined wordcount exchange (the
+    [q:mapreduce_wordcount] shape) is the ONLY corpus-sized move; the
+    frequency-of-frequencies table is a second combiner groupBy over the
+    vocabulary, and everything served is a ~10-row join of that
+    metadata-sized table with itself.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    LM surface; this extends the LLM-pipeline text family beyond
+    reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    vocab = (
+        d.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({ws}) < 3 THEN array() "
+                    f"ELSE transform(sequence(1, size({ws}) - 2),"
+                    f" i -> concat_ws(' ', element_at({ws}, i),"
+                    f" element_at({ws}, i + 1), element_at({ws}, i + 2)))"
+                    " END"
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    nr = (
+        vocab.groupBy(F.col("cnt").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    tot = vocab.agg(F.sum("cnt").cast("long").alias("n"))
+    n1 = nr.where(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("n1")
+    )
+    p0 = n1.crossJoin(F.broadcast(tot)).select(
+        (
+            F.round(F.col("n1").cast("double") / F.col("n").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("unseen_p0")
+    )
+    b = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.where(F.col("r") <= _GT_MAX_R)
+        .join(b, "r", "left")
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "r",
+            "n_r",
+            (
+                F.round(
+                    (
+                        (F.col("r") + 1) * F.coalesce(F.col("n_r1"), F.lit(0))
+                    ).cast("double")
+                    / F.col("n_r").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("r_star"),
+            "unseen_p0",
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: onion-style duplicate-chunk gating
+# ---------------------------------------------------------------------------
+
+#: non-overlapping chunk width in tokens (the resolution at which
+#: boilerplate repeats are detected) and the published onion drop rule:
+#: a document whose duplicate-chunk ratio exceeds 1/2 is discarded.
+_ON_CHUNK = 8
+_ON_NUM, _ON_DEN = 1, 2
+
+_ON_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+    ch AS (SELECT doc_id, source,
+             md5(array_to_string(w[(k - 1) * {_ON_CHUNK} + 1 :
+                                   k * {_ON_CHUNK}], ' ')) AS h
+           FROM tk,
+             unnest(range(1, len(w) // {_ON_CHUNK} + 1)) AS t(k)),
+    df AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ddf
+           FROM ch GROUP BY 1),
+    d AS (SELECT c.doc_id, c.source,
+            CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            CAST(SUM(CASE WHEN df.ddf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dup_chunks
+          FROM ch c JOIN df USING (h) GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(dup_chunks) AS BIGINT) AS dup_chunks,
+           CAST(SUM(CASE WHEN {_ON_DEN} * dup_chunks
+                         > {_ON_NUM} * n_chunks
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(CAST(SUM(dup_chunks) AS DOUBLE)
+                 / CAST(SUM(n_chunks) AS DOUBLE), 6) + 0.0 AS dup_ratio
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "dedup_onion_chunk_gate",
+    oracle=_ON_ORACLE,
+    tags=("llm", "dedup", "onion", "boilerplate"),
+)
+def q_dedup_onion_chunk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-style duplicate-chunk gating (Pomikálek 2011, "Removing
+    boilerplate and duplicate content from web corpora" — the
+    paragraph-level dedup used by the cc_net/OSCAR lineage): segment
+    every document into non-overlapping 8-token chunks, mark a
+    chunk DUPLICATE when its exact hash appears in more than one
+    document, and gate any document whose duplicate-chunk ratio exceeds
+    1/2 — catching template floods and licence-header boilerplate that
+    whole-document hashing ([q:dedup_exact]) misses when tails differ
+    and fingerprinting ([q:dedup_winnowing_pairs]) prices per-pair.
+    Serves the per-source audit: docs, chunks, duplicate chunks, docs
+    the onion rule drops, and the duplicate-mass ratio.
+
+    Determinism/parity: chunk hashes are md5-of-token-join strings; the
+    drop rule is the exact integer cross-multiplication 2·dup > 1·total
+    (no float enters the decision); the only served double is the ratio,
+    ONE division of exact sums on the 6-dp grid.
+
+    Scale shape: chunking is scan-local (an in-row slice transform —
+    zero shuffle); ONE (chunk-hash) combiner exchange builds the
+    document-frequency table (COUNT(DISTINCT doc_id) partial-aggregates
+    because a doc's chunks are distinct by position only if text
+    repeats — the exchange carries one row per chunk); the verdict join
+    is hash-keyed equi; the rollup is |sources| rows. At 100 TB the
+    chunk-hash table is ~1/8 of the token count and partitions
+    by hash — the same banded posture as every dedup family here.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    dedup surface; this extends the LLM-pipeline dedup family beyond
+    reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' '))"
+                f" div {_ON_CHUNK}),"
+                f" k -> md5(array_join(slice(split(text, ' '),"
+                f" (k - 1) * {_ON_CHUNK} + 1, {_ON_CHUNK}), ' ')))"
+            )
+        ).alias("h"),
+    )
+    df = ch.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("ddf")
+    )
+    dd = (
+        ch.join(df, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("ddf") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+    )
+    return (
+        dd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("dup_chunks").cast("long").alias("dup_chunks"),
+            F.sum(
+                F.when(
+                    F.lit(_ON_DEN) * F.col("dup_chunks")
+                    > F.lit(_ON_NUM) * F.col("n_chunks"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.round(
+                    F.sum("dup_chunks").cast("double")
+                    / F.sum("n_chunks").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+#: the corpus stopword inventory (the generated text's function words —
+#: real pipelines bring a language stoplist; the RAKE machinery is what
+#: the operator contributes) and the served keyword count.
+_RAKE_STOPS = ("a", "the")
+_RAKE_TOPN = 20
+_RAKE_STOP_SQL = ",".join(f"'{s}'" for s in _RAKE_STOPS)
+
+#: the per-word RAKE score deg(w)/freq(w), micro-rounded ONCE per
+#: VOCABULARY word (the DSIR grid rule) so phrase scores are exact
+#: integer sums with a total (score DESC, phrase ASC) order.
+_RAKE_WSC = (
+    "CAST(round(CAST(deg AS DOUBLE) * 1000000"
+    " / CAST(freq AS DOUBLE), 0) AS BIGINT)"
+)
+
+_RAKE_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    pt AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+           FROM tk),
+    p2 AS (SELECT doc_id, pos, w[pos] AS tok,
+             w[pos] IN ({_RAKE_STOP_SQL}) AS stop
+           FROM pt),
+    p3 AS (SELECT doc_id, pos, tok, stop,
+             SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run
+           FROM p2),
+    phr AS (SELECT doc_id, run,
+              string_agg(tok, ' ' ORDER BY pos) AS phrase,
+              CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM p3 WHERE NOT stop GROUP BY 1, 2),
+    wocc AS (SELECT unnest(string_split(phrase, ' ')) AS tok, n_words
+             FROM phr),
+    ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(n_words) AS BIGINT) AS deg
+           FROM wocc GROUP BY 1),
+    wm AS (SELECT tok, {_RAKE_WSC} AS wsc FROM ws),
+    ph2 AS (SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS occurrences
+            FROM phr GROUP BY 1, 2),
+    pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS tok
+           FROM ph2),
+    ps AS (SELECT pw.phrase, CAST(SUM(wm.wsc) AS BIGINT) AS score_micro
+           FROM pw JOIN wm USING (tok) GROUP BY 1)
+    SELECT ph2.phrase, ph2.n_words, ph2.occurrences, ps.score_micro,
+           round(CAST(ps.score_micro AS DOUBLE) / 1000000.0, 6) + 0.0
+             AS rake_score
+    FROM ph2 JOIN ps USING (phrase)
+    ORDER BY ps.score_micro DESC, ph2.phrase
+    LIMIT {_RAKE_TOPN}
+    """
+
+
+@query(
+    "text_rake_keywords",
+    oracle=_RAKE_ORACLE,
+    tags=("llm", "text", "keywords", "rake"),
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 —
+    Rapid Automatic Keyword Extraction): candidate phrases are the
+    maximal stopword-delimited token runs; each word scores
+    deg(w)/freq(w) over the phrase co-occurrence graph (deg counts a
+    word's total co-occurrence mass — the length of every phrase
+    occurrence containing it, self included); a phrase scores the sum of
+    its member word scores. Serves the corpus's top-20 keyword phrases
+    with their phrase length, occurrence count, and score — the
+    unsupervised twin of the TF-IDF/PMI term surfaces
+    ([q:text_pmi_collocations]).
+
+    Determinism/parity: deg and freq are exact integer aggregates; each
+    word's score is micro-rounded ONCE on the vocabulary table (the
+    shared ``_RAKE_WSC`` spelling, the DSIR grid rule), so phrase scores
+    are exact BIGINT sums and the (score DESC, phrase ASC) order is
+    total — cross-engine bit-stable; the only served double re-scales
+    the integer.
+
+    Scale shape: ONE doc-partitioned exchange (the run-id window —
+    partitioned by doc_id, never global) segments phrases; everything
+    after is phrase/vocabulary-sized combiner aggregates and
+    vocabulary-keyed equi-joins, with a TakeOrdered top-k heap. At
+    100 TB the phrase table is a fraction of the token stream and
+    partitions by hash.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    keyword surface; this extends the LLM-pipeline text family beyond
+    reference parity."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pt = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPS).alias("stop"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    p3 = pt.withColumn(
+        "run", F.sum(F.when(F.col("stop"), 1).otherwise(0)).over(wd)
+    )
+    phr = (
+        p3.where(~F.col("stop"))
+        .groupBy("doc_id", "run")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok))),"
+                    " x -> x.tok)"
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    ws = (
+        phr.select(
+            F.explode(F.split("phrase", " ")).alias("tok"), "n_words"
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+    )
+    wm = ws.selectExpr("tok", f"{_RAKE_WSC} AS wsc")
+    ph2 = phr.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences")
+    )
+    ps = (
+        ph2.select("phrase", F.explode(F.split("phrase", " ")).alias("tok"))
+        .join(wm, "tok")
+        .groupBy("phrase")
+        .agg(F.sum("wsc").cast("long").alias("score_micro"))
+    )
+    return (
+        ph2.join(ps, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "occurrences",
+            "score_micro",
+            (
+                F.round(F.col("score_micro").cast("double") / 1000000.0, 6)
+                + F.lit(0.0)
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(_RAKE_TOPN)
     )

@@ -1180,6 +1180,50 @@ def q_curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: reweighting sharpness (the paper's alpha knob: 0 = no reweighting;
 #: higher = harder suppression of common text). 0.5 keeps every weight
 #: strictly positive and the weight span modest on this corpus.
+def bigram_fold_frame(d: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """The scan-LOCAL per-doc (gram, c) fold (r14 verdict item 3), spelled
+    ONCE for every bigram-LM consumer ([q:curation_soft_dedup_weights],
+    [q:curation_moore_lewis_select]): sort the row's bigram array and
+    run-length encode it INSIDE the row (two codegen projections, zero
+    shuffle), so one row per DISTINCT gram per doc leaves the scan
+    instead of one per occurrence. The LM probe joins then carry the
+    folded stream — the corpus's gram-repetition factor never reaches
+    the broadcast-hash probe — and the LM build's map-side hash sums
+    pre-counted ``c`` instead of hashing every occurrence. Exact-integer
+    identical to the per-occurrence spelling: n_grams = SUM(c),
+    sum_lp = SUM(c·lpm). Returns ``keys + (gram, c)``."""
+    ws = "split(text, ' ')"
+    return (
+        d.select(
+            *keys,
+            F.expr(f"array_sort({spark_bigram_sql(ws)})").alias("gs"),
+        )
+        .select(
+            *keys,
+            "gs",
+            F.expr(
+                "CASE WHEN size(gs) = 0 THEN array() ELSE"
+                " filter(sequence(1, size(gs)),"
+                " i -> i = 1 OR element_at(gs, i) != element_at(gs, i - 1))"
+                " END"
+            ).alias("st"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.expr(
+                    "transform(st, (p, j) -> struct("
+                    "element_at(gs, p) AS gram,"
+                    " CAST(coalesce(try_element_at(st, j + 2), size(gs) + 1)"
+                    " - p AS BIGINT) AS c))"
+                )
+            ).alias("gc"),
+        )
+        .select(*keys, F.col("gc.gram").alias("gram"),
+                F.col("gc.c").alias("c"))
+    )
+
+
 _SD_ALPHA = "0.5"
 
 #: micro-unit per-gram log-probability — the DSIR integer-grid rule:
@@ -1224,6 +1268,7 @@ _SD_ORACLE = f"""
     "curation_soft_dedup_weights",
     oracle=_SD_ORACLE,
     tags=("llm", "curation", "dedup", "reweighting"),
+    bench=True,  # r15: the r14 round's adverse ratio gets a per-round series (r14 verdict item 4)
 )
 def q_curation_soft_dedup_weights(
     spark: SparkSession, sf_dir: str
@@ -1251,12 +1296,16 @@ def q_curation_soft_dedup_weights(
     the 6-dp grid).
 
     Scale shape: two read-bandwidth corpus passes (LM build + scoring),
-    zero corpus-sized exchanges: the log-prob table is vocabulary-sized
-    and PERSISTED (so the planner sees its true size and broadcasts the
-    scoring probe; at 100 TB: per-partition after the heavy-hitter
-    cut), the per-doc sums partial-aggregate map-side into a |docs|-row
-    hop, the corpus mean is a 1-row broadcast, and the rollup carries
-    |sources| rows.
+    zero corpus-sized exchanges, and both passes consume the scan-LOCAL
+    per-doc (gram, c) fold — an in-row sort + run-length encode, zero
+    shuffle — so the stream leaving each scan carries one row per
+    DISTINCT gram per doc, never one per occurrence (the KN fold, moved
+    one join earlier; r14 verdict item 3). The log-prob table is
+    vocabulary-sized and PERSISTED (so the planner sees its true size
+    and broadcasts the scoring probe; at 100 TB: per-partition after
+    the heavy-hitter cut), the per-doc sums partial-aggregate map-side
+    into a |docs|-row hop, the corpus mean is a 1-row broadcast, and
+    the rollup carries |sources| rows.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     curation surface; this extends the LLM-pipeline curation family
@@ -1264,11 +1313,8 @@ def q_curation_soft_dedup_weights(
     from pyspark import StorageLevel
 
     d = _t(spark, sf_dir, "documents")
-    ws = "split(text, ' ')"
-    big = d.select(
-        "doc_id", "source",
-        F.explode(F.expr(spark_bigram_sql(ws))).alias("gram"),
-    )
+    # the shared scan-local per-doc (gram, c) fold — see bigram_fold_frame
+    fold = bigram_fold_frame(d, ("doc_id", "source"))
     # the vocabulary LM is persisted so (a) tot/lp derive from it
     # without re-running the corpus wordcount (the un-persisted spelling
     # re-ran the explode three times: 10.6 s at ~sf1) and (b) the cached
@@ -1279,8 +1325,8 @@ def q_curation_soft_dedup_weights(
     # — BASELINE.md r14). Result: two read-bandwidth corpus passes, a
     # broadcast probe, and a map-side-combined |docs|-row hop.
     c2 = (
-        big.groupBy("gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        fold.groupBy("gram")
+        .agg(F.sum("c").cast("long").alias("cnt"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
     tot = c2.agg(F.sum("cnt").cast("long").alias("tt"))
@@ -1288,11 +1334,11 @@ def q_curation_soft_dedup_weights(
         "gram", f"{_SD_LP} AS lpm"
     )
     dd = (
-        big.join(lp, "gram")
+        fold.join(lp, "gram")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum("lpm").cast("long").alias("sum_lp"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lpm")).cast("long").alias("sum_lp"),
         )
     )
     m = dd.agg(
@@ -1326,4 +1372,351 @@ def q_curation_soft_dedup_weights(
             ).alias("effective_ratio"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: Moore-Lewis cross-entropy difference selection
+# ---------------------------------------------------------------------------
+
+#: the in-domain seed: the English slice of the corpus stands in for
+#: Moore-Lewis's in-domain corpus (real pipelines bring a curated seed
+#: set; the LM machinery is what the operator contributes).
+_ML_LANG = "en"
+_ML_TOPK = 20
+
+#: the two add-one-smoothed micro-unit bigram log-probs, spelled ONCE for
+#: both engines over the exact-BIGINT columns (ca = corpus gram count,
+#: ci = in-domain gram count, ta/ti = the two token totals, v = shared
+#: vocabulary size): ONE addition, ONE division, ONE ln, rounded ONCE
+#: per vocabulary entry to an exact micro BIGINT — the DSIR integer-grid
+#: rule ([q:curation_dsir_weights]).
+_ML_LPG = (
+    "CAST(round(ln((CAST(ca AS DOUBLE) + 1.0)"
+    " / CAST(ta + v AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+_ML_LPI = (
+    "CAST(round(ln((CAST(ci AS DOUBLE) + 1.0)"
+    " / CAST(ti + v AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+
+#: the served per-token cross-entropy difference: ONE subtraction of two
+#: exact integer sums, ONE division — identical IEEE chain either engine,
+#: so the ORDER BY over it is bit-stable (doc_id breaks exact ties).
+_ML_SCORE = (
+    "CAST(sum_lp_gen - sum_lp_in AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+)
+
+_ML_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents),
+    big AS (SELECT doc_id, lang,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM tk),
+    c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN lang = '{_ML_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ci
+           FROM big GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+                   CAST(SUM(ci) AS BIGINT) AS ti,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM c2),
+    lp AS (SELECT gram, {_ML_LPG} AS lpg, {_ML_LPI} AS lpi
+           FROM c2 CROSS JOIN tot),
+    d AS (SELECT b.doc_id, b.lang,
+            CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(lp.lpi) AS BIGINT) AS sum_lp_in,
+            CAST(SUM(lp.lpg) AS BIGINT) AS sum_lp_gen
+          FROM big b JOIN lp USING (gram) GROUP BY 1, 2)
+    SELECT doc_id, lang, n_grams, sum_lp_in, sum_lp_gen,
+           round({_ML_SCORE} / 1000000.0, 6) + 0.0 AS ml_score
+    FROM d
+    ORDER BY {_ML_SCORE}, doc_id
+    LIMIT {_ML_TOPK}
+    """
+
+
+@query(
+    "curation_moore_lewis_select",
+    oracle=_ML_ORACLE,
+    tags=("llm", "curation", "selection", "moore-lewis"),
+)
+def q_curation_moore_lewis_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference selection (Moore & Lewis,
+    ACL 2010 — the classic intelligent-selection rule behind most
+    domain-adaptation pipelines, and the method DSIR
+    [q:curation_dsir_weights] generalizes): score every document by
+    H_in(doc) − H_gen(doc), the difference between its per-token cross
+    entropy under an IN-DOMAIN language model and under the
+    general-corpus language model, and keep the lowest scorers — text
+    that looks like the target domain but not like average text. Serves
+    the top-20 most in-domain-like documents with their exact
+    integer LM sums and the served score.
+
+    Both LMs are add-one-smoothed word-bigram models over the SHARED
+    corpus vocabulary (in-domain = the English slice), so every scored
+    gram has a probability in both — the standard smoothing choice for
+    the method's OOV edge.
+
+    Determinism/parity: the DSIR integer grid end-to-end — both
+    log-probs rounded ONCE per vocabulary entry to micro BIGINTs
+    (shared ``_ML_LPG``/``_ML_LPI`` spellings), per-doc sums exact
+    integers, and the ranking key ONE subtraction + ONE division of
+    exact integers (identical IEEE chain both engines; doc_id breaks
+    ties).
+
+    Scale shape: the [q:curation_soft_dedup_weights] posture — two
+    read-bandwidth corpus passes over the shared scan-local
+    ``bigram_fold_frame`` (zero-shuffle per-doc run-length fold), ONE
+    vocabulary-sized exchange building BOTH LMs (conditional aggregates,
+    not two passes), the persisted vocabulary table broadcast into the
+    scoring probe, a map-side-combined |docs|-row hop, and a top-k
+    TakeOrdered heap.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    curation surface; this extends the LLM-pipeline curation family
+    beyond reference parity."""
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    fold = bigram_fold_frame(d, ("doc_id", "lang"))
+    c2 = (
+        fold.groupBy("gram")
+        .agg(
+            F.sum("c").cast("long").alias("ca"),
+            F.sum(
+                F.when(F.col("lang") == _ML_LANG, F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("ci"),
+        )
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    tot = c2.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("ci").cast("long").alias("ti"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lp = c2.crossJoin(F.broadcast(tot)).selectExpr(
+        "gram", f"{_ML_LPG} AS lpg", f"{_ML_LPI} AS lpi"
+    )
+    dd = (
+        fold.join(lp, "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lpi")).cast("long").alias("sum_lp_in"),
+            F.sum(F.col("c") * F.col("lpg")).cast("long").alias("sum_lp_gen"),
+        )
+    )
+    return (
+        dd.select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            "sum_lp_in",
+            "sum_lp_gen",
+            (
+                F.round(F.expr(_ML_SCORE) / F.lit(1000000.0), 6) + F.lit(0.0)
+            ).alias("ml_score"),
+        )
+        .orderBy(F.expr(_ML_SCORE), "doc_id")
+        .limit(_ML_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: UniMax per-source sampling budgets
+# ---------------------------------------------------------------------------
+
+#: maximum epochs any source may repeat (UniMax's N hyperparameter) and
+#: the total budget as a fraction of the corpus (numerator/denominator —
+#: exact integer arithmetic end-to-end).
+_UM_EPOCHS = 2
+_UM_BUDGET_NUM, _UM_BUDGET_DEN = 3, 2
+
+_UM_ORACLE = f"""
+    WITH t AS (SELECT lang,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+               FROM documents GROUP BY 1),
+    b AS (SELECT CAST(SUM(n_tokens) * {_UM_BUDGET_NUM}
+                      // {_UM_BUDGET_DEN} AS BIGINT) AS budget,
+                 CAST(COUNT(*) AS BIGINT) AS ns
+          FROM t),
+    o AS (SELECT t.*, b.budget, b.ns,
+            CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT)
+              AS i,
+            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cumlt
+          FROM t CROSS JOIN b),
+    f AS (SELECT o.*,
+            ({_UM_EPOCHS} * n_tokens * (ns - i + 1)
+             <= budget - {_UM_EPOCHS} * cumlt) AS cnd
+          FROM o),
+    k AS (SELECT COALESCE(MIN(CASE WHEN NOT cnd THEN i END),
+                          MAX(ns) + 1) - 1 AS kk
+          FROM f),
+    caps AS (SELECT CAST(COALESCE(SUM(CASE WHEN i <= k.kk
+                      THEN {_UM_EPOCHS} * n_tokens END), 0) AS BIGINT)
+               AS capsum
+             FROM f CROSS JOIN k),
+    u AS (SELECT CASE WHEN b.ns - k.kk > 0
+                 THEN CAST((b.budget - caps.capsum) // (b.ns - k.kk)
+                           AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS share
+          FROM b CROSS JOIN k CROSS JOIN caps)
+    SELECT f.lang, f.n_tokens,
+           CAST({_UM_EPOCHS} * f.n_tokens AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN f.i <= k.kk THEN {_UM_EPOCHS} * f.n_tokens
+                ELSE u.share END AS BIGINT) AS alloc_tokens,
+           round(CAST(CASE WHEN f.i <= k.kk
+                      THEN {_UM_EPOCHS} * f.n_tokens
+                      ELSE u.share END AS DOUBLE)
+                 / CAST(f.n_tokens AS DOUBLE), 6) + 0.0 AS epochs_served
+    FROM f CROSS JOIN k CROSS JOIN u
+    ORDER BY lang
+    """
+
+
+@query(
+    "curation_unimax_budgets",
+    oracle=_UM_ORACLE,
+    tags=("llm", "curation", "sampling", "unimax", "mixture"),
+)
+def q_curation_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-language sampling budgets (Chung et al., ICLR 2023 —
+    the uniform-coverage language-sampling rule used for mT5-class
+    mixtures, replacing temperature sampling; languages are the paper's
+    allocation unit): given a total token budget (3/2 of the corpus —
+    an oversampled multilingual run) and a per-language repeat cap of N
+    epochs, allocate by water-filling — scan languages SMALLEST FIRST;
+    a language is capped at N·|language| when
+    even its full cap fits under an equal split of what remains,
+    otherwise it (and every larger language) gets the equal share of the
+    remaining budget. Serves per language: token count, cap, allocated
+    tokens, and the epochs actually served — the mixture table a
+    pretraining run consumes.
+
+    The ascending scan makes the capped set a PREFIX (the water-filling
+    argument in the paper's Algorithm 1), so the sequential loop
+    collapses to window cumsums + one argmin — no recursion, no
+    iteration, pure relational algebra.
+
+    Determinism/parity: every quantity is an exact BIGINT (token counts,
+    caps, cumulative sums, the prefix test E·n·(remaining
+    sources) ≤ budget − E·prefix_sum, and the floor-division
+    equal share); the only served double is epochs_served, ONE division
+    rounded to the 6-dp grid.
+
+    Scale shape: ONE map-side-combined |languages|-row aggregate leaves
+    the corpus scan (token counts fold per-row via size(split())); every
+    later step — windows, the prefix argmin, the shares — runs on the
+    |languages|-row table (metadata at any corpus size; the windows are
+    bounded, not corpus windows).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    curation surface; this extends the LLM-pipeline curation family
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        d.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    )
+    b = t.agg(
+        F.expr(
+            f"CAST(SUM(n_tokens) * {_UM_BUDGET_NUM}"
+            f" div {_UM_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    wo = Window.orderBy("n_tokens", "lang")
+    o = (
+        t.crossJoin(F.broadcast(b))
+        .withColumn("i", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "cumlt",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    f = o.withColumn(
+        "cnd",
+        F.lit(_UM_EPOCHS) * F.col("n_tokens") * (F.col("ns") - F.col("i") + 1)
+        <= F.col("budget") - F.lit(_UM_EPOCHS) * F.col("cumlt"),
+    )
+    k = f.agg(
+        (
+            F.coalesce(
+                F.min(F.when(~F.col("cnd"), F.col("i"))),
+                F.max("ns") + 1,
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("kk")
+    )
+    caps = (
+        f.crossJoin(F.broadcast(k))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("i") <= F.col("kk"),
+                        F.lit(_UM_EPOCHS) * F.col("n_tokens"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("capsum"),
+            F.max("kk").cast("long").alias("kk"),
+            F.max("budget").cast("long").alias("budget"),
+            F.max("ns").cast("long").alias("ns"),
+        )
+        .withColumn(
+            "share",
+            F.when(
+                F.col("ns") - F.col("kk") > 0,
+                F.expr("CAST((budget - capsum) div (ns - kk) AS BIGINT)"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("kk", "share")
+    )
+    alloc = F.when(
+        F.col("i") <= F.col("kk"),
+        (F.lit(_UM_EPOCHS) * F.col("n_tokens")).cast("long"),
+    ).otherwise(F.col("share"))
+    return (
+        f.crossJoin(F.broadcast(caps))
+        .select(
+            "lang",
+            "n_tokens",
+            (F.lit(_UM_EPOCHS) * F.col("n_tokens"))
+            .cast("long")
+            .alias("cap_tokens"),
+            alloc.cast("long").alias("alloc_tokens"),
+            (
+                F.round(
+                    alloc.cast("double") / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("epochs_served"),
+        )
+        .orderBy("lang")
     )

@@ -34,7 +34,11 @@ _PR_SCALE = 10**12
 _PR_TOPK = 10
 
 
-def _pr_oracle() -> str:
+def _pr_power_steps() -> tuple[str, str]:
+    """The integer power-iteration CTE chain, spelled ONCE for every
+    PageRank-family oracle ([q:graph_pagerank_topk],
+    [q:text_textrank_keywords]) over the shared (e, n, r0) relational
+    prelude: returns (steps_sql, final_cte_name)."""
     base = f"(SELECT ({100 - _PR_DAMP} * CAST({_PR_SCALE} AS BIGINT)) // (100 * n) FROM n)"
     steps = []
     prev = "r0"
@@ -45,7 +49,11 @@ def _pr_oracle() -> str:
             f" FROM e JOIN {prev} r ON e.u = r.node GROUP BY 1)"
         )
         prev = f"r{i}"
-    steps_sql = ",\n    ".join(steps)
+    return ",\n    ".join(steps), prev
+
+
+def _pr_oracle() -> str:
+    steps_sql, prev = _pr_power_steps()
     return f"""
     WITH raw AS (
       SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -383,6 +391,7 @@ def _lpa_oracle() -> str:
     "graph_label_propagation",
     oracle=_lpa_oracle(),
     tags=("graph", "iterative", "communities", "lpa"),
+    bench=True,  # r15: the r14 round's widest with-scale WIN joins the per-round series (r14 verdict item 4)
 )
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation community detection (Raghavan, Albert & Kumara
@@ -446,6 +455,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("label")
     )
     w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    rounds = []
     for _ in range(_LPA_ROUNDS):
         cnt = (
             edges.join(labels, edges["u"] == labels["node"])
@@ -459,6 +469,19 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .persist(StorageLevel.MEMORY_ONLY)
         )
+        rounds.append(labels)
+    # ONE action executes the whole lazy round chain (each round's cache
+    # materializes feeding the next — the single-job profile the sf1/sf3
+    # WIN cells were measured under; a count per round re-paid the job
+    # scheduling constant 4×, measured 8.2 s vs 2.3 s at sf0.1), THEN
+    # the superseded rounds and the edge cache drop — they otherwise
+    # accumulate |V|/|E| cached rows for the life of the session (r14
+    # ADVICE). Only the final label table stays cached for the returned
+    # rollup; under MEMORY_ONLY eviction its lineage replays from scan.
+    labels.count()
+    for r in rounds[:-1]:
+        r.unpersist()
+    edges.unpersist()
     pre = F.substring("node", 1, 1)
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -474,4 +497,131 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), "community")
         .limit(_LPA_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 15: TextRank keyword extraction (PageRank over word co-occurrence)
+# ---------------------------------------------------------------------------
+
+#: the corpus stopword inventory (shared with the RAKE operator's
+#: candidate segmentation — the two keyword extractors read the same
+#: function-word set) and the served keyword count.
+_TR_STOPS = ("a", "the")
+_TR_TOPK = 10
+_TR_STOP_SQL = ",".join(f"'{s}'" for s in _TR_STOPS)
+
+
+def _textrank_oracle() -> str:
+    steps_sql, prev = _pr_power_steps()
+    return f"""
+    WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+    ix AS (SELECT unnest(range(1, len(w))) AS i, w FROM tk),
+    bp AS (SELECT w[i] AS t1, w[i + 1] AS t2 FROM ix),
+    raw AS (SELECT LEAST(t1, t2) AS src, GREATEST(t1, t2) AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM bp
+            WHERE t1 NOT IN ({_TR_STOP_SQL})
+              AND t2 NOT IN ({_TR_STOP_SQL})
+              AND t1 <> t2
+            GROUP BY 1, 2),
+    sym AS (SELECT src AS u, dst AS v, w FROM raw
+            UNION ALL
+            SELECT dst AS u, src AS v, w FROM raw),
+    ow AS (SELECT u, CAST(SUM(w) AS BIGINT) AS outw FROM sym GROUP BY 1),
+    e AS (SELECT sym.u, sym.v, sym.w, ow.outw FROM sym JOIN ow USING (u)),
+    n AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM sym),
+    r0 AS (SELECT u AS node,
+                  (SELECT CAST({_PR_SCALE} AS BIGINT) // n FROM n) AS r
+           FROM (SELECT DISTINCT u FROM sym)),
+    {steps_sql}
+    SELECT node AS keyword, r AS rank_e12,
+           round(CAST(r AS DOUBLE) / {_PR_SCALE}.0, 9) + 0.0 AS rank
+    FROM {prev}
+    ORDER BY r DESC, node
+    LIMIT {_TR_TOPK}
+    """
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("llm", "text", "keywords", "textrank", "graph", "iterative"),
+)
+def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
+    PageRank over the word co-occurrence graph): nodes are the corpus's
+    non-stopword vocabulary, an undirected edge weighted by
+    co-occurrence count links every pair of adjacent tokens (the paper's
+    window-2 co-occurrence), and the keywords are the top PageRank
+    scorers — the graph-centrality complement of the frequency-ratio
+    extractor [q:text_rake_keywords] (RAKE scores phrases locally;
+    TextRank lets support flow through the whole co-occurrence
+    topology). Serves the top-10 keywords with integer-grid and rounded
+    ranks.
+
+    Rides the suite's ALL-INTEGER PageRank operator
+    (operators/graph.py::pagerank — rank mass on a 1e12-unit grid,
+    every power step integer arithmetic, so the fixed point is
+    bit-identical cross-engine) and the shared ``_pr_power_steps``
+    oracle chain, with the same damping/iterations as
+    [q:graph_pagerank_topk]; self-loops are excluded (a token repeated
+    adjacently supports itself through no co-occurrence information).
+
+    Scale shape: ONE map-side-combined (pair) exchange builds the
+    vocabulary co-occurrence edges from the corpus scan; every power
+    round is one |E| equi-join + combiner SUM on the vocabulary-sized
+    graph (the Pregel shape, localCheckpointed edges); the top-k is a
+    TakeOrdered heap. At 100 TB the edge list is vocabulary², in
+    practice token-stream-bounded, and partitions by hash.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    keyword surface; this extends the LLM-pipeline text family beyond
+    reference parity."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = "split(text, ' ')"
+    bp = d.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({ws}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({ws}) - 1),"
+                f" i -> struct(element_at({ws}, i) AS t1,"
+                f" element_at({ws}, i + 1) AS t2)) END"
+            )
+        ).alias("p")
+    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    raw = (
+        bp.where(
+            ~F.col("t1").isin(*_TR_STOPS)
+            & ~F.col("t2").isin(*_TR_STOPS)
+            & (F.col("t1") != F.col("t2"))
+        )
+        .select(
+            F.least("t1", "t2").alias("src"),
+            F.greatest("t1", "t2").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # raw is the canonical one-direction (least, greatest) list — the
+    # operator symmetrizes internally (passing a pre-symmetrized list
+    # doubles every edge into two parallel rows whose per-edge floors
+    # drift ~1 unit/round from the oracle's single floor — measured)
+    ranks = pagerank(
+        raw, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("keyword"),
+            "rank_e12",
+            (
+                F.round(
+                    F.col("rank_e12").cast("double") / F.lit(float(_PR_SCALE)),
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("rank"),
+        )
+        .orderBy(F.desc("rank_e12"), "keyword")
+        .limit(_TR_TOPK)
     )

@@ -383,3 +383,51 @@ def q_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clicks, purchases = split_click_purchase(load_table(spark, sf_dir, "events"))
     return purchase_attribution_left_join(clicks, purchases)
+
+
+@query(
+    "streaming_full_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                 value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, c.click_id,
+      COALESCE(p.user_id, c.user_id) AS user_id,
+      strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+      strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      p.purchase_value,
+      CASE WHEN p.purchase_id IS NULL THEN 'unconverted'
+           WHEN c.click_id IS NULL THEN 'organic'
+           ELSE 'attributed' END AS row_kind
+    FROM p FULL JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "interval", "outer", "full"),
+)
+def q_full_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the three-way funnel
+    ledger completing T6 (inner [q:streaming_interval_join] → left
+    [q:streaming_left_interval_join] → full): every purchase emits as
+    attributed or ORGANIC and every click that converted nothing emits
+    as UNCONVERTED with NULL purchase columns. Structured Streaming
+    supports exactly this as a watermarked time-bound full-outer
+    stream-stream join (each side's NULL row emitted when the watermark
+    proves the other side can no longer match — its state-eviction
+    moment). Batch run here for the oracle; the identical builder runs
+    as a TRUE watermarked full-outer stream-stream join in
+    tests/test_streaming.py, both NULL sides included.
+
+    Scale shape: [q:streaming_interval_join]'s — user_id hash shuffle
+    both sides, state bounded by the watermark horizon × arrival rate,
+    independent of stream length."""
+    from mapreduceindex_demo_spark.streaming.joins import (
+        attribution_full_join,
+        split_click_purchase,
+    )
+
+    clicks, purchases = split_click_purchase(load_table(spark, sf_dir, "events"))
+    return attribution_full_join(clicks, purchases)

@@ -1008,21 +1008,12 @@ def _abtt_duck_oracle() -> str:
 
 
 def abtt_g6(x: float) -> float:
-    """The engine-exact 6-dp grid for driver-side math: round the
-    SHORTEST-DECIMAL representation HALF-UP, then normalize -0.0. This is
-    what both engines' round(x, 6) actually does — Spark goes through
-    BigDecimal.valueOf(double) (= Double.toString, the shortest
-    round-trip decimal) with HALF_UP, and DuckDB matches it — so neither
-    Python's round() (half-to-even: 0.1015625 → 0.101562 vs the engines'
-    0.101563) nor HALF_UP on the exact binary expansion (0.1234565 is
-    stored below the half, → 0.123456 vs the engines' 0.123457) is a
-    correct mirror; Decimal(repr(x)) + ROUND_HALF_UP reproduces both
-    measured cases (r13b review finding)."""
-    from decimal import ROUND_HALF_UP, Decimal
+    """The engine-exact 6-dp grid for driver-side math — the 6-dp
+    instance of the shared :func:`engine_round` HALF_UP mirror (see its
+    docstring for the two measured divergence cases; generalized r15)."""
+    from mapreduceindex_demo_spark.oracle_harness import engine_round
 
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    ) + 0.0
+    return engine_round(x, 6)
 
 
 def abtt_power_iteration(C: list, iters: int = _ABTT_ITERS) -> list:
@@ -1183,10 +1174,11 @@ _NDCG_K = 10
 #: exponential gain (2^g - 1) discounted by log2(rank + 1), the standard
 #: formulation (Burges et al. 2005 popularized; Järvelin-Kekäläinen 2002
 #: define the metric family).
-_NDCG_TERM = (
+_NDCG_TERM_T = (
     "(pow(2.0, CAST(g AS DOUBLE)) - 1.0)"
-    " / log2(CAST(rn AS DOUBLE) + 1.0)"
+    " / log2(CAST({r} AS DOUBLE) + 1.0)"
 )
+_NDCG_TERM = _NDCG_TERM_T.format(r="rn")
 #: synthetic graded relevance over the integer labels: 2 = exact label
 #: match, 1 = adjacent label, 0 otherwise — the grading is demo data
 #: policy (real pipelines bring judgment labels); the METRIC machinery
@@ -1280,24 +1272,33 @@ def q_similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.cosine(F.col("ee"), F.col("qe")).alias("cs"),
         F.expr(_NDCG_GAIN).alias("g"),
     )
+    # ONE pass over the graded frame (r14 verdict item 5: the two-frame
+    # spelling re-ran the corpus scan + cosine fan-out once per window):
+    # both row_numbers share the qid partition key, so Catalyst plans one
+    # qid exchange feeding two in-partition sorts — the corpus is scanned
+    # and graded exactly once per execution (pinned by plan-shape test).
     wr = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
     wi = Window.partitionBy("qid").orderBy(F.desc("g"), F.asc("vec_id"))
-    dcg = (
+    both = (
         graded.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= _NDCG_K)
+        .withColumn("ri", F.row_number().over(wi))
+        .where((F.col("rn") <= _NDCG_K) | (F.col("ri") <= _NDCG_K))
         .groupBy("qid")
-        .agg(F.sum(F.expr(_NDCG_TERM)).alias("dcg"))
-    )
-    idcg = (
-        graded.withColumn("rn", F.row_number().over(wi))
-        .where(F.col("rn") <= _NDCG_K)
-        .groupBy("qid")
-        .agg(F.sum(F.expr(_NDCG_TERM)).alias("idcg"))
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= _NDCG_K, F.expr(_NDCG_TERM))
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("ri") <= _NDCG_K,
+                    F.expr(_NDCG_TERM_T.format(r="ri")),
+                )
+            ).alias("idcg"),
+        )
     )
     return (
         qs.select("qid", "qlabel")
-        .join(dcg, "qid")
-        .join(idcg, "qid")
+        .join(both, "qid")
         .select(
             "qid",
             "qlabel",

@@ -116,3 +116,50 @@ def purchase_attribution_left_join(
         F.col("purchase_value"),
         F.col("click_id").isNull().alias("is_organic"),
     )
+
+
+def attribution_full_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = ATTRIBUTION_HORIZON,
+    watermark: str | None = None,
+) -> DataFrame:
+    """FULL-OUTER interval join — the last of the T6 join family
+    (inner ``click_attribution_join`` → left ``purchase_attribution_left_
+    join`` → this): every purchase emits (attributed or organic) AND
+    every click that converted nothing emits with NULL purchase columns
+    — the three-way funnel ledger (converted / organic / unconverted) in
+    one declaration.
+
+    In streaming mode this is Structured Streaming's full-outer
+    stream-stream join (supported since 3.1 for watermarked time-bound
+    joins): EACH side's NULL row is emitted exactly when the watermark
+    proves the other side can no longer match it — which is also its
+    state-eviction moment. Same one-declaration/both-modes contract as
+    the inner and left twins.
+    """
+    if watermark is not None:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return purchases.join(clicks, cond, "fullOuter").select(
+        F.col("purchase_id"),
+        F.col("click_id"),
+        F.coalesce(F.col("p_user_id"), F.col("c_user_id")).alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_time"
+        ),
+        F.col("purchase_value"),
+        F.when(F.col("purchase_id").isNull(), F.lit("unconverted"))
+        .when(F.col("click_id").isNull(), F.lit("organic"))
+        .otherwise(F.lit("attributed"))
+        .alias("row_kind"),
+    )

@@ -109,6 +109,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             bad.append(name)
             print(f"{name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+        finally:
+            # drop the completed query's helper caches (persisted LM /
+            # fingerprint-index frames the lazy return contract cannot
+            # unpersist itself): over a 200+-query suite run the
+            # leftovers accumulate executor memory pressure (r14 ADVICE)
+            spark.catalog.clearCache()
     n = len(picked)
     print(f"driver sim: {n - len(bad)}/{n} green; failures: {bad}")
     return 1 if bad else 0

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.curation_ops import _TOKEN_BUDGET
 from mapreduceindex_demo_spark.session import load_table
@@ -395,7 +396,7 @@ def test_ccnet_buckets_match_pure_python_lm(spark):
         k: (
             len(v),
             sum(nb for nb, _ in v),
-            round(sum(a for _, a in v) / len(v) / 1e6, 6) + 0.0,
+            engine_round(sum(a for _, a in v) / len(v) / 1e6, 6),
         )
         for k, v in expect.items()
     }

@@ -7,6 +7,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.graph_queries import (
     _PR_DAMP,
@@ -61,7 +62,7 @@ def test_pagerank_matches_python_fixed_point(spark, trade_edges):
     got = QUERIES["graph_pagerank_topk"].fn(spark, PARITY_SF_DIR).collect()
     assert [(row.node, row.rank_e12) for row in got] == expect
     for row in got:
-        assert abs(row.rank - round(row.rank_e12 / _PR_SCALE, 9)) < 1e-12
+        assert abs(row.rank - engine_round(row.rank_e12 / _PR_SCALE, 9)) < 1e-12
 
 
 def test_pagerank_mass_and_ordering_properties(trade_edges):

@@ -7,6 +7,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from tests.conftest import PARITY_SF_DIR
 
@@ -57,7 +58,7 @@ def test_triangle_census_matches_python(spark, part_edges):
         n_wedges,
         n_tri,
     )
-    assert abs(r.global_clustering - round(3.0 * n_tri / n_wedges, 9)) < 1e-12
+    assert abs(r.global_clustering - engine_round(3.0 * n_tri / n_wedges, 9)) < 1e-12
     # the graph is non-trivial at every testdata scale
     assert n_tri > 0 and 0.0 < r.global_clustering < 1.0
 

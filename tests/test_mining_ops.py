@@ -13,6 +13,7 @@ from collections import Counter, defaultdict
 import pandas as pd
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.mining_ops import (
     _BENFORD,
@@ -61,8 +62,8 @@ def _py_frequent_pairs():
                     p1,
                     p2,
                     pc,
-                    round(pc / n, 6),
-                    round((pc * n) / (item_cnt[p1] * item_cnt[p2]), 6),
+                    engine_round(pc / n, 6),
+                    engine_round((pc * n) / (item_cnt[p1] * item_cnt[p2]), 6),
                 )
             )
     rows.sort(key=lambda r: (-r[2], r[0], r[1]))
@@ -159,7 +160,7 @@ def test_frequent_triples_match_python_levelwise(spark):
                 tri_cnt[t] += 1
     expect = sorted(
         (
-            (t[0], t[1], t[2], c, round(c / n, 6))
+            (t[0], t[1], t[2], c, engine_round(c / n, 6))
             for t, c in tri_cnt.items()
             if c * _TRI_DEN >= n
         ),
@@ -209,9 +210,9 @@ def test_changepoint_matches_pandas_rolling(spark):
         _, day, before, after = best
         r = got[et]
         assert r.shift_day == day.strftime("%Y-%m-%d"), (et, r, day)
-        assert abs(r.before_daily_avg - round(before / _CP_W, 6)) < 1e-9
-        assert abs(r.after_daily_avg - round(after / _CP_W, 6)) < 1e-9
-        assert abs(r.shift - round((after - before) / _CP_W, 6)) < 1e-9
+        assert abs(r.before_daily_avg - engine_round(before / _CP_W, 6)) < 1e-9
+        assert abs(r.after_daily_avg - engine_round(after / _CP_W, 6)) < 1e-9
+        assert abs(r.shift - engine_round((after - before) / _CP_W, 6)) < 1e-9
 
 
 def test_changepoint_plan_is_windows_over_grid(spark):
@@ -250,7 +251,7 @@ def test_chisq_matches_python_contingency(spark):
         if not (_CHI_MIN_DF <= a + b <= n - _CHI_MIN_DF):
             continue
         c, d_ = n_en - a, (n - n_en) - b
-        chi2 = round(
+        chi2 = engine_round(
             (n * (float(a * d_ - b * c) * float(a * d_ - b * c)))
             / (float(a + b) * float(c + d_) * float(a + c) * float(b + d_)),
             6,

@@ -7,6 +7,7 @@ import re
 
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from tests.conftest import PARITY_SF_DIR
 
@@ -19,7 +20,7 @@ def _points():
     pts = {}
     for r in t:
         tk = r["text"].split(" ")
-        q = round(min(len(tk) / 100.0, 1.0) * (len(set(tk)) / len(tk)), 6)
+        q = engine_round(min(len(tk) / 100.0, 1.0) * (len(set(tk)) / len(tk)), 6)
         pts[r["doc_id"]] = (int(round(q * 1_000_000)), int(r["n_chars"]))
     return pts
 

@@ -416,6 +416,29 @@ def test_ndcg_matches_pure_python(spark):
     assert any(g[4] < 1.0 for g in got)
 
 
+def test_ndcg_plan_scans_corpus_once(spark):
+    """r14 verdict item 5: the two-window spelling re-ran the corpus
+    scan + 5-query cosine fan-out once per window (DCG + IDCG). The
+    single-pass respelling computes both row_numbers over the SAME
+    graded frame — both windows share the qid partition key, so the
+    plan is one embeddings scan feeding one qid exchange and two
+    in-partition sorts."""
+    df = QUERIES["similarity_ndcg_eval"].fn(spark, PARITY_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # exactly ONE corpus-side scan (vec_id >= 5); the other scans are
+    # the pushed-down 5-row query-panel reads (vec_id < 5)
+    assert plan.count("GreaterThanOrEqual(vec_id,5)") == 1, plan
+    assert plan.count("Scan parquet") <= 3, plan
+    # exactly one qid exchange feeds both window sorts
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning\(qid", plan)) == 1, plan
+    assert plan.count("Window") >= 2, plan
+
+
 def test_wordpiece_matches_pure_python_and_diverges_from_bpe(spark):
     """The WordPiece trainer re-derived in pure Python: per-round
     weighted pair/symbol counts, the likelihood-ratio argmax with

@@ -14,6 +14,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.setsim import TAU_NUM, TAU_DEN
 from tests.conftest import PARITY_SF_DIR
@@ -87,7 +88,7 @@ def test_setsim_matches_naive_python(spark):
     assert got == expect
     for r in rows:
         union = r.size_a + r.size_b - r.inter
-        assert abs(r.jac - round(r.inter / union, 6)) < 1e-12
+        assert abs(r.jac - engine_round(r.inter / union, 6)) < 1e-12
         assert r.inter * TAU_DEN >= TAU_NUM * union
     # the threshold set must be non-trivial at test scale
     assert len(rows) >= 10
@@ -163,7 +164,7 @@ def test_sorted_neighborhood_matches_python(spark):
     for r in got:
         n, cmp_, m = expect[r.nationkey]
         assert (r.n_records, r.n_compared, r.n_matches) == (n, cmp_, m), r
-        want = 0.0 if cmp_ == 0 else round(m / cmp_, 6)
+        want = 0.0 if cmp_ == 0 else engine_round(m / cmp_, 6)
         assert abs(r.match_rate - want) < 1e-12
     # the match rule must actually fire at test scale
     assert sum(m for _, _, m in expect.values()) > 0

@@ -7,6 +7,7 @@ import re
 
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from tests.conftest import PARITY_SF_DIR
 
@@ -42,7 +43,7 @@ def test_novelty_matches_python(spark):
     for r in rows:
         tot, nov = expect[r.source]
         assert (r.n_shingles, r.n_novel) == (tot, nov), r.source
-        assert abs(r.novelty_rate - round(nov / tot, 6)) < 1e-12
+        assert abs(r.novelty_rate - engine_round(nov / tot, 6)) < 1e-12
     # the metric must discriminate: not every source equally novel
     assert len({r.novelty_rate for r in rows}) > 1
 

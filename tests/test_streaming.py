@@ -754,3 +754,96 @@ def test_stream_stream_left_interval_join_matches_batch(spark, tmp_path):
     ).write.mode("append").parquet(pdir)
     got_all = run()
     assert sorted(got_all) == expected
+
+
+def test_stream_stream_full_interval_join_matches_batch(spark, tmp_path):
+    """The FULL-OUTER attribution join run as a true watermarked full
+    stream-stream join — BOTH NULL sides pinned: (phase 1) at stream end
+    the emitted set is the matched rows, plus the organic purchases
+    whose join window the final watermark passed, plus the unconverted
+    clicks whose forward horizon the watermark passed; each side's tail
+    NULLs are WITHHELD (published SS semantics). (phase 2) restarting
+    from the checkpoint with one watermark-advancing late event per
+    stream flushes exactly the remainder — eventual completeness vs the
+    batch answer, both NULL kinds included."""
+    import datetime
+
+    from mapreduceindex_demo_spark.streaming.joins import (
+        attribution_full_join,
+        split_click_purchase,
+    )
+
+    def _key(t):
+        return tuple((x is None, str(x)) for x in t)
+
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    clicks_b, purchases_b = split_click_purchase(events)
+    expected = sorted(
+        (tuple(r) for r in attribution_full_join(clicks_b, purchases_b).collect()),
+        key=_key,
+    )
+    kinds = {r[6] for r in expected}
+    assert kinds == {"attributed", "organic", "unconverted"}, kinds
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.repartition(4).write.parquet(cdir)
+    purchases_b.write.parquet(pdir)
+    cschema = "c_user_id bigint, click_id bigint, click_ts timestamp"
+    pschema = (
+        "p_user_id bigint, purchase_id bigint, purchase_ts timestamp, "
+        "purchase_value double"
+    )
+    outdir = str(tmp_path / "out")
+    oschema = (
+        "purchase_id bigint, click_id bigint, user_id bigint, "
+        "click_time string, purchase_time string, purchase_value double, "
+        "row_kind string"
+    )
+
+    def run():
+        clicks_s = spark.readStream.schema(cschema).option(
+            "maxFilesPerTrigger", "2"
+        ).parquet(cdir)
+        purchases_s = spark.readStream.schema(pschema).parquet(pdir)
+        q = (
+            attribution_full_join(clicks_s, purchases_s, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            tuple(r) for r in spark.read.schema(oschema).parquet(outdir).collect()
+        ]
+
+    got1 = run()
+    matched1 = sorted((r for r in got1 if r[6] == "attributed"), key=_key)
+    assert matched1 == sorted(
+        (r for r in expected if r[6] == "attributed"), key=_key
+    )
+    # every phase-1 NULL row is a genuine batch row (no spurious NULLs),
+    # and some from EACH side are withheld at stream end
+    assert set(got1) <= set(expected)
+    for kind in ("organic", "unconverted"):
+        assert len([r for r in expected if r[6] == kind]) > len(
+            [r for r in got1 if r[6] == kind]
+        ), f"the {kind} tail-withholding branch must be exercised"
+
+    # phase 2: one late event on EACH stream a day past the end advances
+    # the min-across-streams watermark; the sentinels themselves stay
+    # withheld (nothing ever advances the watermark past them), so the
+    # resumed output is exactly the original batch answer.
+    max_c = max(r.click_ts for r in clicks_b.collect())
+    max_p = max(r.purchase_ts for r in purchases_b.collect())
+    late = max(max_c, max_p) + datetime.timedelta(days=1)
+    spark.createDataFrame(
+        [(int(-1), int(-1), late)], cschema
+    ).write.mode("append").parquet(cdir)
+    spark.createDataFrame(
+        [(int(-2), int(-2), late, float(0.0))], pschema
+    ).write.mode("append").parquet(pdir)
+    got_all = run()
+    assert sorted(got_all, key=_key) == expected

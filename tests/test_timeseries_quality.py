@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from tests.conftest import PARITY_SF_DIR
 
@@ -86,7 +87,7 @@ def test_constraint_audit_matches_pandas_counts(spark):
     assert set(rows) == set(expect)
     for name, cnt in expect.items():
         r = rows[name]
-        assert abs(r.metric - round(cnt / n, 6)) < 1e-9, (name, r)
+        assert abs(r.metric - engine_round(cnt / n, 6)) < 1e-9, (name, r)
         if name == "uniqueness_orderkey_linenumber":
             assert r["pass"] == (cnt * 1000 >= n * 999), name
         else:
@@ -118,7 +119,7 @@ def test_pmi_matches_python_counts(spark):
             n2 += 1
     scored = [
         (
-            round(
+            engine_round(
                 math.log((cnt * float(n1) * float(n1)) / (float(n2) * c1[a] * c1[b])),
                 6,
             ),
@@ -180,7 +181,7 @@ def test_scd2_temporal_join_matches_bisect_python(spark):
         n, users, micro = agg[r.tier]
         assert (r.n_purchases, r.n_users) == (n, len(users)), r.tier
         assert abs(r.revenue - round(micro / 1_000_000.0, 6)) < 1e-9
-        assert abs(r.avg_value - round(micro / 1_000_000.0 / n, 6)) < 1e-9
+        assert abs(r.avg_value - engine_round(micro / 1_000_000.0 / n, 6)) < 1e-9
 
 
 def test_target_encoding_matches_fraction_python(spark):
@@ -205,9 +206,9 @@ def test_target_encoding_matches_fraction_python(spark):
             by_brand.loc[r.p_brand, "sum"]
         )
         assert (r.n_lines, r.n_returns) == (n, ret), r.p_brand
-        assert abs(r.raw_rate - round(ret / n, 6)) < 1e-9
+        assert abs(r.raw_rate - engine_round(ret / n, 6)) < 1e-9
         enc = Fraction(ret * N + m * R, (n + m) * N)
-        assert abs(r.enc_rate - round(float(enc), 6)) < 1e-9
+        assert abs(r.enc_rate - engine_round(float(enc), 6)) < 1e-9
         # shrinkage direction: encoded rate sits between raw and prior
         lo, hi = sorted([Fraction(ret, n), Fraction(R, N)])
         assert lo <= enc <= hi, r.p_brand
@@ -234,7 +235,7 @@ def test_psi_drift_matches_python_counts(spark):
     for i in range(10):
         p = (int(ce[i]) + 1) / (te + 10)
         q = (int(ca[i]) + 1) / (ta + 10)
-        contrib.append(round((p - q) * math.log(p / q), 6))
+        contrib.append(engine_round((p - q) * math.log(p / q), 6))
     tot = round(sum(int(round(c * 1_000_000.0)) for c in contrib) / 1e6, 6)
     rows = QUERIES["quality_psi_drift"].fn(spark, PARITY_SF_DIR).collect()
     assert [r.bin for r in rows] == list(range(10))

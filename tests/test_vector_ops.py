@@ -9,6 +9,7 @@ import math
 import numpy as np
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from mapreduceindex_demo_spark.plans.vector_ops import (
     _MMR_K,
@@ -66,7 +67,7 @@ def test_mmr_matches_numpy_greedy_and_diversifies(spark):
         den = math.sqrt(sum(float(x) * float(x) for x in a)) * math.sqrt(
             sum(float(y) * float(y) for y in b)
         )
-        return round(num / den, 6)
+        return engine_round(num / den, 6)
 
     rel = {v: cos(byid[v], q) for v in ids if v != 0}
     pool = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_POOL]
@@ -78,9 +79,10 @@ def test_mmr_matches_numpy_greedy_and_diversifies(spark):
     while len(picked) < _MMR_K:
         rest = [v for v in pool if v not in picked]
         sc = {
-            v: round(
+            v: engine_round(
                 _MMR_LAMBDA * rel[v]
-                - round(1 - _MMR_LAMBDA, 6) * max(sims[(v, p)] for p in picked),
+                - engine_round(1 - _MMR_LAMBDA, 6)
+                * max(sims[(v, p)] for p in picked),
                 6,
             )
             for v in rest
@@ -115,7 +117,7 @@ def _cos6(a, b):
     den = math.sqrt(_fold_sum(x * x for x in a)) * math.sqrt(
         _fold_sum(y * y for y in b)
     )
-    return round(num / den, 6)
+    return engine_round(num / den, 6)
 
 
 def test_pq_adc_matches_numpy(spark):
@@ -149,7 +151,7 @@ def test_pq_adc_matches_numpy(spark):
             best = min(seeds[s], key=lambda cid: (dm(sv, seeds[s][cid]), cid))
             members.setdefault((s, best), []).append(sv)
     codebook = {
-        (s, cid): [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(_PQ_SUB)]
+        (s, cid): [engine_round(float(np.mean([m[d] for m in mem])), 6) for d in range(_PQ_SUB)]
         for (s, cid), mem in members.items()
     }
     # code the corpus + ADC lookup table for the query vector
@@ -208,7 +210,7 @@ def test_projection_recall_matches_numpy(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_overlap == n_overlap
-    assert abs(getattr(r, f"recall_at_{_PROJ_K}") - round(n_overlap / _PROJ_K, 6)) < 1e-9
+    assert abs(getattr(r, f"recall_at_{_PROJ_K}") - engine_round(n_overlap / _PROJ_K, 6)) < 1e-9
     assert r.proj_dims == _PROJ_DIMS
     # the contract is meaningful only if the projection is lossy-but-useful
     assert 0 < n_overlap < _PROJ_K
@@ -248,7 +250,7 @@ def test_ivf_pq_matches_numpy(spark):
         for v in corpus:
             members.setdefault(assign(v), []).append(byid[v])
         cents = {
-            cid: [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(64)]
+            cid: [engine_round(float(np.mean([m[d] for m in mem])), 6) for d in range(64)]
             for cid, mem in members.items()
         }
     probes = sorted(
@@ -272,7 +274,7 @@ def test_ivf_pq_matches_numpy(spark):
             best = min(seeds[s], key=lambda cid: (dm(sv, seeds[s][cid]), cid))
             members2.setdefault((s, best), []).append(sv)
     codebook = {
-        (s, cid): [round(float(np.mean([m[d] for m in mem])), 6) + 0.0 for d in range(_PQ_SUB)]
+        (s, cid): [engine_round(float(np.mean([m[d] for m in mem])), 6) for d in range(_PQ_SUB)]
         for (s, cid), mem in members2.items()
     }
     dtab = {(s, cid): dm(subv(0, s), cv) for (s, cid), cv in codebook.items()}
@@ -387,7 +389,8 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
     norms = np.sqrt((vecs * vecs).sum(axis=1))
 
     def dists_to(j):
-        cos = np.round(vecs @ vecs[j] / (norms * norms[j]), 6)
+        raw = vecs @ vecs[j] / (norms * norms[j])
+        cos = np.array([engine_round(float(c), 6) for c in raw])
         return 1.0 - (cos + 0.0)
 
     sel = [0]
@@ -397,7 +400,7 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
         # argmax with vec_id tiebreak: numpy argmax takes the first max,
         # and ids are sorted ascending
         j = int(np.argmax(mind))
-        expected.append((rank, int(ids[j]), round(float(mind[j]), 6)))
+        expected.append((rank, int(ids[j]), engine_round(float(mind[j]), 6)))
         sel.append(j)
         mind = np.minimum(mind, dists_to(j))
     got = [
