@@ -40,6 +40,17 @@ def duck_connect(data_dir: str) -> "duckdb.DuckDBPyConnection":
     timestamp[us]. Either way the view exposes the µs timestamp the
     oracles expect."""
     con = duckdb.connect()
+    # DuckDB's default budget is 80% of PHYSICAL RAM with a spill dir of
+    # `.tmp` under the cwd. Both defaults bit this suite: the harnesses
+    # run DuckDB NEXT TO a Spark JVM (a heavy oracle + the JVM's RSS
+    # overcommit physical memory and the allocator hard-fails — measured
+    # at ~sf3 on the r15 RAKE oracle), and the cwd spill dir is how 4.2
+    # GB of duckdb_temp_storage got committed to the repo in r14. Cap
+    # the budget below RAM-minus-JVM and pin the spill OUTSIDE the repo
+    # so heavy oracles degrade to disk, never to a crash or a tracked
+    # blob.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM "

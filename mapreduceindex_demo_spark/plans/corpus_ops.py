@@ -2219,27 +2219,28 @@ _RAKE_WSC = (
 _RAKE_ORACLE = f"""
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents),
-    pt AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w
+    st AS (SELECT doc_id, w,
+             [0] || list_filter(range(1, len(w) + 1),
+                    i -> w[i] IN ({_RAKE_STOP_SQL}))
+                 || [len(w) + 1] AS bs
            FROM tk),
-    p2 AS (SELECT doc_id, pos, w[pos] AS tok,
-             w[pos] IN ({_RAKE_STOP_SQL}) AS stop
-           FROM pt),
-    p3 AS (SELECT doc_id, pos, tok, stop,
-             SUM(CASE WHEN stop THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY pos) AS run
-           FROM p2),
-    phr AS (SELECT doc_id, run,
-              string_agg(tok, ' ' ORDER BY pos) AS phrase,
-              CAST(COUNT(*) AS BIGINT) AS n_words
-            FROM p3 WHERE NOT stop GROUP BY 1, 2),
+    phr AS (SELECT doc_id,
+              unnest(list_filter(
+                list_transform(range(1, len(bs)),
+                  j -> array_to_string(w[bs[j] + 1 : bs[j + 1] - 1], ' ')),
+                p -> p <> '')) AS phrase
+            FROM st),
+    ph AS (SELECT doc_id, phrase,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words
+           FROM phr),
     wocc AS (SELECT unnest(string_split(phrase, ' ')) AS tok, n_words
-             FROM phr),
+             FROM ph),
     ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
              CAST(SUM(n_words) AS BIGINT) AS deg
            FROM wocc GROUP BY 1),
     wm AS (SELECT tok, {_RAKE_WSC} AS wsc FROM ws),
     ph2 AS (SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS occurrences
-            FROM phr GROUP BY 1, 2),
+            FROM ph GROUP BY 1, 2),
     pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS tok
            FROM ph2),
     ps AS (SELECT pw.phrase, CAST(SUM(wm.wsc) AS BIGINT) AS score_micro
@@ -2277,44 +2278,57 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — cross-engine bit-stable; the only served double re-scales
     the integer.
 
-    Scale shape: ONE doc-partitioned exchange (the run-id window —
-    partitioned by doc_id, never global) segments phrases; everything
-    after is phrase/vocabulary-sized combiner aggregates and
-    vocabulary-keyed equi-joins, with a TakeOrdered top-k heap. At
-    100 TB the phrase table is a fraction of the token stream and
-    partitions by hash.
+    Scale shape: phrase segmentation is scan-LOCAL — the stopword
+    boundary positions and the inter-boundary slices are computed
+    IN-ROW (zero shuffle; the per-token run-id window spelling paid a
+    doc-partitioned exchange for an answer the row already held, and
+    its oracle twin measurably overran DuckDB's window buffers at
+    ~sf3); everything after is phrase/vocabulary-sized combiner
+    aggregates and vocabulary-keyed equi-joins, with a TakeOrdered
+    top-k heap. At 100 TB the phrase table is a fraction of the token
+    stream and partitions by hash.
 
     Reference anchor: the reference engine (indexjs.go:73-191) has no
     keyword surface; this extends the LLM-pipeline text family beyond
     reference parity."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf_dir, "documents")
-    pt = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("p0", "tok"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("pos"),
-        "tok",
-        F.col("tok").isin(*_RAKE_STOPS).alias("stop"),
-    )
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    p3 = pt.withColumn(
-        "run", F.sum(F.when(F.col("stop"), 1).otherwise(0)).over(wd)
-    )
+    stop_sql = _RAKE_STOP_SQL
+    # scan-LOCAL phrase segmentation (zero shuffle): the stopword
+    # boundary positions are computed IN-ROW and the phrases sliced out
+    # between consecutive boundaries — no per-token window, no corpus
+    # exchange (the window spelling measurably blew DuckDB's window
+    # buffers past physical memory at ~sf3, and on the Spark side paid
+    # a doc-partitioned exchange the row already had the answer to)
     phr = (
-        p3.where(~F.col("stop"))
-        .groupBy("doc_id", "run")
-        .agg(
-            F.concat_ws(
-                " ",
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            F.expr(
+                "concat(array(0),"
+                f" filter(sequence(1, size(w)), i -> element_at(w, i)"
+                f" IN ({stop_sql})),"
+                " array(size(w) + 1))"
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
                 F.expr(
-                    "transform(array_sort(collect_list(struct(pos, tok))),"
-                    " x -> x.tok)"
-                ),
+                    "filter(transform(sequence(1, size(bs) - 1),"
+                    " j -> array_join(slice(w, element_at(bs, j) + 1,"
+                    " element_at(bs, j + 1) - element_at(bs, j) - 1), ' ')),"
+                    " p -> p != '')"
+                )
             ).alias("phrase"),
-            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
         )
         .persist(StorageLevel.MEMORY_ONLY)
     )

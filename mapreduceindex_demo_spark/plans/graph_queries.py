@@ -516,8 +516,10 @@ def _textrank_oracle() -> str:
     steps_sql, prev = _pr_power_steps()
     return f"""
     WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
-    ix AS (SELECT unnest(range(1, len(w))) AS i, w FROM tk),
-    bp AS (SELECT w[i] AS t1, w[i + 1] AS t2 FROM ix),
+    ix AS (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(t1 := w[i], t2 := w[i + 1]))) AS s
+           FROM tk),
+    bp AS (SELECT s.t1 AS t1, s.t2 AS t2 FROM ix),
     raw AS (SELECT LEAST(t1, t2) AS src, GREATEST(t1, t2) AS dst,
                    CAST(COUNT(*) AS BIGINT) AS w
             FROM bp
