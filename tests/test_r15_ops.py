@@ -404,3 +404,35 @@ def test_semdedup_plan_no_cartesian(spark):
     df = QUERIES["dedup_semdedup_cells"].fn(spark, PARITY_SF_DIR)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rake_plan_is_scan_local_no_window(spark):
+    """The r15 respell contract: phrase segmentation happens IN-ROW
+    (boundary slicing), so the executed plan has NO Window operator and
+    no cartesian — the first spelling's per-token run-id window paid a
+    doc-partitioned exchange (and its oracle twin overran DuckDB's
+    window buffers at ~sf3)."""
+    df = QUERIES["text_rake_keywords"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_onion_plan_is_scan_local_chunking(spark):
+    """Chunking is an in-row slice transform: no Window, no cartesian;
+    the only corpus-sized move is the chunk-hash exchange."""
+    df = QUERIES["dedup_onion_chunk_gate"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_unimax_plan_one_corpus_aggregate(spark):
+    """ONE map-side-combined |languages|-row aggregate leaves the corpus
+    scan; every window runs on the metadata-sized table (a corpus-sized
+    window would show a hashpartitioning exchange on doc-cardinality
+    keys). The plan must contain no join wider than a broadcast."""
+    df = QUERIES["curation_unimax_budgets"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
