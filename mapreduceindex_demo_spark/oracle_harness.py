@@ -48,8 +48,23 @@ def duck_connect(data_dir: str) -> "duckdb.DuckDBPyConnection":
     # GB of duckdb_temp_storage got committed to the repo in r14. Cap
     # the budget below RAM-minus-JVM and pin the spill OUTSIDE the repo
     # so heavy oracles degrade to disk, never to a crash or a tracked
-    # blob.
-    con.execute("SET memory_limit='24GB'")
+    # blob. The cap is DERIVED — min(24 GB, 50% of detected physical
+    # RAM) — not a constant: a hardcoded 24 GB only caps on boxes with
+    # >~30 GB RAM and silently RAISES the budget above DuckDB's own 80%
+    # default on smaller hosts (r15 ADVICE). SPARK_GRAFT_DUCK_MEM_GB
+    # overrides for one-off heavy-oracle runs.
+    try:
+        phys_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        ) / (1 << 30)
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        phys_gb = 32.0
+    mem_gb = int(
+        os.environ.get(
+            "SPARK_GRAFT_DUCK_MEM_GB", min(24, max(2, int(phys_gb * 0.5)))
+        )
+    )
+    con.execute(f"SET memory_limit='{mem_gb}GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for name in TABLE_NAMES:
         con.execute(

@@ -748,7 +748,7 @@ def _bpe_duck_iter(i: int, prev: str) -> str:
 
 
 _BPE_ORACLE = f"""
-    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+    WITH wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
                   (SELECT unnest(string_split(text, ' ')) AS w
                    FROM documents) GROUP BY 1),
     r0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
@@ -1012,7 +1012,7 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_APPLY_ORACLE = f"""
-    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+    WITH wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
                   (SELECT unnest(string_split(text, ' ')) AS w
                    FROM documents) GROUP BY 1),
     r0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
@@ -1722,7 +1722,7 @@ def _wp_duck_iter(i: int, prev: str) -> str:
 
 
 _WP_ORACLE = f"""
-    WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+    WITH wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
                   (SELECT unnest(string_split(text, ' ')) AS w
                    FROM documents) GROUP BY 1),
     r0 AS MATERIALIZED (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
@@ -2144,18 +2144,28 @@ def q_dedup_onion_chunk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup surface; this extends the LLM-pipeline dedup family beyond
     reference parity."""
     d = _t(spark, sf_dir, "documents")
+    # Short-doc guard (r15 ADVICE): for <_ON_CHUNK tokens the inner
+    # sequence(1, 0) is DESCENDING ([1, 0]) and would emit two phantom
+    # chunks, while the oracle's range(1, 1) is empty — guard to an
+    # empty array so explode drops the doc on both engines. Persisted
+    # MEMORY_ONLY (r15 verdict #1): `ch` feeds BOTH the chunk-frequency
+    # groupBy and the verdict join, and an unpersisted frame re-chunks
+    # the whole corpus for the second reader — the house multi-reader
+    # rule every other r15 plan follows.
     ch = d.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(split(text, ' '))"
+                f"CASE WHEN size(split(text, ' ')) >= {_ON_CHUNK} THEN"
+                f" transform(sequence(1, size(split(text, ' '))"
                 f" div {_ON_CHUNK}),"
                 f" k -> md5(array_join(slice(split(text, ' '),"
                 f" (k - 1) * {_ON_CHUNK} + 1, {_ON_CHUNK}), ' ')))"
+                " ELSE array() END"
             )
         ).alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)
     df = ch.groupBy("h").agg(
         F.countDistinct("doc_id").cast("long").alias("ddf")
     )
@@ -2366,4 +2376,349 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(_RAKE_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 16: unigram-LM (SentencePiece) tokenizer training
+# ---------------------------------------------------------------------------
+
+#: max piece length in chars (SentencePiece's max_sentencepiece_length,
+#: scaled to this corpus's <=8-char words), seed/pruned vocabulary sizes
+#: (the paper trains a large seed and prunes toward the target — the
+#: constants are the engine's bounded twin), and the served head.
+_UNI_MAXP = 4
+_UNI_SEED_K = 200
+_UNI_KEEP = 150
+_UNI_TOPN = 30
+_UNI_SENT = -(1 << 60)
+
+#: THE micro-log-prob spelling (the Moore-Lewis grid rule): ln of a
+#: double ratio, micro-rounded ONCE per vocabulary piece to a BIGINT so
+#: every Viterbi path score is an exact integer sum — the argmax both
+#: engines replay is a total order, no float ever enters the DP.
+_UNI_LP0 = (
+    "CAST(round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+    " * 1000000, 0) AS BIGINT)"
+)
+_UNI_LP1 = (
+    "CAST(round(ln((CAST(c AS DOUBLE) + 1.0)"
+    " / CAST(tot + nv AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+)
+
+
+def _uni_dp_cte(tag: str, vcte: str) -> str:
+    """DuckDB recursive-CTE Viterbi kernel: per word type, advance one
+    character per recursion step carrying a rolling window of the last
+    ``_UNI_MAXP`` best scores (b0..b3) and their best-path piece lists
+    (p0..p3) — best[j] = max over l of best[j-l] + lp(word[j-l+1..j]),
+    ties to the SMALLEST l (the CASE evaluates l ascending; the Spark
+    fold's (score, -l) struct-max picks the same candidate). Emits
+    ``dp{tag}`` plus ``c{tag}``: Viterbi-path piece counts weighted by
+    word frequency — the hard-EM E-step counts."""
+    cands = []
+    for l in range(1, _UNI_MAXP + 1):
+        cands.append(
+            f"COALESCE(CASE WHEN i >= {l - 1}"
+            f" THEN b{l - 1} + v{l}.lp END, {_UNI_SENT})"
+        )
+    g = "GREATEST(" + ", ".join(cands) + ")"
+    whens = []
+    for l in range(1, _UNI_MAXP + 1):
+        act = f"list_append(p{l - 1}, substr(w, i + 2 - {l}, {l}))"
+        if l < _UNI_MAXP:
+            whens.append(f"WHEN {cands[l - 1]} = {g} THEN {act}")
+        else:
+            whens.append(f"ELSE {act}")
+    path_case = "CASE " + " ".join(whens) + " END"
+    joins = "\n".join(
+        f"  LEFT JOIN {vcte} v{l} ON i >= {l - 1}"
+        f" AND v{l}.piece = substr(w, i + 2 - {l}, {l})"
+        for l in range(1, _UNI_MAXP + 1)
+    )
+    nulls_b = ", ".join(
+        f"CAST(NULL AS BIGINT) AS b{k}" for k in range(1, _UNI_MAXP)
+    )
+    nulls_p = ", ".join(
+        f"CAST(NULL AS VARCHAR[]) AS p{k}" for k in range(1, _UNI_MAXP)
+    )
+    shift_b = ", ".join(f"b{k}" for k in range(_UNI_MAXP - 1))
+    shift_p = ", ".join(f"p{k}" for k in range(_UNI_MAXP - 1))
+    return f"""
+dp{tag} AS (
+  SELECT w, cnt, 0 AS i, CAST(0 AS BIGINT) AS b0, {nulls_b},
+         CAST([] AS VARCHAR[]) AS p0, {nulls_p}
+  FROM wf
+  UNION ALL
+  SELECT w, cnt, i + 1, {g} AS b0, {shift_b},
+         {path_case} AS p0, {shift_p}
+  FROM dp{tag}
+{joins}
+  WHERE i < length(w)),
+c{tag} AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+           FROM (SELECT unnest(p0) AS piece, cnt FROM dp{tag}
+                 WHERE i = length(w)) t
+           GROUP BY 1)"""
+
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE
+    wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           WHERE length(w) > 0 GROUP BY 1),
+    subs AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+             FROM (SELECT substr(w, i, l) AS piece, cnt
+                   FROM wf,
+                     unnest(range(1, length(w) + 1)) t(i),
+                     unnest(range(1, {_UNI_MAXP} + 1)) u(l)
+                   WHERE i + l - 1 <= length(w)) s
+             GROUP BY 1),
+    top0 AS (SELECT piece, c FROM subs
+             ORDER BY c DESC, piece LIMIT {_UNI_SEED_K}),
+    v0 AS MATERIALIZED (SELECT DISTINCT piece, c FROM
+            (SELECT * FROM top0 UNION ALL
+             SELECT piece, c FROM subs WHERE length(piece) = 1) t),
+    v0p AS MATERIALIZED (SELECT piece, {_UNI_LP0} AS lp
+            FROM v0, (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v0) s),
+    {_uni_dp_cte("1", "v0p")},
+    v0c AS MATERIALIZED (SELECT v.piece, COALESCE(c1.c, 0) AS c
+            FROM v0p v LEFT JOIN c1 USING (piece)),
+    top1 AS (SELECT piece, c FROM v0c
+             ORDER BY c DESC, piece LIMIT {_UNI_KEEP}),
+    v1 AS MATERIALIZED (SELECT DISTINCT piece, c FROM
+            (SELECT * FROM top1 UNION ALL
+             SELECT piece, c FROM v0c WHERE length(piece) = 1) t),
+    v1p AS MATERIALIZED (SELECT piece, {_UNI_LP1} AS lp
+            FROM v1, (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+                             CAST(COUNT(*) AS BIGINT) AS nv FROM v1) s),
+    {_uni_dp_cte("2", "v1p")},
+    served AS MATERIALIZED (SELECT v.piece, COALESCE(c2.c, 0) AS cnt
+               FROM v1p v LEFT JOIN c2 USING (piece))
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT)
+             AS piece_rank,
+           piece, CAST(length(piece) AS INT) AS piece_len, cnt,
+           round(CAST(cnt AS DOUBLE) /
+                 CAST((SELECT SUM(cnt) FROM served) AS DOUBLE), 6) + 0.0
+             AS prob
+    FROM served
+    ORDER BY cnt DESC, piece
+    LIMIT {_UNI_TOPN}
+    """
+
+
+def _uni_sql_quote(p: str) -> str:
+    return "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _uni_viterbi_counts(wf: DataFrame, vocab: list) -> DataFrame:
+    """Spark Viterbi kernel: ONE scan-local in-row fold per word type —
+    no shuffle, no window, no UDF. The vocabulary (a model artifact,
+    bounded by the ``_UNI_SEED_K``/``_UNI_KEEP`` constants, NOT by data)
+    is embedded as a map literal; the first fold runs the integer DP
+    carrying (best-score array, backpointer array), the second walks the
+    backpointers to the argmax segmentation. Returns hard-EM piece
+    counts weighted by word frequency."""
+    map_sql = (
+        "map("
+        + ", ".join(
+            f"{_uni_sql_quote(p)}, CAST({lp} AS BIGINT)" for p, lp in vocab
+        )
+        + ")"
+    )
+
+    def cand(l: int) -> str:
+        return (
+            f"IF(i >= {l} AND element_at(m,"
+            f" substring(w, i - {l} + 1, {l})) IS NOT NULL,"
+            f" named_struct('s', element_at(acc, i - {l} + 1).s"
+            f" + element_at(m, substring(w, i - {l} + 1, {l})), 'nl', -{l}),"
+            f" named_struct('s', CAST({_UNI_SENT} AS BIGINT), 'nl', -9))"
+        )
+
+    # the accumulator is ONE array of (score, -piece_len) structs, the
+    # per-step argmax appended as a single array_max evaluation (a twin
+    # best/backpointer-array accumulator evaluates the candidate set
+    # twice per step — measured 2x codegen size for zero benefit)
+    best = (
+        "array_max(array("
+        + ", ".join(cand(l) for l in range(1, _UNI_MAXP + 1))
+        + "))"
+    )
+    dp = f"""
+    aggregate(
+      sequence(1, length(w)),
+      array(named_struct('s', CAST(0 AS BIGINT), 'nl', 0)),
+      (acc, i) -> concat(acc, array({best})))
+    """
+    walk = """
+    aggregate(
+      sequence(1, length(w)),
+      named_struct('pos', length(w), 'ps', CAST(array() AS array<string>)),
+      (acc, u) -> IF(acc.pos > 0,
+        named_struct(
+          'pos', acc.pos + element_at(dp, acc.pos + 1).nl,
+          'ps', concat(acc.ps, array(substring(w,
+                  acc.pos + element_at(dp, acc.pos + 1).nl + 1,
+                  -element_at(dp, acc.pos + 1).nl)))),
+        acc))
+    """
+    return (
+        wf.withColumn("m", F.expr(map_sql))
+        .withColumn("dp", F.expr(dp))
+        .withColumn("wk", F.expr(walk))
+        .select(F.explode("wk.ps").alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
+@query(
+    "text_unigram_lm_tokenizer",
+    oracle=_UNI_ORACLE,
+    tags=("llm", "text", "tokenizer", "unigram", "sentencepiece"),
+)
+def q_text_unigram_lm_tokenizer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM (SentencePiece) tokenizer training — Kudo 2018
+    ("Subword Regularization", §3; the third major subword algorithm
+    beside BPE [q:text_bpe_train_merges] and WordPiece
+    [q:text_wordpiece_train_merges], and the one the T5/LLaMA-class
+    pipelines actually train): seed a substring vocabulary, fit piece
+    probabilities by EM where the E-step segments every word under the
+    current model, prune the vocabulary toward the target size (single
+    characters are never pruned — the paper's own rule, so every word
+    stays segmentable), refit, and serve the final piece table. The
+    E-step here is the VITERBI hard-EM variant (the paper's §3.2
+    one-best decoding applied as the E-step): deterministic, and exact
+    under the integer score grid below, where posterior-expectation EM
+    would put engine-specific float summation inside the fixpoint.
+
+    Concretely: (1) seed = top-``_UNI_SEED_K`` substrings of length <=
+    ``_UNI_MAXP`` of the word-TYPE table, weighted by word frequency,
+    UNION all single characters; p0(piece) ~ substring counts; (2)
+    Viterbi-segment every word type under micro-ln(p0) integer scores
+    (ties -> fewest chars... smallest piece-length candidate), recount
+    pieces along the argmax paths weighted by word frequency; (3) prune
+    to the top-``_UNI_KEEP`` by recount UNION single characters, refit
+    with add-one smoothing (keeps every retained piece reachable — the
+    hard-EM twin of the paper's EM mass); (4) re-segment and serve the
+    top-``_UNI_TOPN`` pieces: (piece_rank, piece, piece_len, cnt, prob).
+
+    Determinism/parity: piece log-probs are micro-rounded ONCE per
+    vocabulary entry (the Moore-Lewis grid rule, ``_UNI_LP0``/
+    ``_UNI_LP1`` — the identical spelling on both engines), so every
+    path score is an exact BIGINT sum and the per-position argmax
+    (score DESC, piece-length ASC — a total order) is replayed exactly
+    by both engines; every top-K cut has the (count DESC, piece ASC)
+    total tiebreak; the only served double is prob, ONE division on the
+    6-dp grid.
+
+    Scale shape: the corpus is touched ONCE (the word-type wordcount
+    exchange, persisted — the Kneser-Ney posture); everything after
+    runs on the word-TYPE table: substring seeding is an in-row
+    flatten/transform (zero shuffle), each EM round is ONE scan-local
+    in-row integer DP fold (no shuffle, no window, no UDF) plus a
+    vocabulary-sized recount exchange. The two vocabulary collects are
+    bounded METADATA (<= ``_UNI_SEED_K`` + alphabet rows, a constant --
+    the model artifact itself, same class as the BPE per-round argmax);
+    at 100 TB the word-type table is the only frame that grows, and it
+    grows sub-linearly (Heaps' law, measured by
+    [q:text_heaps_law_fit]).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    tokenizer surface; this completes the BPE/WordPiece/unigram trio
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    subs = (
+        wf.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i ->"
+                    f" transform(sequence(1, least({_UNI_MAXP},"
+                    " length(w) - i + 1)),"
+                    " l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+            "cnt",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    top0 = subs.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_SEED_K)
+    v0 = (
+        top0.unionByName(subs.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
+    )
+    tot0 = v0.agg(F.sum("c").cast("long").alias("tot"))
+    # bounded-metadata collect #1: the seed vocabulary with its
+    # micro-ln scores (<= _UNI_SEED_K + alphabet rows — a constant)
+    vocab0 = [
+        (r["piece"], r["lp"])
+        for r in v0.crossJoin(F.broadcast(tot0))
+        .selectExpr("piece", f"{_UNI_LP0} AS lp")
+        .collect()
+    ]
+    c1 = _uni_viterbi_counts(wf, vocab0)
+    v0c = (
+        spark.createDataFrame([(p,) for p, _ in vocab0], "piece string")
+        .join(c1, "piece", "left")
+        .select("piece", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    top1 = v0c.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_KEEP)
+    v1 = (
+        top1.unionByName(v0c.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
+    )
+    stat1 = v1.agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    # bounded-metadata collect #2: the pruned vocabulary (<= _UNI_KEEP
+    # + alphabet rows) with its add-one micro-ln scores
+    vocab1 = [
+        (r["piece"], r["lp"])
+        for r in v1.crossJoin(F.broadcast(stat1))
+        .selectExpr("piece", f"{_UNI_LP1} AS lp")
+        .collect()
+    ]
+    c2 = _uni_viterbi_counts(wf, vocab1)
+    served = (
+        spark.createDataFrame([(p,) for p, _ in vocab1], "piece string")
+        .join(c2, "piece", "left")
+        .select(
+            "piece", F.coalesce("c", F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+    tot2 = served.agg(F.sum("cnt").cast("long").alias("tot"))
+    from pyspark.sql.window import Window
+
+    w30 = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    return (
+        served.crossJoin(F.broadcast(tot2))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_UNI_TOPN)
+        .select(
+            F.row_number().over(w30).cast("int").alias("piece_rank"),
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+            (
+                F.round(
+                    F.col("cnt").cast("double") / F.col("tot").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("prob"),
+        )
+        .orderBy("piece_rank")
     )

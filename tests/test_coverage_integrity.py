@@ -100,3 +100,22 @@ def test_rotated_out_queries_have_a_committed_green_row():
         f"external green row: {never_verified} — put them back in "
         "PRIORITY_50 until a CORRECTNESS_r*.json proves them"
     )
+
+
+def test_baseline_newest_pair_paragraph_quotes_live_flag_count():
+    """r15 verdict #3: BASELINE.md's newest same-session pair paragraph
+    said "28 current flags" while the registry carries 26. The NEWEST
+    "grand over the N current flags" figure is judge-facing arithmetic —
+    pin it to the live registry count (older rounds' paragraphs quote
+    their own era's count and are historical record, so only the last
+    occurrence is checked)."""
+    baseline = Path(__file__).resolve().parent.parent / "BASELINE.md"
+    counts = re.findall(
+        r"grand over the (\d+) current flags", baseline.read_text()
+    )
+    assert counts, "BASELINE.md lost its same-session pair paragraph"
+    live = sum(1 for q in QUERIES.values() if q.bench)
+    assert int(counts[-1]) == live, (
+        f"BASELINE.md's newest pair paragraph says {counts[-1]} flags; "
+        f"the registry has {live}"
+    )

@@ -1,0 +1,187 @@
+"""Round-16 operator tests: the onion short-doc guard + persist fixes
+(r15 ADVICE + verdict #1), then the round's new operators (unigram-LM
+tokenizer, ExactSubstr dedup) — each re-derived in pure Python (the
+engine-independent third implementation beside the Spark plan and the
+DuckDB oracle) plus plan-shape contracts."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mapreduceindex_demo_spark.plans import QUERIES
+from tests.conftest import PARITY_SF_DIR
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "source": [r[2] for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+# --------------------------------------------------------------------------
+# dedup_onion_chunk_gate — r16 fixes
+# --------------------------------------------------------------------------
+
+
+def test_onion_short_doc_parity(spark, tmp_path):
+    """r15 ADVICE: a <8-token document must emit ZERO chunks on both
+    engines. The unguarded Spark spelling evaluated sequence(1, 0) =
+    [1, 0] (descending) and emitted two phantom chunks — one
+    partial-width, one negative-start slice — while the oracle's
+    range(1, 1) is empty. Side-by-side on a corpus whose minimum doc is
+    BELOW the chunk width (driver testdata's minimum is 10 tokens, so
+    the sf-dir parity gate can never catch this class)."""
+    eight = " ".join(f"tok{i}" for i in range(8))
+    rows = [
+        ("d1", "only five words right here", "web"),  # 5 tokens: no chunks
+        ("d2", eight, "web"),  # exactly one chunk
+        ("d3", eight + " tail words beyond the chunk", "web"),  # dup chunk
+        ("d4", " ".join(f"w{i}" for i in range(13)), "books"),  # 1 chunk
+        ("d5", "", "books"),  # degenerate: 1 empty token
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["dedup_onion_chunk_gate"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == exp
+    # d1/d5 are invisible; d2+d3 share one duplicated chunk; d4 is clean
+    assert got == sorted(
+        [("web", 2, 2, 2, 2, 1.0), ("books", 1, 1, 0, 0, 0.0)]
+    )
+
+
+def test_onion_chunk_frame_persisted_single_corpus_scan(spark):
+    """r15 verdict #1: the exploded chunk-hash frame feeds BOTH the
+    chunk-frequency groupBy and the verdict join — unpersisted, the
+    second reader re-chunked the whole corpus (scan + split + md5 per
+    chunk, twice). The executed plan must serve at least one reader from
+    the cache (InMemoryTableScan) and keep the scan-local contract."""
+    df = QUERIES["dedup_onion_chunk_gate"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# text_unigram_lm_tokenizer
+# --------------------------------------------------------------------------
+
+
+def _uni_viterbi_py(w, lp):
+    """Pure-Python Viterbi over the integer micro-log-prob grid: max
+    score, ties to the smallest piece length — the (score, -l) max both
+    engines implement."""
+    n = len(w)
+    best = [0] + [None] * n
+    bp = [0] * (n + 1)
+    for j in range(1, n + 1):
+        cands = []
+        for l in range(1, 5):
+            if j >= l and w[j - l : j] in lp:
+                cands.append((best[j - l] + lp[w[j - l : j]], -l))
+        s, nl = max(cands)
+        best[j], bp[j] = s, -nl
+    ps, pos = [], n
+    while pos > 0:
+        l = bp[pos]
+        ps.append(w[pos - l : pos])
+        pos -= l
+    return ps
+
+
+def test_unigram_lm_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_demo_spark.oracle_harness import engine_round
+
+    texts = (
+        pq.read_table(f"{PARITY_SF_DIR}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    subs = Counter()
+    for w, cnt in wf.items():
+        for i in range(len(w)):
+            for l in range(1, 5):
+                if i + l <= len(w):
+                    subs[w[i : i + l]] += cnt
+    top0 = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    v0 = dict(top0)
+    v0.update({p: c for p, c in subs.items() if len(p) == 1})
+    tot0 = sum(v0.values())
+    lp0 = {
+        p: int(engine_round(math.log(c / float(tot0)) * 1_000_000, 0))
+        for p, c in v0.items()
+    }
+    c1 = Counter()
+    for w, cnt in wf.items():
+        for piece in _uni_viterbi_py(w, lp0):
+            c1[piece] += cnt
+    v0c = {p: c1.get(p, 0) for p in v0}
+    top1 = sorted(v0c.items(), key=lambda kv: (-kv[1], kv[0]))[:150]
+    v1 = dict(top1)
+    v1.update({p: c for p, c in v0c.items() if len(p) == 1})
+    tot1, nv = sum(v1.values()), len(v1)
+    lp1 = {
+        p: int(engine_round(math.log((c + 1.0) / float(tot1 + nv)) * 1_000_000, 0))
+        for p, c in v1.items()
+    }
+    c2 = Counter()
+    for w, cnt in wf.items():
+        for piece in _uni_viterbi_py(w, lp1):
+            c2[piece] += cnt
+    served = {p: c2.get(p, 0) for p in v1}
+    tot2 = sum(served.values())
+    head = sorted(served.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    expected = [
+        (i + 1, p, len(p), c, engine_round(c / float(tot2), 6))
+        for i, (p, c) in enumerate(head)
+    ]
+    got = [
+        (r.piece_rank, r.piece, r.piece_len, r.cnt, r.prob)
+        for r in QUERIES["text_unigram_lm_tokenizer"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # the learned vocabulary is a real subword table: multi-char pieces
+    # must surface in the head, and probabilities sum below 1
+    assert any(r[2] > 1 for r in got)
+    assert sum(r[4] for r in got) < 1.0
+
+
+def test_unigram_lm_plan_corpus_once_scan_local_dp(spark):
+    """Scale contract: the corpus is touched ONCE (the persisted
+    word-type exchange — every later stage rides InMemoryTableScan);
+    the Viterbi DP is an in-row fold, so the only Window in the plan is
+    the final 30-row rank, and no cartesian appears (the vocab
+    crossJoins are 1-row-aggregate broadcast pairs)."""
+    df = QUERIES["text_unigram_lm_tokenizer"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
