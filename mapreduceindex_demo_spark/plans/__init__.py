@@ -45,40 +45,25 @@ from mapreduceindex_demo_spark.plans import mining_ops  # noqa: F401,E402
 #: r4 verdict flagged). Any query whose implementation or oracle changed
 #: this round stays in for re-verification.
 PRIORITY_50 = [
-    # --- r15 rotation (the r14 verdict's item 2): the nine r14-new
+    # --- r16 rotation (the r15 verdict's item 1): the eight r15-new
     # operators hold exactly one external green each — they stay in for
     # their SECOND greens, closing the >=2-external-greens program for
-    # every query registered before this round. Several are ALSO in by
-    # the changed-this-round rule (the SoftDedup scan-local fold, the
-    # nDCG single-pass respelling, the winnowing lowered-length window
-    # bound, the LPA/WordPiece cache-discipline respelling). ---
-    "text_kneser_ney_bigram",
-    "dedup_winnowing_pairs",
-    "dedup_winnowing_clusters",
-    "text_heaps_law_fit",
-    "graph_label_propagation",      # changed: lazy-chain + unpersist rounds
-    "similarity_ndcg_eval",         # changed: single-pass two-window plan
-    "text_wordpiece_train_merges",  # changed: collected argmax rounds
-    "streaming_left_interval_join",
-    "curation_soft_dedup_weights",  # changed: scan-local (gram, c) fold
-    # --- changed this round (re-verification rule): the BPE training
-    # loop now collects its 1-row argmax per round and unpersists
-    # superseded word-type caches (r14 ADVICE) ---
-    "text_bpe_train_merges",
-    "text_bpe_apply_merges",
-    # --- NEW this round (zero external rows — machine-enforced
-    # in-window): Moore-Lewis cross-entropy selection, UniMax sampling
-    # budgets, Good-Turing smoothing, onion duplicate-chunk gating, RAKE
-    # and TextRank keyword extraction, SemDeDup semantic dedup, and the
-    # full-outer stream-stream interval join ---
+    # every query registered before this round. Onion is ALSO in by the
+    # changed-this-round rule (short-doc guard + chunk-frame persist). ---
     "curation_moore_lewis_select",
     "curation_unimax_budgets",
     "text_good_turing_smoothing",
-    "dedup_onion_chunk_gate",
+    "dedup_onion_chunk_gate",       # changed: short-doc guard + persist
     "text_rake_keywords",
     "text_textrank_keywords",
     "dedup_semdedup_cells",
     "streaming_full_interval_join",
+    # --- NEW this round (zero external rows — machine-enforced
+    # in-window): the unigram-LM (SentencePiece) tokenizer completing
+    # the BPE/WordPiece/unigram trio, and the ExactSubstr
+    # duplicate-substring removal mask (Lee et al. ACL'22) ---
+    "text_unigram_lm_tokenizer",
+    "dedup_exactsubstr_spans",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -89,33 +74,42 @@ PRIORITY_50 = [
     "purchase_last_click_asof",
     "udaf_weighted_avg_pandas",
     # --- choice family guards, oldest last-green member ---
-    "streaming_tumbling_counts",   # last green r13 (session: r14)
-    "multimodal_frame_sample",     # last green r5 — oldest multimodal
-    "curated_training_set",        # last green r13 (balanced: r14)
-    "events_json_extract",         # last green r6 — oldest events
-    "customer_running_spend",      # last green r13 (sessionization: r14)
-    "skew_salted_join_volume",     # last green r13 (above_nation_avg: r14)
-    "blocking_suppliers",          # last green r13 (market_share: r14)
+    "streaming_session_windows",    # last green r14 (tumbling: r15)
+    "balanced_source_sample",       # last green r14 (curated: r15)
+    "user_sessionization",          # last green r14 (running_spend: r15)
+    "suppliers_above_nation_avg",   # last green r14 (skew_salted: r15)
+    "nation_market_share_yearly",   # last green r14 (blocking: r15)
+    "multimodal_doc_embedding_join",  # last green r6 — oldest multimodal
+    "events_pivot_daily",           # last green r8 — oldest events
+    "similarity_ivf_ann",           # last green r6 — oldest similarity
     # --- mapindex delegation (>=5 in-window): the five OLDEST last-green
-    # members (r11/r12) ---
-    "mapindex_stats",
-    "mapindex_stats_approx",
-    "mapindex_bins",
-    "mapindex_durable_cdc",
-    "mapindex_function_build",
-    # --- spare slots: the 11 OLDEST-last-green queries (r5) get third
-    # confirmations ---
-    "churned_customer_segments",
-    "customer_order_count_distribution",
-    "frequent_bigrams_per_lang",
-    "idle_customer_balance_by_prefix",
-    "important_parts_by_value",
-    "large_volume_customers",
-    "late_shipment_priority_counts",
-    "min_offer_supplier_per_part",
-    "product_profit_by_nation_year",
-    "promo_revenue_share_monthly",
-    "small_qty_revenue_by_brand",
+    # members (r12/r13) ---
+    "mapindex_reduce_view",
+    "mapindex_scan_range",
+    "mapindex_reduce_view_durable",
+    "mapindex_reduce_view_minmax",
+    "mapindex_scan_intersect",
+    # --- spare slots: the 19 OLDEST-last-green queries (r5-r8) get
+    # third confirmations ---
+    "streaming_dedup_users",
+    "streaming_sliding_counts",
+    "supplier_count_by_part_attrs",
+    "top_revenue_supplier",
+    "training_sequence_packing",
+    "dedup_minhash_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_decontaminate_apply",
+    "dedup_duplicated_spans",
+    "dedup_incremental_durable_probe",
+    "dedup_lsh_mapindex",
+    "dedup_neardup_contamination",
+    "dedup_ngram_jaccard_top20",
+    "source_quality_scorecard",
+    "text_unigram_drift",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "multimodal_binary_stats",
+    "nation_trade_by_year",
 ]
 
 

@@ -2722,3 +2722,184 @@ def q_text_unigram_lm_tokenizer(
         )
         .orderBy("piece_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 16: ExactSubstr duplicate-substring removal mask
+# ---------------------------------------------------------------------------
+
+#: repeat threshold in tokens (the paper's 50-token rule scaled to this
+#: corpus's 10-600-token documents, the onion/span constant class)
+_ES_L = 8
+
+_ES_ORACLE = f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, source, CAST(k AS BIGINT) AS pos,
+             md5(array_to_string(w[k : k + {_ES_L - 1}], ' ')) AS h
+      FROM tk, unnest(CASE WHEN len(w) >= {_ES_L}
+                           THEN range(1, len(w) - {_ES_L} + 2)
+                           ELSE [] END) t(k)),
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    dpos AS (SELECT doc_id, source, pos FROM g
+             WHERE h IN (SELECT h FROM dup)),
+    brk AS (SELECT doc_id, source, pos,
+              CASE WHEN pos - LAG(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= {_ES_L}
+                   THEN 0 ELSE 1 END AS b
+            FROM dpos),
+    runs AS (SELECT doc_id, source, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+             FROM brk),
+    spans AS (SELECT doc_id, source, run,
+                CAST(MAX(pos) - MIN(pos) + {_ES_L} AS BIGINT) AS removed
+              FROM runs GROUP BY 1, 2, 3),
+    dt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+           FROM tk GROUP BY 1),
+    sa AS (SELECT source,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(removed) AS BIGINT) AS removed_tokens
+           FROM spans GROUP BY 1)
+    SELECT dt.source, n_docs, total_tokens,
+           COALESCE(docs_affected, 0) AS docs_affected,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(removed_tokens, 0) AS removed_tokens,
+           round(CAST(COALESCE(removed_tokens, 0) AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE), 6) + 0.0 AS removed_ratio
+    FROM dt LEFT JOIN sa USING (source)
+    ORDER BY dt.source
+    """
+
+
+@query(
+    "dedup_exactsubstr_spans",
+    oracle=_ES_ORACLE,
+    tags=("llm", "dedup", "exactsubstr", "substring"),
+)
+def q_dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-substring removal — Lee et al., ACL 2022
+    ("Deduplicating Training Data Makes Language Models Better", §4.1):
+    remove every token that lies inside a substring of >= ``_ES_L``
+    tokens occurring MORE THAN ONCE in the whole corpus (including twice
+    within one document — the rule [q:dedup_duplicated_spans]'s
+    distinct-doc-frequency report deliberately does not apply). Serves
+    the per-source removal audit: documents, tokens, documents touched,
+    MAXIMAL removed spans, removed token mass, and the removed ratio.
+
+    The paper builds a single-node global suffix array to find maximal
+    repeats; that structure has no distributed twin. This plan uses the
+    L-GRAM COVER identity instead, which yields the IDENTICAL removal
+    mask at threshold L with nothing but equi-joins: a token lies inside
+    a >=L-token repeat iff it lies inside some duplicated L-gram
+    ((<=) a duplicated L-gram IS a >=L repeat containing the token;
+    (=>) any occurrence of a >=L repeat S contains, around each of its
+    tokens, a length-L window fully inside S, and that window recurs
+    wherever S does). Maximal removed spans are then interval-merged
+    runs of duplicated gram starts (gap <= L — overlapping or adjacent
+    coverage fuses), so n_spans/removed_tokens count each maximal region
+    exactly once, never double-counting overlap.
+
+    Determinism/parity: grams are md5-of-token-join strings; frequency,
+    run breaks (an integer gap comparison), and span extents are exact
+    BIGINTs; the only served double is removed_ratio, ONE division on
+    the 6-dp grid.
+
+    Scale shape: gram fan-out is scan-local in-row slicing (the onion
+    posture), persisted ONCE for its three readers (frequency exchange,
+    mask semi-join, per-doc token rollup — the house multi-reader rule);
+    the frequency table is ONE (hash) combiner exchange; the mask join
+    is hash-keyed equi (never pairwise — the suffix-sort work the paper
+    centralizes becomes the shuffle's hash partitioning); the interval
+    merge is ONE doc-keyed window whose partitions are bounded by
+    document length. At 100 TB every moving part shards on gram hash or
+    doc_id; 32-byte digests cross the wire, never span text.
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    dedup surface; this completes the dedup ladder's substring rung
+    beside onion gating and winnowing fingerprints."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    g = d.select(
+        "doc_id",
+        "source",
+        F.size(tk).cast("long").alias("nt"),
+        F.posexplode_outer(
+            F.when(
+                F.size(tk) >= _ES_L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - (_ES_L - 1)),
+                    lambda k: F.md5(F.concat_ws(" ", F.slice(tk, k, _ES_L))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ),
+    ).select(
+        "doc_id", "source", "nt", (F.col("pos") + 1).alias("pos"), "col"
+    ).withColumnRenamed("col", "h").persist(StorageLevel.MEMORY_ONLY)
+
+    dup = (
+        g.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= 2)
+        .select("h")
+    )
+    dpos = (
+        g.where(F.col("h").isNotNull())
+        .join(dup, "h", "left_semi")
+        .select("doc_id", "source", "pos")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dpos.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wo) <= _ES_L, 0).otherwise(1)
+        )
+        .over(wo)
+        .alias("run"),
+    )
+    spans = runs.groupBy("doc_id", "source", "run").agg(
+        (F.max("pos") - F.min("pos") + _ES_L).cast("long").alias("removed")
+    )
+    dt = (
+        g.groupBy("doc_id", "source")
+        .agg(F.max("nt").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+    sa = spans.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_affected"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("removed").cast("long").alias("removed_tokens"),
+    )
+    return (
+        dt.join(sa, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.coalesce("docs_affected", F.lit(0)).cast("long").alias("docs_affected"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            (
+                F.round(
+                    F.coalesce("removed_tokens", F.lit(0)).cast("double")
+                    / F.col("total_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("removed_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -185,3 +185,134 @@ def test_unigram_lm_plan_corpus_once_scan_local_dp(spark):
     plan = _executed_plan(df)
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# dedup_exactsubstr_spans
+# --------------------------------------------------------------------------
+
+
+def test_exactsubstr_matches_pure_python(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_demo_spark.oracle_harness import engine_round
+
+    L = 8
+    t = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    rows = list(
+        zip(*[t.column(c).to_pylist() for c in ("doc_id", "text", "source")])
+    )
+    grams = []  # (doc_id, source, pos, hash)
+    freq = Counter()
+    doc_tokens = {}
+    for doc_id, text, source in rows:
+        w = text.split(" ")
+        doc_tokens[doc_id] = (source, len(w))
+        for k in range(len(w) - L + 1):
+            h = hashlib.md5(" ".join(w[k : k + L]).encode()).hexdigest()
+            grams.append((doc_id, source, k + 1, h))
+            freq[h] += 1
+    dpos = defaultdict(list)
+    for doc_id, source, pos, h in grams:
+        if freq[h] >= 2:
+            dpos[(doc_id, source)].append(pos)
+    per_source = defaultdict(lambda: [0, 0, 0])  # affected, spans, removed
+    for (doc_id, source), ps in dpos.items():
+        ps.sort()
+        spans = []
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p - prev <= L:
+                prev = p
+            else:
+                spans.append((start, prev))
+                start = prev = p
+        spans.append((start, prev))
+        a = per_source[source]
+        a[0] += 1
+        a[1] += len(spans)
+        a[2] += sum(e - s + L for s, e in spans)
+    totals = defaultdict(lambda: [0, 0])  # docs, tokens
+    for doc_id, (source, nt) in doc_tokens.items():
+        totals[source][0] += 1
+        totals[source][1] += nt
+    expected = sorted(
+        (
+            s,
+            totals[s][0],
+            totals[s][1],
+            per_source[s][0],
+            per_source[s][1],
+            per_source[s][2],
+            engine_round(per_source[s][2] / float(totals[s][1]), 6),
+        )
+        for s in totals
+    )
+    got = [
+        (
+            r.source,
+            r.n_docs,
+            r.total_tokens,
+            r.docs_affected,
+            r.n_spans,
+            r.removed_tokens,
+            r.removed_ratio,
+        )
+        for r in QUERIES["dedup_exactsubstr_spans"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # duplicated mass exists (template floods) but removal is partial
+    assert any(r[5] > 0 for r in got)
+    assert all(r[5] < r[2] for r in got)
+
+
+def test_exactsubstr_interval_merge_no_double_count(spark, tmp_path):
+    """Two duplicated grams whose coverage overlaps (gap < L) must merge
+    into ONE maximal span counted once — the run-id trick with step-1
+    consecutiveness would double-count overlap. Built corpus: positions
+    1 and 3 both duplicated with L=8 -> one span of 10 tokens."""
+    import duckdb
+
+    base = [f"w{i}" for i in range(10)]  # 10 tokens: grams at pos 1,2,3
+    rows = [
+        ("a1", " ".join(base), "web"),
+        # duplicate gram at pos 1 (tokens 0-7) via a doc holding them
+        ("b1", " ".join(base[0:8]), "web"),
+        # duplicate gram at pos 3 (tokens 2-9) via another doc
+        ("b2", " ".join(base[2:10]), "web"),
+        ("c1", " ".join(f"x{i}" for i in range(12)), "books"),  # clean
+    ]
+    _write_docs(tmp_path, rows)
+    q = QUERIES["dedup_exactsubstr_spans"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == exp
+    web = [r for r in got if r[0] == "web"][0]
+    # a1: dup grams at pos 1 (shared with b1) and pos 3 (shared with b2),
+    # gap 2 < L -> ONE merged span of 3-1+8 = 10 tokens; b1/b2 each one
+    # 8-token span. 3 docs affected, 3 spans, 10+8+8 = 26 removed tokens.
+    assert (web[3], web[4], web[5]) == (3, 3, 26)
+
+
+def test_exactsubstr_plan_shape(spark):
+    """Gram fan-out is scan-local; the gram frame is persisted for its
+    three readers; the interval merge is the only window (doc-keyed);
+    no cartesian anywhere."""
+    df = QUERIES["dedup_exactsubstr_spans"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
