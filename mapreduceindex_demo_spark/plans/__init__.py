@@ -63,6 +63,7 @@ PRIORITY_50 = [
     # the BPE/WordPiece/unigram trio, and the ExactSubstr
     # duplicate-substring removal mask (Lee et al. ACL'22) ---
     "text_unigram_lm_tokenizer",
+    "text_unigram_apply_fertility",
     "dedup_exactsubstr_spans",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
@@ -89,7 +90,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_durable",
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
-    # --- spare slots: the 19 OLDEST-last-green queries (r5-r8) get
+    # --- spare slots: the 18 OLDEST-last-green queries (r5-r8) get
     # third confirmations ---
     "streaming_dedup_users",
     "streaming_sliding_counts",
@@ -109,7 +110,6 @@ PRIORITY_50 = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "multimodal_binary_stats",
-    "nation_trade_by_year",
 ]
 
 

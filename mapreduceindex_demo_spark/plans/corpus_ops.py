@@ -2461,12 +2461,11 @@ c{tag} AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
            GROUP BY 1)"""
 
 
-_UNI_ORACLE = f"""
-    WITH RECURSIVE
-    wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM (SELECT unnest(string_split(text, ' ')) AS w
-                 FROM documents) t
-           WHERE length(w) > 0 GROUP BY 1),
+#: the TRAIN chain (seed -> EM round 1 -> prune -> refit -> EM round 2),
+#: shared verbatim by the trainer's oracle and the apply/fertility
+#: oracle (the `_bpe_train` one-spelling rule): each oracle prepends its
+#: own `wf` definition and consumes dp2/c2.
+_UNI_TRAIN_CTES = f"""
     subs AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
              FROM (SELECT substr(w, i, l) AS piece, cnt
                    FROM wf,
@@ -2492,7 +2491,15 @@ _UNI_ORACLE = f"""
     v1p AS MATERIALIZED (SELECT piece, {_UNI_LP1} AS lp
             FROM v1, (SELECT CAST(SUM(c) AS BIGINT) AS tot,
                              CAST(COUNT(*) AS BIGINT) AS nv FROM v1) s),
-    {_uni_dp_cte("2", "v1p")},
+    {_uni_dp_cte("2", "v1p")}"""
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE
+    wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           WHERE length(w) > 0 GROUP BY 1),
+    {_UNI_TRAIN_CTES},
     served AS MATERIALIZED (SELECT v.piece, COALESCE(c2.c, 0) AS cnt
                FROM v1p v LEFT JOIN c2 USING (piece))
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS INT)
@@ -2511,14 +2518,14 @@ def _uni_sql_quote(p: str) -> str:
     return "'" + p.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _uni_viterbi_counts(wf: DataFrame, vocab: list) -> DataFrame:
+def _uni_viterbi_paths(wf: DataFrame, vocab: list) -> DataFrame:
     """Spark Viterbi kernel: ONE scan-local in-row fold per word type —
     no shuffle, no window, no UDF. The vocabulary (a model artifact,
     bounded by the ``_UNI_SEED_K``/``_UNI_KEEP`` constants, NOT by data)
     is embedded as a map literal; the first fold runs the integer DP
-    carrying (best-score array, backpointer array), the second walks the
-    backpointers to the argmax segmentation. Returns hard-EM piece
-    counts weighted by word frequency."""
+    over (score, -piece_len) structs, the second walks the backpointers
+    to the argmax segmentation. Returns ``wf`` plus its ``ps``
+    piece-array column."""
     map_sql = (
         "map("
         + ", ".join(
@@ -2567,10 +2574,82 @@ def _uni_viterbi_counts(wf: DataFrame, vocab: list) -> DataFrame:
         wf.withColumn("m", F.expr(map_sql))
         .withColumn("dp", F.expr(dp))
         .withColumn("wk", F.expr(walk))
-        .select(F.explode("wk.ps").alias("piece"), "cnt")
+        .select("w", "cnt", F.col("wk.ps").alias("ps"))
+    )
+
+
+def _uni_viterbi_counts(wf: DataFrame, vocab: list) -> DataFrame:
+    """Hard-EM piece counts weighted by word frequency — the recount
+    exchange over :func:`_uni_viterbi_paths`' segmentation."""
+    return (
+        _uni_viterbi_paths(wf, vocab)
+        .select(F.explode("ps").alias("piece"), "cnt")
         .groupBy("piece")
         .agg(F.sum("cnt").cast("long").alias("c"))
     )
+
+
+def _uni_train_vocab(spark: SparkSession, wf: DataFrame) -> list:
+    """THE one Spark spelling of the unigram-LM training chain (seed ->
+    Viterbi hard-EM round -> prune + add-one refit), shared by the
+    trainer query and the apply/fertility query so the learned model
+    can never fork between them (the ``_bpe_train`` rule). Returns the
+    final vocabulary as a bounded (piece, micro-ln) list — the model
+    artifact (<= ``_UNI_KEEP`` + alphabet rows); its two collects are
+    bounded METADATA, never data-sized."""
+    subs = (
+        wf.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i ->"
+                    f" transform(sequence(1, least({_UNI_MAXP},"
+                    " length(w) - i + 1)),"
+                    " l -> substring(w, i, l))))"
+                )
+            ).alias("piece"),
+            "cnt",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    top0 = subs.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_SEED_K)
+    v0 = (
+        top0.unionByName(subs.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
+    )
+    tot0 = v0.agg(F.sum("c").cast("long").alias("tot"))
+    # bounded-metadata collect #1: the seed vocabulary with its
+    # micro-ln scores (<= _UNI_SEED_K + alphabet rows — a constant)
+    vocab0 = [
+        (r["piece"], r["lp"])
+        for r in v0.crossJoin(F.broadcast(tot0))
+        .selectExpr("piece", f"{_UNI_LP0} AS lp")
+        .collect()
+    ]
+    c1 = _uni_viterbi_counts(wf, vocab0)
+    v0c = (
+        spark.createDataFrame([(p,) for p, _ in vocab0], "piece string")
+        .join(c1, "piece", "left")
+        .select("piece", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    top1 = v0c.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_KEEP)
+    v1 = (
+        top1.unionByName(v0c.where(F.length("piece") == 1))
+        .dropDuplicates(["piece"])
+    )
+    stat1 = v1.agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    # bounded-metadata collect #2: the pruned vocabulary (<= _UNI_KEEP
+    # + alphabet rows) with its add-one micro-ln scores
+    return [
+        (r["piece"], r["lp"])
+        for r in v1.crossJoin(F.broadcast(stat1))
+        .selectExpr("piece", f"{_UNI_LP1} AS lp")
+        .collect()
+    ]
 
 
 @query(
@@ -2638,59 +2717,7 @@ def q_text_unigram_lm_tokenizer(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    subs = (
-        wf.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, length(w)), i ->"
-                    f" transform(sequence(1, least({_UNI_MAXP},"
-                    " length(w) - i + 1)),"
-                    " l -> substring(w, i, l))))"
-                )
-            ).alias("piece"),
-            "cnt",
-        )
-        .groupBy("piece")
-        .agg(F.sum("cnt").cast("long").alias("c"))
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
-    top0 = subs.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_SEED_K)
-    v0 = (
-        top0.unionByName(subs.where(F.length("piece") == 1))
-        .dropDuplicates(["piece"])
-    )
-    tot0 = v0.agg(F.sum("c").cast("long").alias("tot"))
-    # bounded-metadata collect #1: the seed vocabulary with its
-    # micro-ln scores (<= _UNI_SEED_K + alphabet rows — a constant)
-    vocab0 = [
-        (r["piece"], r["lp"])
-        for r in v0.crossJoin(F.broadcast(tot0))
-        .selectExpr("piece", f"{_UNI_LP0} AS lp")
-        .collect()
-    ]
-    c1 = _uni_viterbi_counts(wf, vocab0)
-    v0c = (
-        spark.createDataFrame([(p,) for p, _ in vocab0], "piece string")
-        .join(c1, "piece", "left")
-        .select("piece", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
-    )
-    top1 = v0c.orderBy(F.desc("c"), F.asc("piece")).limit(_UNI_KEEP)
-    v1 = (
-        top1.unionByName(v0c.where(F.length("piece") == 1))
-        .dropDuplicates(["piece"])
-    )
-    stat1 = v1.agg(
-        F.sum("c").cast("long").alias("tot"),
-        F.count(F.lit(1)).cast("long").alias("nv"),
-    )
-    # bounded-metadata collect #2: the pruned vocabulary (<= _UNI_KEEP
-    # + alphabet rows) with its add-one micro-ln scores
-    vocab1 = [
-        (r["piece"], r["lp"])
-        for r in v1.crossJoin(F.broadcast(stat1))
-        .selectExpr("piece", f"{_UNI_LP1} AS lp")
-        .collect()
-    ]
+    vocab1 = _uni_train_vocab(spark, wf)
     c2 = _uni_viterbi_counts(wf, vocab1)
     served = (
         spark.createDataFrame([(p,) for p, _ in vocab1], "piece string")
@@ -2900,6 +2927,114 @@ def q_dedup_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + F.lit(0.0)
             ).alias("removed_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_UNI_APPLY_ORACLE = f"""
+    WITH RECURSIVE
+    wfs AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      WHERE length(w) > 0 GROUP BY 1, 2),
+    wf AS MATERIALIZED (
+      SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM wfs GROUP BY 1),
+    {_UNI_TRAIN_CTES},
+    np AS MATERIALIZED (SELECT w, CAST(len(p0) AS BIGINT) AS np
+          FROM dp2 WHERE i = length(w))
+    SELECT s.source,
+           CAST(SUM(s.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.cnt * length(s.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.cnt * np.np) AS BIGINT) AS n_pieces,
+           round(CAST(SUM(s.cnt * np.np) AS DOUBLE)
+                 / CAST(SUM(s.cnt) AS DOUBLE), 6) + 0.0 AS fertility,
+           round(CAST(SUM(s.cnt * length(s.w)) AS DOUBLE)
+                 / CAST(SUM(s.cnt * np.np) AS DOUBLE), 6) + 0.0
+             AS chars_per_piece
+    FROM wfs s JOIN np USING (w)
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@query(
+    "text_unigram_apply_fertility",
+    oracle=_UNI_APPLY_ORACLE,
+    tags=("llm", "text", "tokenizer", "unigram", "sentencepiece"),
+)
+def q_text_unigram_apply_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPLY the trained unigram-LM tokenizer — the deploy half of the
+    [q:text_unigram_lm_tokenizer] lifecycle, mirroring the BPE family's
+    train→apply ladder ([q:text_bpe_train_merges] →
+    [q:text_bpe_apply_merges]): re-derive the final vocabulary through
+    the SHARED training chain (``_uni_train_vocab`` — one spelling, the
+    ``_bpe_train`` rule), Viterbi-segment every word type under it, and
+    serve the per-source tokenizer-quality scorecard real pipelines gate
+    on: token/char/piece volumes, FERTILITY (pieces per word — the
+    standard cross-tokenizer comparison metric, e.g. Rust et al.
+    ACL'21) and chars-per-piece (compression).
+
+    Determinism/parity: the segmentation is the trainer's integer-grid
+    Viterbi (exact BIGINT path scores, total-order argmax); per-source
+    sums are exact BIGINT dot products of word counts x path lengths;
+    the two served doubles are single divisions on the 6-dp grid.
+
+    Scale shape: ONE corpus exchange (the per-(source, word) count,
+    persisted); the global word-type table derives from it by a
+    word-TYPE-sized rollup, training rides the shared chain
+    (vocabulary-sized, two bounded-metadata collects), and the apply is
+    a word-type equi-join of path lengths back onto the per-source
+    counts — the corpus text itself is never re-read or re-segmented
+    per document (segment TYPES once, weight by frequency: the 100 TB
+    posture a per-document tokenizer pass would violate).
+
+    Reference anchor: the reference engine (indexjs.go:73-191) has no
+    tokenizer surface; this completes the unigram train→apply pair
+    beyond reference parity."""
+    d = _t(spark, sf_dir, "documents")
+    wfs = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    wf = (
+        wfs.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    vocab1 = _uni_train_vocab(spark, wf)
+    np_df = _uni_viterbi_paths(wf, vocab1).select(
+        "w", F.size("ps").cast("long").alias("np")
+    )
+    return (
+        wfs.join(np_df, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("np")).cast("long").alias("n_pieces"),
+            (
+                F.round(
+                    F.sum(F.col("cnt") * F.col("np")).cast("double")
+                    / F.sum("cnt").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("fertility"),
+            (
+                F.round(
+                    F.sum(F.col("cnt") * F.length("w")).cast("double")
+                    / F.sum(F.col("cnt") * F.col("np")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("chars_per_piece"),
         )
         .orderBy("source")
     )

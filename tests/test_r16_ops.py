@@ -110,20 +110,14 @@ def _uni_viterbi_py(w, lp):
     return ps
 
 
-def test_unigram_lm_matches_pure_python(spark):
+def _uni_train_py(wf):
+    """Pure-Python twin of the shared training chain: seed -> hard-EM
+    round -> prune + add-one refit; returns the final micro-ln vocab."""
     import math
     from collections import Counter
 
-    import pyarrow.parquet as pq
-
     from mapreduceindex_demo_spark.oracle_harness import engine_round
 
-    texts = (
-        pq.read_table(f"{PARITY_SF_DIR}/documents.parquet", columns=["text"])
-        .column("text")
-        .to_pylist()
-    )
-    wf = Counter(w for t in texts for w in t.split(" ") if w)
     subs = Counter()
     for w, cnt in wf.items():
         for i in range(len(w)):
@@ -147,15 +141,31 @@ def test_unigram_lm_matches_pure_python(spark):
     v1 = dict(top1)
     v1.update({p: c for p, c in v0c.items() if len(p) == 1})
     tot1, nv = sum(v1.values()), len(v1)
-    lp1 = {
+    return {
         p: int(engine_round(math.log((c + 1.0) / float(tot1 + nv)) * 1_000_000, 0))
         for p, c in v1.items()
     }
+
+
+def test_unigram_lm_matches_pure_python(spark):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_demo_spark.oracle_harness import engine_round
+
+    texts = (
+        pq.read_table(f"{PARITY_SF_DIR}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    lp1 = _uni_train_py(wf)
     c2 = Counter()
     for w, cnt in wf.items():
         for piece in _uni_viterbi_py(w, lp1):
             c2[piece] += cnt
-    served = {p: c2.get(p, 0) for p in v1}
+    served = {p: c2.get(p, 0) for p in lp1}
     tot2 = sum(served.values())
     head = sorted(served.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     expected = [
@@ -316,3 +326,61 @@ def test_exactsubstr_plan_shape(spark):
     plan = _executed_plan(df)
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_unigram_apply_fertility_matches_pure_python(spark):
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from mapreduceindex_demo_spark.oracle_harness import engine_round
+
+    t = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["text", "source"]
+    )
+    rows = list(zip(t.column("text").to_pylist(), t.column("source").to_pylist()))
+    wfs = Counter()
+    for text, source in rows:
+        for w in text.split(" "):
+            if w:
+                wfs[(source, w)] += 1
+    wf = Counter()
+    for (source, w), c in wfs.items():
+        wf[w] += c
+    lp1 = _uni_train_py(wf)
+    np = {w: len(_uni_viterbi_py(w, lp1)) for w in wf}
+    agg = defaultdict(lambda: [0, 0, 0])  # tokens, chars, pieces
+    for (source, w), c in wfs.items():
+        a = agg[source]
+        a[0] += c
+        a[1] += c * len(w)
+        a[2] += c * np[w]
+    expected = sorted(
+        (
+            s,
+            a[0],
+            a[1],
+            a[2],
+            engine_round(a[2] / float(a[0]), 6),
+            engine_round(a[1] / float(a[2]), 6),
+        )
+        for s, a in agg.items()
+    )
+    got = [
+        (
+            r.source,
+            r.n_tokens,
+            r.n_chars,
+            r.n_pieces,
+            r.fertility,
+            r.chars_per_piece,
+        )
+        for r in QUERIES["text_unigram_apply_fertility"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # a trained subword model segments BELOW character granularity but
+    # above one piece per word: 1 <= fertility < chars_per_word
+    for r in got:
+        assert 1.0 <= r[4] < r[2] / float(r[1])
