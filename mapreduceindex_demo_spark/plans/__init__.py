@@ -65,6 +65,14 @@ PRIORITY_50 = [
     "text_unigram_lm_tokenizer",
     "text_unigram_apply_fertility",
     "dedup_exactsubstr_spans",
+    # --- NEW this round, second batch: the embedding-curation trio
+    # completers — SSL-prototype pruning (Sorscher et al. NeurIPS'22)
+    # and the D4 dedup-then-diversify funnel (Tirumala et al. 2023) ---
+    "curation_ssl_prototypes",
+    "curation_d4_prune",
+    # --- NEW this round, third batch: DPR/RocketQA hard-negative
+    # mining over the nDCG panel's relevance contract ---
+    "similarity_hard_negatives",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -90,7 +98,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_durable",
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
-    # --- spare slots: the 18 OLDEST-last-green queries (r5-r8) get
+    # --- spare slots: the 15 OLDEST-last-green queries (r5-r8) get
     # third confirmations ---
     "streaming_dedup_users",
     "streaming_sliding_counts",
@@ -104,11 +112,8 @@ PRIORITY_50 = [
     "dedup_incremental_durable_probe",
     "dedup_lsh_mapindex",
     "dedup_neardup_contamination",
-    "dedup_ngram_jaccard_top20",
     "source_quality_scorecard",
     "text_unigram_drift",
-    "dedup_exact",
-    "dedup_minhash_signatures",
     "multimodal_binary_stats",
 ]
 

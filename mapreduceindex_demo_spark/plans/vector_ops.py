@@ -1313,3 +1313,116 @@ def q_similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 16: hard-negative mining for contrastive retrieval training
+# ---------------------------------------------------------------------------
+
+_HN_K = 5  # negatives served per query
+
+_HARD_NEG_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ee
+          FROM embeddings WHERE vec_id >= 5),
+    graded AS (SELECT q.qid, c.vec_id,
+                 round({_duck_dot('ee', 'qe')}
+                       / (sqrt({_duck_dot('ee', 'ee')})
+                          * sqrt({_duck_dot('qe', 'qe')})), 6) + 0.0 AS cs,
+                 {_NDCG_GAIN} AS g
+               FROM c CROSS JOIN q),
+    w AS (SELECT qid, vec_id, cs, g,
+            MAX(CASE WHEN g > 0 THEN cs END)
+              OVER (PARTITION BY qid) AS best_pos,
+            row_number() OVER (PARTITION BY qid
+                               ORDER BY CASE WHEN g = 0 THEN 0 ELSE 1 END,
+                                        cs DESC, vec_id) AS rn
+          FROM graded)
+    SELECT qid,
+           CAST(rn AS INT) AS rank,
+           vec_id AS neg_vec_id,
+           cs AS neg_score,
+           round(coalesce(best_pos, -2.0), 6) + 0.0 AS best_pos_score,
+           CAST(CASE WHEN cs > coalesce(best_pos, -2.0)
+                THEN 1 ELSE 0 END AS INT) AS above_best_positive
+    FROM w
+    WHERE g = 0 AND rn <= {_HN_K}
+    ORDER BY qid, rank
+    """
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("llm", "similarity", "training", "negatives"),
+)
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (DPR —
+    Karpukhin et al., EMNLP 2020 §3.2: train the bi-encoder against the
+    highest-scoring NON-relevant candidates the current retriever
+    returns; RocketQA — Qu et al., NAACL 2021 — adds the denoising flag:
+    a "negative" outscoring every true positive is a likely false
+    negative and should be audited before training on it). Over the
+    nDCG panel's exact relevance contract ([q:similarity_ndcg_eval] —
+    5 query vectors, graded gain 2/1/0 by label adjacency, positives =
+    gain > 0): rank each query's NEGATIVES by retriever score (6-dp
+    cosine) and serve the top-{_HN_K} per query with the RocketQA flag —
+    the rows a contrastive-training data loader ingests.
+
+    Determinism/parity: the ranking key is (negatives-first, 6-dp cosine
+    DESC, vec_id) — a total order; the best-positive score is a MAX over
+    the qid partition (order-free); the flag compares two 6-dp-rounded
+    values; the no-positive edge serves the -2.0 sentinel (below any
+    cosine) so the flag degrades to 1 = "nothing to beat", stated
+    policy.
+
+    Scale shape: the 5-query panel broadcasts against ONE corpus scan
+    (the [q:similarity_ndcg_eval] batch shape); the negative rank and
+    the best-positive max share the single qid exchange; the serve is
+    <= 5x{_HN_K} rows. Panel size is the 100 TB knob — mining is
+    per-query top-k against the corpus, never corpus-vs-corpus.
+
+    Reference anchor: beyond reference parity (no retrieval surface in
+    the reference); completes the retrieval-training loop beside the
+    eval twins (nDCG, MRR, recall)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ee")
+    )
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("ee").alias("qe"),
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    graded = corpus.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        S.cosine(F.col("ee"), F.col("qe")).alias("cs"),
+        F.expr(_NDCG_GAIN).alias("g"),
+    )
+    wq = Window.partitionBy("qid")
+    wr = Window.partitionBy("qid").orderBy(
+        F.when(F.col("g") == 0, F.lit(0)).otherwise(F.lit(1)).asc(),
+        F.desc("cs"),
+        F.asc("vec_id"),
+    )
+    w = graded.withColumn(
+        "best_pos", F.max(F.when(F.col("g") > 0, F.col("cs"))).over(wq)
+    ).withColumn("rn", F.row_number().over(wr))
+    return (
+        w.where((F.col("g") == 0) & (F.col("rn") <= _HN_K))
+        .select(
+            "qid",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("cs").alias("neg_score"),
+            (F.round(F.coalesce(F.col("best_pos"), F.lit(-2.0)), 6) + F.lit(0.0))
+            .alias("best_pos_score"),
+            (F.col("cs") > F.coalesce(F.col("best_pos"), F.lit(-2.0)))
+            .cast("int")
+            .alias("above_best_positive"),
+        )
+        .orderBy("qid", "rank")
+    )

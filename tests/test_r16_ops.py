@@ -6,10 +6,14 @@ DuckDB oracle) plus plan-shape contracts."""
 
 from __future__ import annotations
 
+import math
+from collections import defaultdict
+
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from mapreduceindex_demo_spark.oracle_harness import engine_round
 from mapreduceindex_demo_spark.plans import QUERIES
 from tests.conftest import PARITY_SF_DIR
 
@@ -384,3 +388,223 @@ def test_unigram_apply_fertility_matches_pure_python(spark):
     # above one piece per word: 1 <= fertility < chars_per_word
     for r in got:
         assert 1.0 <= r[4] < r[2] / float(r[1])
+
+
+# --------------------------------------------------------------------------
+# curation_ssl_prototypes / curation_d4_prune — the embedding-curation
+# trio completers (Sorscher et al. 2022; Tirumala et al. 2023)
+# --------------------------------------------------------------------------
+
+
+def _fold_sum(vals):
+    acc = 0.0
+    for v in vals:
+        acc += float(v)
+    return acc
+
+
+def _cos6(a, b):
+    num = _fold_sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(_fold_sum(x * x for x in a)) * math.sqrt(
+        _fold_sum(y * y for y in b)
+    )
+    return engine_round(num / den, 6)
+
+
+def _train_and_rank(byid, corpus):
+    """The IVF 6-dp Lloyd's contract in pure Python: seed with the first 8
+    corpus vectors by vec_id, 2 iterations, then the SemDeDup member
+    ranking. Returns {cid: [(vec_id, csim) ranked by (csim desc, id)]}.
+    """
+    import numpy as np
+
+    seeds = sorted(corpus)[:8]
+    cents = {cid: byid[cid] for cid in seeds}
+    dim = len(next(iter(byid.values())))
+    for _ in range(2):
+        members = defaultdict(list)
+        for v in corpus:
+            best = max(cents, key=lambda c: (_cos6(byid[v], cents[c]), -c))
+            members[best].append(v)
+        cents = {
+            cid: [
+                engine_round(float(np.mean([byid[m][d] for m in mem])), 6)
+                for d in range(dim)
+            ]
+            for cid, mem in members.items()
+        }
+    cells = defaultdict(list)
+    for v in corpus:
+        best = max(cents, key=lambda c: (_cos6(byid[v], cents[c]), -c))
+        cells[best].append((v, _cos6(byid[v], cents[best])))
+    return {
+        cid: sorted(mem, key=lambda t2: (-t2[1], t2[0]))
+        for cid, mem in cells.items()
+    }
+
+
+def _emb_byid():
+    t = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    byid = {v: [float(x) for x in e] for v, e in rows}
+    return byid, [v for v, _ in rows if v != 0]
+
+
+def test_ssl_prototypes_matches_python_cells(spark):
+    byid, corpus = _emb_byid()
+    ranked = _train_and_rank(byid, corpus)
+    expected = []
+    for cid in sorted(ranked):
+        mem = ranked[cid]
+        n = len(mem)
+        npr = (n * 25) // 100
+        pruned, kept = mem[:npr], mem[npr:]
+        expected.append(
+            (
+                cid,
+                n,
+                npr,
+                min((cs for _, cs in pruned), default=-1.0),
+                max(cs for _, cs in kept),
+                min(cs for _, cs in kept),
+            )
+        )
+    got = [
+        (
+            r.cid,
+            r.n_members,
+            r.n_pruned,
+            r.prune_floor_csim,
+            r.keep_head_csim,
+            r.hardest_kept_csim,
+        )
+        for r in QUERIES["curation_ssl_prototypes"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # the prune path is exercised and never empties a cell
+    assert any(p > 0 for _, _, p, *_ in got)
+    assert all(p < m for _, m, p, *_ in got)
+
+
+def test_d4_funnel_matches_python(spark):
+    byid, corpus = _emb_byid()
+    # stage 1: SemDeDup on the full corpus (the r15 contract)
+    ranked1 = _train_and_rank(byid, corpus)
+    dropped = set()
+    for mem in ranked1.values():
+        for i, (va, _) in enumerate(mem):
+            for vb, _ in mem[i + 1 :]:
+                if _cos6(byid[va], byid[vb]) >= 0.3:
+                    dropped.add(vb)
+    surv = [v for v in corpus if v not in dropped]
+    # stage 2: re-cluster the survivors, prune prototypes
+    ranked2 = _train_and_rank(byid, surv)
+    n_pruned = sum(
+        (len(mem) * 25) // 100 for mem in ranked2.values()
+    )
+    expected = (
+        len(corpus),
+        8,
+        len(dropped),
+        len(surv),
+        8,
+        n_pruned,
+        len(surv) - n_pruned,
+    )
+    rows = QUERIES["curation_d4_prune"].fn(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    got = (
+        r.n_corpus,
+        r.k_dedup,
+        r.n_dup_dropped,
+        r.n_after_dedup,
+        r.k_recluster,
+        r.n_proto_pruned,
+        r.n_final,
+    )
+    assert got == expected
+    # both stages bite: duplicates dropped AND prototypes pruned
+    assert r.n_dup_dropped > 0 and r.n_proto_pruned > 0
+    assert r.n_final == r.n_after_dedup - r.n_proto_pruned
+
+
+def test_ssl_prototypes_plan_no_pair_join(spark):
+    """Prototype pruning needs NO pair join — the plan must contain no
+    cartesian product and no join wider than the k-row centroid
+    broadcast (the cheap member of the embedding-curation family)."""
+    df = QUERIES["curation_ssl_prototypes"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_d4_plan_no_cartesian(spark):
+    """D4's only data-sized joins are the cid equi-join (stage-1 pairs)
+    and the survivor anti-join; both training chains broadcast k rows."""
+    df = QUERIES["curation_d4_prune"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# similarity_hard_negatives — DPR/RocketQA negative mining
+# --------------------------------------------------------------------------
+
+
+def test_hard_negatives_matches_python_panel(spark):
+    t = pq.read_table(f"{PARITY_SF_DIR}/embeddings.parquet")
+    rows = sorted(
+        zip(
+            t.column("vec_id").to_pylist(),
+            t.column("label").to_pylist(),
+            t.column("embedding").to_pylist(),
+        )
+    )
+    byid = {v: ([float(x) for x in e], lb) for v, lb, e in rows}
+    queries = [(v, byid[v]) for v in sorted(byid) if v < 5]
+    corpus = [v for v in sorted(byid) if v >= 5]
+    expected = []
+    for qid, (qe, qlabel) in queries:
+        scored = []
+        for v in corpus:
+            ee, lb = byid[v]
+            g = max(0, 2 - abs(lb - qlabel))
+            scored.append((v, _cos6(ee, qe), g))
+        best_pos = max((cs for _, cs, g in scored if g > 0), default=-2.0)
+        negs = sorted(
+            ((v, cs) for v, cs, g in scored if g == 0),
+            key=lambda t2: (-t2[1], t2[0]),
+        )[:5]
+        for rk, (v, cs) in enumerate(negs, start=1):
+            expected.append(
+                (
+                    qid,
+                    rk,
+                    v,
+                    cs,
+                    engine_round(best_pos, 6),
+                    1 if cs > best_pos else 0,
+                )
+            )
+    got = [
+        (
+            r.qid,
+            r.rank,
+            r.neg_vec_id,
+            r.neg_score,
+            r.best_pos_score,
+            r.above_best_positive,
+        )
+        for r in QUERIES["similarity_hard_negatives"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    assert len(got) == 25
+    # the RocketQA denoising flag fires somewhere in the panel
+    assert any(f == 1 for *_, f in got)
