@@ -73,6 +73,14 @@ PRIORITY_50 = [
     # --- NEW this round, third batch: DPR/RocketQA hard-negative
     # mining over the nDCG panel's relevance contract ---
     "similarity_hard_negatives",
+    # --- NEW this round, fourth batch: Matryoshka prefix-dim recall
+    # (Kusupati et al. NeurIPS'22) and the mergeable KMV distinct
+    # sketch (Bar-Yossef et al.'02 / Beyer et al. SIGMOD'07) ---
+    "similarity_matryoshka_recall",
+    "sketch_kmv_distinct",
+    # --- NEW this round, fifth batch: MATTR lexical diversity
+    # (Covington-McFall 2010), the text-quality diversity axis ---
+    "text_mattr_diversity",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -98,7 +106,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_durable",
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
-    # --- spare slots: the 15 OLDEST-last-green queries (r5-r8) get
+    # --- spare slots: the 12 OLDEST-last-green queries (r5-r8) get
     # third confirmations ---
     "streaming_dedup_users",
     "streaming_sliding_counts",
@@ -106,9 +114,6 @@ PRIORITY_50 = [
     "top_revenue_supplier",
     "training_sequence_packing",
     "dedup_minhash_components",
-    "dedup_minhash_lsh_pairs",
-    "dedup_decontaminate_apply",
-    "dedup_duplicated_spans",
     "dedup_incremental_durable_probe",
     "dedup_lsh_mapindex",
     "dedup_neardup_contamination",

@@ -3038,3 +3038,104 @@ def q_text_unigram_apply_fertility(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 16: MATTR lexical diversity (moving-average type-token ratio)
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25  # the moving window (Covington-McFall use 10-100; 25 fits
+#: the corpus's 10..~500-token documents so both branches are exercised)
+
+_MATTR_DOC_SQL = {
+    # the per-doc MATTR in each dialect, micro-rounded ONCE (the shared
+    # integer-grid discipline): eff_w = min(W, n) unifies the paper's
+    # short-document rule (n < W => plain TTR over the whole doc) with
+    # the moving average as a single formula.
+    "spark": f"""
+      cast(round(1000000.0 * aggregate(
+          sequence(1, size(tk) - least({_MATTR_W}, size(tk)) + 1), 0L,
+          (acc, i) -> acc + size(array_distinct(
+              slice(tk, i, least({_MATTR_W}, size(tk)))))) /
+        (cast(least({_MATTR_W}, size(tk)) as double)
+         * (size(tk) - least({_MATTR_W}, size(tk)) + 1)), 0) as bigint)
+    """,
+    "duck": f"""
+      CAST(round(1000000.0 * list_reduce(list_transform(
+          range(1, len(tk) - least({_MATTR_W}, len(tk)) + 2),
+          i -> len(list_distinct(list_slice(tk, i,
+                   i + least({_MATTR_W}, len(tk)) - 1)))),
+          (x, y) -> x + y) /
+        (CAST(least({_MATTR_W}, len(tk)) AS DOUBLE)
+         * (len(tk) - least({_MATTR_W}, len(tk)) + 1)), 0) AS BIGINT)
+    """,
+}
+
+
+@query(
+    "text_mattr_diversity",
+    oracle=f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+    m AS (SELECT source, {_MATTR_DOC_SQL["duck"]} AS micro FROM t)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(micro) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) + 0.0 AS mean_mattr,
+           round(MIN(micro) / 1000000.0, 6) + 0.0 AS min_mattr,
+           round(MAX(micro) / 1000000.0, 6) + 0.0 AS max_mattr
+    FROM m GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "quality", "diversity"),
+)
+def q_text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio (Covington & McFall,
+    Journal of Quantitative Linguistics 2010): lexical diversity scored
+    as the mean TTR over every {_MATTR_W}-token sliding window, the
+    length-invariant repair of raw TTR (which decays mechanically with
+    document length and so cannot compare documents of different sizes
+    — the reason corpus-quality pipelines report MATTR/MTLD instead).
+    Low MATTR flags template/boilerplate floods and repetitive
+    generation; the per-source scorecard row is the feed-health number
+    beside the entropy gate ([q:text_char_entropy_gate]) and the
+    repetition family ([q:text_gopher_gate]). Documents shorter than
+    the window take their plain TTR (the paper's rule), unified here as
+    eff_w = min(W, n) so both branches are one formula.
+
+    Determinism/parity: window distinct-counts are exact integers; the
+    per-doc score is ONE integer-fed division micro-rounded to a BIGINT
+    via the same spelling in both dialects (the r15 Moore-Lewis grid);
+    served mean/min/max derive from exact integer sums and order-free
+    extremes, each one 6-dp division.
+
+    Scale shape: entirely SCAN-LOCAL per document (the O(n·W) window
+    fold runs in-row — no explode, no shuffle, no window function);
+    the only exchange is the |sources|-row map-side-combined rollup.
+    The 100 TB cost is the corpus scan itself.
+
+    Reference anchor: beyond reference parity; completes the
+    text-quality family's diversity axis."""
+    t = _t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("tk")
+    )
+    m = t.select("source", F.expr(_MATTR_DOC_SQL["spark"]).alias("micro"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    F.sum("micro").cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_mattr"),
+            (F.round(F.min("micro") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+                "min_mattr"
+            ),
+            (F.round(F.max("micro") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+                "max_mattr"
+            ),
+        )
+        .orderBy("source")
+    )

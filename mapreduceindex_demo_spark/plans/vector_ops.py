@@ -17,6 +17,7 @@ grid.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1425,4 +1426,137 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("above_best_positive"),
         )
         .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 16: Matryoshka prefix-dimension recall (adaptive-retrieval eval)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+
+
+def _duck_prefix_dot(a: str, b: str) -> str:
+    """In-order left fold over the first ``dim`` coordinates (outer
+    column) — the prefix twin of the full-width `_duck_dot`."""
+    return (
+        f"list_reduce(list_transform(range(1, dim + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ee
+          FROM embeddings WHERE vec_id >= 5),
+    dims AS (SELECT * FROM (VALUES {", ".join(f"({d})" for d in _MRL_DIMS)})
+             AS d(dim)),
+    long AS (SELECT q.qid, c.vec_id, dims.dim,
+      round({_duck_prefix_dot('ee', 'qe')}
+            / (sqrt({_duck_prefix_dot('ee', 'ee')})
+               * sqrt({_duck_prefix_dot('qe', 'qe')})), 6) + 0.0 AS csd
+      FROM c CROSS JOIN q CROSS JOIN dims),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY qid, dim
+                                            ORDER BY csd DESC, vec_id) AS rn
+               FROM long),
+    top AS (SELECT * FROM ranked WHERE rn <= {_MRL_K}),
+    truth AS (SELECT qid, vec_id FROM top WHERE dim = {_MRL_DIMS[-1]}),
+    trunc AS (SELECT * FROM top WHERE dim <> {_MRL_DIMS[-1]})
+    SELECT t.qid AS qid, CAST(t.dim AS INT) AS dim,
+           CAST(COUNT(tr.vec_id) AS BIGINT) AS n_overlap,
+           round(COUNT(tr.vec_id) / {_MRL_K}.0, 6) + 0.0 AS recall_at_{_MRL_K}
+    FROM trunc t LEFT JOIN truth tr
+      ON t.qid = tr.qid AND t.vec_id = tr.vec_id
+    GROUP BY t.qid, t.dim
+    ORDER BY t.qid, t.dim
+    """
+
+
+@query(
+    "similarity_matryoshka_recall",
+    oracle=_MATRYOSHKA_ORACLE,
+    tags=("llm", "similarity", "matryoshka", "eval", "embedding"),
+)
+def q_similarity_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval recall (Kusupati et al.,
+    NeurIPS 2022, "Matryoshka Representation Learning"; the
+    adaptive-retrieval evaluation MRL-trained embeddings ship with, and
+    what OpenAI/Nomic-style truncatable embedding APIs expose as the
+    `dimensions` knob): rank the corpus for each panel query using only
+    the FIRST d coordinates (re-normalized — prefix cosine), and score
+    recall@{_MRL_K} of each truncation against the full-width ranking
+    as ground truth, for d in {_MRL_DIMS}. The number a retrieval team
+    reads before shrinking its index {_MRL_DIMS[-1]}→8: how much of the
+    full-width top-{_MRL_K} survives each truncation.
+
+    Determinism/parity: every prefix cosine is the same in-order left
+    fold over i = 1..d, 6-dp rounded, ranked by the family's total
+    (csd DESC, vec_id) order; overlap counts are exact integers and
+    recall is one exact division by {_MRL_K}.
+
+    Scale shape: ONE corpus scan fans against the broadcast 5-query
+    panel x |dims| (scan-local explode — the per-row fan-out is the
+    constant |dims|, not data); all rankings ride ONE (qid, dim)
+    window exchange; the ranked frame persists for its two readers
+    (truth + truncations — the house multi-reader rule) and the
+    overlap join broadcasts the {_MRL_K}x5-row truth set. Panel size
+    is the 100 TB knob, as for the nDCG/MRR eval twins.
+
+    Reference anchor: beyond reference parity; completes the
+    embedding-eval family (recall vs the index twins, nDCG, MRR) with
+    the dimension-adaptivity axis."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ee")
+    )
+    qs = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("ee").alias("qe")
+    )
+    corpus = e.where(F.col("vec_id") >= 5)
+    long = (
+        corpus.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "dim", F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS]))
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "dim",
+            S.cosine(
+                F.expr("slice(ee, 1, dim)"), F.expr("slice(qe, 1, dim)")
+            ).alias("csd"),
+        )
+    )
+    w = Window.partitionBy("qid", "dim").orderBy(
+        F.desc("csd"), F.asc("vec_id")
+    )
+    top = (
+        long.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MRL_K)
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    full = _MRL_DIMS[-1]
+    truth = top.where(F.col("dim") == full).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        top.where(F.col("dim") != full)
+        .join(F.broadcast(truth), ["qid", "vec_id"], "left")
+        .groupBy("qid", "dim")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "qid",
+            F.col("dim").cast("int").alias("dim"),
+            "n_overlap",
+            (F.round(F.col("n_overlap") / F.lit(float(_MRL_K)), 6) + F.lit(0.0))
+            .alias(f"recall_at_{_MRL_K}"),
+        )
+        .orderBy("qid", "dim")
     )

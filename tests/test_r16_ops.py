@@ -608,3 +608,124 @@ def test_hard_negatives_matches_python_panel(spark):
     assert len(got) == 25
     # the RocketQA denoising flag fires somewhere in the panel
     assert any(f == 1 for *_, f in got)
+
+
+# --------------------------------------------------------------------------
+# similarity_matryoshka_recall / sketch_kmv_distinct
+# --------------------------------------------------------------------------
+
+
+def test_matryoshka_recall_matches_python_panel(spark):
+    byid, corpus = _emb_byid()
+    queries = [v for v in sorted(byid) if v < 5]
+    corpus = [v for v in corpus if v >= 5]
+    top = {}
+    for qid in queries:
+        for d in (8, 16, 32, 64):
+            scored = sorted(
+                (
+                    (v, _cos6(byid[v][:d], byid[qid][:d]))
+                    for v in corpus
+                ),
+                key=lambda t2: (-t2[1], t2[0]),
+            )[:10]
+            top[(qid, d)] = [v for v, _ in scored]
+    expected = []
+    for qid in queries:
+        truth = set(top[(qid, 64)])
+        for d in (8, 16, 32):
+            n = len(truth & set(top[(qid, d)]))
+            expected.append((qid, d, n, engine_round(n / 10.0, 6)))
+    got = [
+        (r.qid, r.dim, r.n_overlap, r.recall_at_10)
+        for r in QUERIES["similarity_matryoshka_recall"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # recall must be non-trivial somewhere and never exceed 1
+    assert any(n > 0 for _, _, n, _ in got)
+    assert all(0 <= n <= 10 for _, _, n, _ in got)
+
+
+def test_kmv_matches_python_estimator(spark):
+    import hashlib
+
+    t = pq.read_table(f"{PARITY_SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    keys = sorted(set(t.column("l_orderkey").to_pylist()))
+    us = sorted(
+        int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in keys
+    )
+    k = 256
+    kept = us[:k]
+    hk = kept[-1]
+    n_exact = len(keys)
+    n_est = n_exact if len(kept) < k else (k - 1) * 4294967296 // hk
+    rows = QUERIES["sketch_kmv_distinct"].fn(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_exact, r.k, r.k_kept, r.kth_min_u32, r.n_est) == (
+        n_exact,
+        k,
+        min(k, n_exact),
+        hk,
+        n_est,
+    )
+    assert r.rel_err_pct == engine_round(
+        (float(n_est) - n_exact) * 100.0 / n_exact, 6
+    )
+    # the estimator is in the right ballpark (KMV sigma ~ 1/sqrt(k) ~ 6%)
+    assert abs(r.rel_err_pct) < 25.0
+
+
+# --------------------------------------------------------------------------
+# text_mattr_diversity — Covington-McFall moving-average TTR
+# --------------------------------------------------------------------------
+
+
+def test_mattr_matches_python(spark):
+    t = pq.read_table(
+        f"{PARITY_SF_DIR}/documents.parquet", columns=["source", "text"]
+    )
+    per_source = defaultdict(list)
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        tk = text.split(" ")
+        n = len(tk)
+        w = min(25, n)
+        nwin = n - w + 1
+        s = sum(len(set(tk[i : i + w])) for i in range(nwin))
+        micro = int(engine_round(1000000.0 * s / (float(w) * nwin), 0))
+        per_source[src].append(micro)
+    expected = []
+    for src in sorted(per_source):
+        ms = per_source[src]
+        expected.append(
+            (
+                src,
+                len(ms),
+                engine_round(sum(ms) / (len(ms) * 1000000.0), 6),
+                engine_round(min(ms) / 1000000.0, 6),
+                engine_round(max(ms) / 1000000.0, 6),
+            )
+        )
+    got = [
+        (r.source, r.n_docs, r.mean_mattr, r.min_mattr, r.max_mattr)
+        for r in QUERIES["text_mattr_diversity"]
+        .fn(spark, PARITY_SF_DIR)
+        .collect()
+    ]
+    assert got == expected
+    # diversity is a real signal: means sit strictly inside (0, 1]
+    assert all(0.0 < m <= 1.0 for _, _, m, _, _ in got)
+
+
+def test_mattr_plan_is_scan_local(spark):
+    """The in-row fold contract: no explode-driven shuffle, no window
+    function, no join — one scan + the |sources|-row rollup."""
+    df = QUERIES["text_mattr_diversity"].fn(spark, PARITY_SF_DIR)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" not in plan, plan
