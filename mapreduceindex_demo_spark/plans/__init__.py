@@ -81,6 +81,9 @@ PRIORITY_50 = [
     # --- NEW this round, fifth batch: MATTR lexical diversity
     # (Covington-McFall 2010), the text-quality diversity axis ---
     "text_mattr_diversity",
+    # --- NEW this round, sixth batch: HITS hubs/authorities
+    # (Kleinberg JACM'99), the sixth classic graph operator ---
+    "graph_hits_hubs_auth",
     # --- single-member family guards (machine-enforced) ---
     "streaming_interval_join",
     "streaming_index_maintenance",
@@ -106,7 +109,7 @@ PRIORITY_50 = [
     "mapindex_reduce_view_durable",
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
-    # --- spare slots: the 12 OLDEST-last-green queries (r5-r8) get
+    # --- spare slots: the 11 OLDEST-last-green queries (r5-r8) get
     # third confirmations ---
     "streaming_dedup_users",
     "streaming_sliding_counts",
@@ -115,7 +118,6 @@ PRIORITY_50 = [
     "training_sequence_packing",
     "dedup_minhash_components",
     "dedup_incremental_durable_probe",
-    "dedup_lsh_mapindex",
     "dedup_neardup_contamination",
     "source_quality_scorecard",
     "text_unigram_drift",

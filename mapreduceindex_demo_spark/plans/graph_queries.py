@@ -21,6 +21,7 @@ value-hash parity check is exact (no float summation order anywhere).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -626,4 +627,185 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_e12"), "keyword")
         .limit(_TR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 16: HITS hubs & authorities — the sixth classic graph operator
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 5
+_HITS_SCALE = 10**6  # the L1-normalization grid; see overflow note below
+_HITS_TOPK = 10
+
+
+def _hits_power_steps() -> tuple[str, str, str]:
+    """The integer HITS mutual-recursion CTE chain, spelled once: each
+    round is authority-update + L1-renormalize, hub-update +
+    L1-renormalize, all exact BIGINT arithmetic (x·scale // Σx).
+    Every chain CTE is MATERIALIZED — each raw frame has two readers
+    (the renormalize select + its scalar-sum subquery) and DuckDB's
+    default inlining re-evaluates the whole prefix per reader, an
+    exponential blowup through 5 rounds (the k-core oracle lesson:
+    48 s → 0.15 s). Returns (steps_sql, final_auth_cte,
+    final_hub_cte)."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"a{i}raw AS MATERIALIZED (SELECT e.v AS node,"
+            f" CAST(SUM(e.w * h.h) AS BIGINT) AS x"
+            f" FROM e JOIN {prev_h} h ON e.u = h.node GROUP BY 1),\n"
+            f"    a{i} AS MATERIALIZED (SELECT node, (x * {_HITS_SCALE})"
+            f" // (SELECT SUM(x) FROM a{i}raw) AS a FROM a{i}raw),\n"
+            f"    h{i}raw AS MATERIALIZED (SELECT e.u AS node,"
+            f" CAST(SUM(e.w * a.a) AS BIGINT) AS x"
+            f" FROM e JOIN a{i} a ON e.v = a.node GROUP BY 1),\n"
+            f"    h{i} AS MATERIALIZED (SELECT node, (x * {_HITS_SCALE})"
+            f" // (SELECT SUM(x) FROM h{i}raw) AS h FROM h{i}raw)"
+        )
+        prev_h = f"h{i}"
+    return ",\n    ".join(steps), f"a{_HITS_ITERS}", prev_h
+
+
+def _hits_oracle() -> str:
+    steps_sql, fa, fh = _hits_power_steps()
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+             's' || CAST(l_suppkey AS VARCHAR) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    h0 AS (SELECT DISTINCT u AS node, CAST(1 AS BIGINT) AS h FROM e),
+    {steps_sql}
+    SELECT side, node, score_e6,
+           round(CAST(score_e6 AS DOUBLE) / {_HITS_SCALE}.0, 6) + 0.0
+             AS score
+    FROM (
+      SELECT 'auth' AS side, node, a AS score_e6,
+             row_number() OVER (ORDER BY a DESC, node) AS rn FROM {fa}
+      UNION ALL
+      SELECT 'hub' AS side, node, h AS score_e6,
+             row_number() OVER (ORDER BY h DESC, node) AS rn FROM {fh}
+    ) WHERE rn <= {_HITS_TOPK}
+    ORDER BY side, score_e6 DESC, node
+    """
+
+
+@query(
+    "graph_hits_hubs_auth",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "ranking"),
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS — hubs and authorities (Kleinberg, JACM 1999) over the
+    DIRECTED customer→supplier trade graph, the sixth classic graph
+    operator beside PageRank/CC/k-core/triangles/LPA and the one that
+    exploits the graph's natural bipartite direction (PageRank
+    symmetrizes it): a customer is a good HUB when it buys from good
+    authorities, a supplier a good AUTHORITY when good hubs buy from it
+    — the mutual recursion a(v) = Σ w·h(u), h(u) = Σ w·a(v),
+    renormalized every half-step. Serves the top-{_HITS_TOPK} of each
+    side with grid and 6-dp scores.
+
+    Determinism/parity — the ALL-INTEGER fixed point of the PageRank
+    family applied to HITS: scores live on a {_HITS_SCALE}-unit L1 grid
+    (Kleinberg's L2 normalization swapped for L1, a disclosed
+    adaptation — L1 is exactly representable in integer division and
+    leaves the RANKING of a non-negative fixed point unchanged), every
+    update is exact BIGINT arithmetic (x·scale // Σx), so both engines
+    replay the identical trajectory bit-for-bit. Overflow bound:
+    post-normalization scores ≤ scale = 1e6, so a round's raw sum is
+    ≤ Σw·1e6 ≈ 1e12 at sf10 and the renormalization product ≤ 1e18 <
+    2^63 — stated margin, the pagerank w ≤ 1e5 contract's twin.
+
+    Scale shape (Pregel-on-DataFrames, the pagerank pattern): the
+    weighted edge list derives ONCE (localCheckpoint) from one
+    orders⋈lineitem aggregate; each half-step is one |E| equi-join +
+    one map-side-combined SUM, the renormalization a 1-row broadcast;
+    nothing collects to the driver. Five rounds = 10 such steps.
+
+    Reference anchor: beyond reference parity; completes the classic
+    link-analysis pair (PageRank global centrality / HITS topic-style
+    hub-authority duality) on the same trade graph so the two rankings
+    are directly comparable."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    h = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(1).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        # each raw frame has TWO readers (the L1-norm aggregate + the
+        # renormalize join) and feeds the NEXT round's plan: it is
+        # localCheckpointed (the pagerank/CC pattern) — a cache alone
+        # computes once but does NOT truncate lineage, and the doubled
+        # logical plan per round grows 2^rounds subtrees (measured: the
+        # un-truncated 5-round plan OOMed the driver while merely
+        # FORMATTING its explain string). Frames are |V|-sized.
+        araw = (
+            e.join(h, e["u"] == h["node"])
+            .select(F.col("v").alias("node"), (F.col("w") * F.col("h")).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        anorm = araw.agg(F.sum("x").cast("long").alias("tot"))
+        a = araw.crossJoin(F.broadcast(anorm)).select(
+            "node", F.expr(f"(x * {_HITS_SCALE}) div tot").alias("a")
+        )
+        hraw = (
+            e.join(a, e["v"] == a["node"])
+            .select(F.col("u").alias("node"), (F.col("w") * F.col("a")).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        hnorm = hraw.agg(F.sum("x").cast("long").alias("tot"))
+        h = hraw.crossJoin(F.broadcast(hnorm)).select(
+            "node", F.expr(f"(x * {_HITS_SCALE}) div tot").alias("h")
+        )
+    # per-side TakeOrdered top-k (never a global single-partition window
+    # over |V| rows), then one 20-row union for the serve
+    top_a = (
+        a.select(
+            F.lit("auth").alias("side"), "node", F.col("a").alias("score_e6")
+        )
+        .orderBy(F.desc("score_e6"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("side"), "node", F.col("h").alias("score_e6")
+        )
+        .orderBy(F.desc("score_e6"), F.asc("node"))
+        .limit(_HITS_TOPK)
+    )
+    return (
+        top_a.union(top_h)
+        .select(
+            "side",
+            "node",
+            "score_e6",
+            (
+                F.round(
+                    F.col("score_e6").cast("double") / F.lit(float(_HITS_SCALE)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("score"),
+        )
+        .orderBy("side", F.desc("score_e6"), "node")
     )

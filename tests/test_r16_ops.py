@@ -729,3 +729,55 @@ def test_mattr_plan_is_scan_local(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# graph_hits_hubs_auth — Kleinberg HITS, integer fixed point
+# --------------------------------------------------------------------------
+
+
+def test_hits_matches_python_integer_fixed_point(spark):
+    lo = pq.read_table(
+        f"{PARITY_SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    oo = pq.read_table(
+        f"{PARITY_SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = dict(
+        zip(oo.column("o_orderkey").to_pylist(), oo.column("o_custkey").to_pylist())
+    )
+    w = defaultdict(int)
+    for ok, sk in zip(
+        lo.column("l_orderkey").to_pylist(), lo.column("l_suppkey").to_pylist()
+    ):
+        if ok in cust:
+            w[(f"c{cust[ok]}", f"s{sk}")] += 1
+    scale = 10**6
+    h = {u: 1 for u, _ in w}
+    a = {}
+    for _ in range(5):
+        araw = defaultdict(int)
+        for (u, v), wt in w.items():
+            araw[v] += wt * h[u]
+        tot = sum(araw.values())
+        a = {v: (x * scale) // tot for v, x in araw.items()}
+        hraw = defaultdict(int)
+        for (u, v), wt in w.items():
+            hraw[u] += wt * a[v]
+        tot = sum(hraw.values())
+        h = {u: (x * scale) // tot for u, x in hraw.items()}
+    expected = []
+    for side, scores in (("auth", a), ("hub", h)):
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        expected.extend(
+            (side, n, s, engine_round(s / float(scale), 6)) for n, s in top
+        )
+    got = [
+        (r.side, r.node, r.score_e6, r.score)
+        for r in QUERIES["graph_hits_hubs_auth"].fn(spark, PARITY_SF_DIR).collect()
+    ]
+    assert got == expected
+    # both sides served, L1 mass on the grid (each side sums to ~scale
+    # over ALL nodes, so the served top-10 mass is below it)
+    assert {s for s, *_ in got} == {"auth", "hub"}
+    assert all(0 < e6 <= scale for _, _, e6, _ in got)
