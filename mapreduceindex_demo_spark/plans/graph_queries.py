@@ -656,13 +656,13 @@ def _hits_power_steps() -> tuple[str, str, str]:
             f"a{i}raw AS MATERIALIZED (SELECT e.v AS node,"
             f" CAST(SUM(e.w * h.h) AS BIGINT) AS x"
             f" FROM e JOIN {prev_h} h ON e.u = h.node GROUP BY 1),\n"
-            f"    a{i} AS MATERIALIZED (SELECT node, (x * {_HITS_SCALE})"
-            f" // (SELECT SUM(x) FROM a{i}raw) AS a FROM a{i}raw),\n"
+            f"    a{i} AS MATERIALIZED (SELECT node, CAST((x * {_HITS_SCALE})"
+            f" // (SELECT SUM(x) FROM a{i}raw) AS BIGINT) AS a FROM a{i}raw),\n"
             f"    h{i}raw AS MATERIALIZED (SELECT e.u AS node,"
             f" CAST(SUM(e.w * a.a) AS BIGINT) AS x"
             f" FROM e JOIN a{i} a ON e.v = a.node GROUP BY 1),\n"
-            f"    h{i} AS MATERIALIZED (SELECT node, (x * {_HITS_SCALE})"
-            f" // (SELECT SUM(x) FROM h{i}raw) AS h FROM h{i}raw)"
+            f"    h{i} AS MATERIALIZED (SELECT node, CAST((x * {_HITS_SCALE})"
+            f" // (SELECT SUM(x) FROM h{i}raw) AS BIGINT) AS h FROM h{i}raw)"
         )
         prev_h = f"h{i}"
     return ",\n    ".join(steps), f"a{_HITS_ITERS}", prev_h
