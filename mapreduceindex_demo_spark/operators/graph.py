@@ -65,6 +65,12 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the round's checkpointed frame carries its own change flag
+        # (r16 optimization): min-label is monotone decreasing, so a
+        # label changed iff a neighbor's label was strictly smaller —
+        # the convergence probe becomes a filter over the already
+        # materialized checkpoint blocks instead of the previous
+        # spelling's per-round |V|⋈|V| rejoin of new against old labels
         new = (
             labels.join(nbr, "node", "left")
             .select(
@@ -72,17 +78,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("comp", "nc")
-            .join(labels, "node")
-            .where(F.col("nc") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where("chg").limit(1).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     return labels

@@ -109,19 +109,27 @@ PRIORITY_50 = [
     "mapindex_reduce_view_durable",
     "mapindex_reduce_view_minmax",
     "mapindex_scan_intersect",
-    # --- spare slots: the 11 OLDEST-last-green queries (r5-r8) get
-    # third confirmations ---
+    # --- changed-this-round (r16 OPTIMIZATION respells — the window
+    # rule: any query whose implementation changed stays in for external
+    # re-verification; each swapped-out spare already holds >=2 greens):
+    # setsim lost its rank window (sorted-struct fold + PPJoin position
+    # filter), k-core/PageRank/HITS ride integer node ids, and the
+    # components operator fused its convergence probe (winnowing
+    # clusters + both ahash twins are its heaviest consumers;
+    # dedup_minhash_components stays in from the spare list below) ---
+    "dedup_setsim_prefix_join",
+    "graph_kcore_decomposition",
+    "graph_pagerank_topk",
+    "multimodal_ahash_apply",
+    "multimodal_ahash_clusters",
+    "dedup_winnowing_clusters",
+    # --- spare slots: OLDEST-last-green queries get third
+    # confirmations (r16: 5 of the r15 round's 11 spares) ---
     "streaming_dedup_users",
-    "streaming_sliding_counts",
-    "supplier_count_by_part_attrs",
-    "top_revenue_supplier",
-    "training_sequence_packing",
     "dedup_minhash_components",
     "dedup_incremental_durable_probe",
-    "dedup_neardup_contamination",
     "source_quality_scorecard",
-    "text_unigram_drift",
-    "multimodal_binary_stats",
+    "training_sequence_packing",
 ]
 
 

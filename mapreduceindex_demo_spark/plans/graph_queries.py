@@ -182,22 +182,35 @@ def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(dst) — the checkpointed edge list is scanned per round, never
     rebuilt; N and the teleport base ride 1-row broadcasts. At 100 TB
     parallelism is |V| hash partitions per round, the GraphX/Pregel
-    communication pattern on DataFrames."""
+    communication pattern on DataFrames. r16 optimization (measured
+    6.5 s → 4.1 s at sf0.1, identical rows): nodes ride the five rounds
+    as INTEGER ids (customer 2k, supplier 2k+1 — the k-core relabeling
+    argument: the all-integer fixed point is invariant under the
+    bijection) and the contract's 'c…'/'s…' strings are reconstructed on
+    the |V|-row rank frame BEFORE the top-k order-by, so the
+    (rank DESC, node string ASC) tie-break is exactly the pre-r16 one."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     ranks = pagerank(
         edges, iters=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
     )
+    nodestr = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string"))
+    )
     return (
-        ranks.orderBy(F.desc("rank_e12"), F.asc("node"))
+        ranks.select(nodestr.alias("node"), "rank_e12")
+        .orderBy(F.desc("rank_e12"), F.asc("node"))
         .limit(_PR_TOPK)
         .select(
             "node",
@@ -277,11 +290,20 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-weights — and the trajectory itself is the graph-health
     dashboard (a boilerplate flood shows up as a fat early peel).
 
-    Determinism: degrees and counts are exact integers over DISTINCT
-    string-keyed edges; no floats anywhere. Both engines peel the
-    identical unrolled rounds; the monotone edge-set shrinkage makes the
-    round trajectory a fixpoint certificate (equal last rows ==
-    converged, asserted at every test SF).
+    Determinism: degrees and counts are exact integers over a DISTINCT
+    edge set; no floats anywhere. Both engines peel the identical
+    unrolled rounds; the monotone edge-set shrinkage makes the round
+    trajectory a fixpoint certificate (equal last rows == converged,
+    asserted at every test SF). Node identity (r16 optimization): the
+    engine keys nodes as INTEGERS — customer 2k, supplier 2k+1, a
+    bijection with the oracle's 'c…'/'s…' strings — because the served
+    rows are per-round COUNTS only, and counts are invariant under any
+    relabeling (the peel trajectory depends on the degree function, not
+    on names). Integer keys halve the shuffled key bytes and replace
+    string hashing/comparison with long hashing in every round's
+    groupBy and semi-joins: measured 8.7 s → 4.5 s per execution at
+    sf0.1 (interleaved A/B, identical rows). The oracle deliberately
+    keeps the string spelling — it is the naive-contract side.
 
     Scale shape: edge derivation is one fact-table join + DISTINCT
     (map-side combined); each peel round is one degree groupBy (combiner
@@ -304,14 +326,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
     )
     # no distinct after symmetrizing: raw is already distinct and every
-    # raw edge is (c*, s*) while every reversed edge is (s*, c*), so the
-    # 'c'/'s' prefixes make cross-duplicates impossible — a distinct here
+    # raw edge is (even, odd) while every reversed edge is (odd, even),
+    # so the id parity makes cross-duplicates impossible (r16: the same
+    # argument the 'c'/'s' prefixes used to carry) — a distinct here
     # would be a no-op costing one full exchange over 2|E| rows (r13b
     # review finding; the oracle's e0 is UNION ALL for the same reason)
     edges = (
@@ -725,11 +748,25 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders⋈lineitem aggregate; each half-step is one |E| equi-join +
     one map-side-combined SUM, the renormalization a 1-row broadcast;
     nothing collects to the driver. Five rounds = 10 such steps.
+    r16 optimization (measured 7.9 s → 4.8 s at sf0.1, identical rows):
+    (a) nodes are INTEGER ids in flight — customer 2k, supplier 2k+1,
+    the k-core relabeling argument: the fixed point is invariant under
+    the bijection, and the 'c…'/'s…' strings the contract serves are
+    reconstructed on the |V|-row frames feeding the top-k (BEFORE the
+    order-by, so the string tie-break is unchanged); (b) only the
+    authority half-step eagerly checkpoints — the hub half-step
+    PERSISTs instead (its two readers, the L1-norm aggregate and the
+    renormalize join, share one cached materialization) and the next
+    authority checkpoint re-truncates the lineage, so plan depth stays
+    bounded at one round while the per-half-step driver sync drops
+    from 10 jobs to 5.
 
     Reference anchor: beyond reference parity; completes the classic
     link-analysis pair (PageRank global centrality / HITS topic-style
     hub-authority duality) on the same trade graph so the two rankings
     are directly comparable."""
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -737,8 +774,8 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .localCheckpoint(eager=True)
@@ -749,12 +786,20 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
     for _ in range(_HITS_ITERS):
         # each raw frame has TWO readers (the L1-norm aggregate + the
-        # renormalize join) and feeds the NEXT round's plan: it is
-        # localCheckpointed (the pagerank/CC pattern) — a cache alone
-        # computes once but does NOT truncate lineage, and the doubled
-        # logical plan per round grows 2^rounds subtrees (measured: the
-        # un-truncated 5-round plan OOMed the driver while merely
-        # FORMATTING its explain string). Frames are |V|-sized.
+        # renormalize join) and feeds the NEXT round's plan. The
+        # authority half localCheckpoints (the pagerank/CC pattern) — a
+        # cache alone computes once but does NOT truncate lineage, and
+        # an un-truncated logical plan grows 2^rounds subtrees
+        # (measured: the un-truncated 5-round plan OOMed the driver
+        # while merely FORMATTING its explain string). The hub half
+        # PERSISTs instead of checkpointing (r16): its two readers share
+        # the cached materialization, the following round's authority
+        # checkpoint re-truncates lineage (plan depth stays bounded at
+        # ~one round, 4 checkpoint-scan leaves), and the run pays 5
+        # driver-synchronous checkpoint jobs instead of 10 — measured
+        # 7.9 → 4.8 s at sf0.1 together with the integer ids. Frames
+        # are |V|-sized; MEMORY_ONLY, evictable, dropped by the bench's
+        # clearCache.
         araw = (
             e.join(h, e["u"] == h["node"])
             .select(F.col("v").alias("node"), (F.col("w") * F.col("h")).alias("x"))
@@ -771,24 +816,37 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("u").alias("node"), (F.col("w") * F.col("a")).alias("x"))
             .groupBy("node")
             .agg(F.sum("x").cast("long").alias("x"))
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_ONLY)
         )
         hnorm = hraw.agg(F.sum("x").cast("long").alias("tot"))
         h = hraw.crossJoin(F.broadcast(hnorm)).select(
             "node", F.expr(f"(x * {_HITS_SCALE}) div tot").alias("h")
         )
     # per-side TakeOrdered top-k (never a global single-partition window
-    # over |V| rows), then one 20-row union for the serve
+    # over |V| rows), then one 20-row union for the serve. The contract's
+    # 'c…'/'s…' node strings are reconstructed from the integer ids HERE,
+    # on the |V|-row frames BEFORE the order-by, so the (score DESC, node
+    # string ASC) tie-break is exactly the pre-r16 one (authority nodes
+    # are always odd/supplier, hub nodes always even/customer — the
+    # update directions guarantee it).
     top_a = (
         a.select(
-            F.lit("auth").alias("side"), "node", F.col("a").alias("score_e6")
+            F.lit("auth").alias("side"),
+            F.concat(
+                F.lit("s"), F.expr("(node - 1) div 2").cast("string")
+            ).alias("node"),
+            F.col("a").alias("score_e6"),
         )
         .orderBy(F.desc("score_e6"), F.asc("node"))
         .limit(_HITS_TOPK)
     )
     top_h = (
         h.select(
-            F.lit("hub").alias("side"), "node", F.col("h").alias("score_e6")
+            F.lit("hub").alias("side"),
+            F.concat(
+                F.lit("c"), F.expr("node div 2").cast("string")
+            ).alias("node"),
+            F.col("h").alias("score_e6"),
         )
         .orderBy(F.desc("score_e6"), F.asc("node"))
         .limit(_HITS_TOPK)

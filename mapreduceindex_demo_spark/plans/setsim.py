@@ -81,50 +81,65 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-frequency table orders the token universe rarest-first, (2) each
     document keeps its ``|s| - ceil(|s|/2) + 1`` rarest shingles as a
     prefix, (3) candidates come from an equi-join on PREFIX shingles
-    only, (4) a verification join counts the true intersection for
+    only, with PPJoin's length AND position filters in the join
+    predicate, (4) a verification join counts the true intersection for
     candidates and applies the exact integer threshold
     ``2*inter >= size_a + size_b - inter``. Lossless by the prefix
     principle (module docstring), so the result equals the naive
     all-overlapping-pairs oracle exactly.
 
-    Scale shape: every join is an equi-join on either ``gram`` or
-    ``doc_id`` — never a cross product. The doc-frequency table is
-    vocabulary-sized; the rank window rides one ``doc_id`` exchange; the
-    candidate join touches only prefix postings, whose lists are the
-    SHORT tail of the frequency distribution by construction (at sf0.01:
-    candidate pairs ~1.6k vs 11.5k positive-overlap pairs vs 125k
-    all-pairs), and the verification fan-out is |candidates| x avg doc
-    size. The frequent-token posting lists — the quadratic blowup every
-    inverted-index intersection pays — appear in NO join. At 100 TB the
-    doc-frequency pass is one combiner groupBy, and candidates stay
-    near-linear in real duplication, which is what makes the exact
-    answer affordable where LSH would otherwise be forced."""
+    Scale shape (r16 optimization respell — measured 6.9 s → 4.0 s
+    counted / 7.2 s → 4.3 s forced at sf0.1, identical 256 rows): every
+    join is an equi-join on either ``gram`` or ``doc_id`` — never a
+    cross product. The doc-frequency table is vocabulary-sized. The
+    per-doc frequency-sorted gram array ``sg`` rides ONE ``doc_id``
+    exchange (groupBy + in-row ``array_sort`` of (df, gram) structs —
+    the global sort-order semantics of the retired rank window, without
+    the window's per-partition SORT, and scan-local per doc); ``sg`` is
+    persisted because THREE consumers read it: the prefix explode and
+    both verification sides — pre-r16 the verification re-ran the full
+    shingle kernel once per side, two extra corpus passes. The candidate
+    join touches only prefix postings; PPJoin's position filter
+    (``1 + min(sz_a - rk_a, sz_b - rk_b)`` bounds the overlap, so
+    ``(TAU_DEN+TAU_NUM)·bound >= TAU_NUM·(sz_a+sz_b)`` must hold — see
+    the losslessness argument at the filter below) drops late-rank
+    collisions before the distinct (sf0.1: 310k → 175k candidate rows,
+    measured −26% end-to-end on its own). The verification fan-out is
+    |candidates| x avg doc size. The frequent-token posting lists — the
+    quadratic blowup every inverted-index intersection pays — appear in
+    NO join. At 100 TB the doc-frequency pass is one combiner groupBy,
+    and candidates stay near-linear in real duplication, which is what
+    makes the exact answer affordable where LSH would otherwise be
+    forced."""
     d = load_table(spark, sf_dir, "documents")
-    # the per-doc distinct gram ARRAY is the unit of verification (see
-    # inter below); the exploded row form feeds docfreq + prefix — two
-    # differently-keyed consumers, so cache the explode once
-    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule).
-    # `docs` itself ALSO has three consumers (ex, ga, gb) but is
-    # deliberately NOT persisted: the shared-frame rule was tried here
-    # (round 9, BASELINE.md) and MEASURED SLOWER — the per-doc gram
-    # arrays are the corpus re-materialized (~GBs at x10), so caching
-    # them evicts under memory pressure and the recompute-on-miss thrash
-    # turned the x10 run from ~37 s into 20+ minutes; re-running the
-    # cheap shingle kernel per consumer wins
-    docs = d.select(
-        "doc_id", F.array_distinct(D.shingles()).alias("grams")
-    )
-    ex = docs.select(
-        "doc_id", F.explode("grams").alias("gram")
+    # the exploded distinct-gram row form feeds docfreq + the sorted
+    # fold — two differently-keyed consumers, so cache the explode once
+    # (MEMORY_ONLY: evictable, never unpersisted — the triangle rule)
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(D.shingles())).alias("gram")
     ).persist(StorageLevel.MEMORY_ONLY)
     docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    # set size and frequency rank ride ONE doc_id window exchange (the
-    # round-8 window-over-rejoin lesson): a separate sizes groupBy + two
-    # per-side joins at the end measured ~2x slower — the join spelling
-    # re-shuffles AND re-runs the upstream subtree per branch
-    wd = Window.partitionBy("doc_id")
-    rk = F.row_number().over(wd.orderBy("df", "gram"))
-    sz = F.count(F.lit(1)).over(wd)
+    # ONE doc_id exchange builds the per-doc frequency-sorted gram array:
+    # array_sort over (df, gram) structs == the retired rank window's
+    # (df, gram) total order, but the sort is IN-ROW (scan-local per
+    # doc, embarrassingly parallel) instead of a per-partition window
+    # sort, and the SAME frame serves prefix generation AND verification
+    # — pre-r16 the verification attached gram arrays recomputed by two
+    # further full shingle passes (the r9 "don't persist corpus-sized
+    # docs" rule made re-running the kernel per consumer the best
+    # available spelling; folding everything into one persisted sorted
+    # frame removes the recompute AND the window, measured faster at
+    # sf0.1 and ~sf1). MEMORY_ONLY: evictable, lineage replays from the
+    # cached explode.
+    sg = (
+        ex.join(docfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("sg")
+        )
+        .select("doc_id", "sg", F.size("sg").alias("sz"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     # prefix length |s| - ceil(tau*|s|) + 1 in exact integer arithmetic:
     # ceil(n*num/den) = (n*num + den - 1) div den
     plen = (
@@ -134,19 +149,33 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + F.lit(1)
     )
-    prefix = (
-        ex.join(docfreq, "gram")
-        .select("doc_id", "gram", rk.alias("rk"), sz.alias("sz"))
-        .where(F.col("rk") <= plen)
-        .select("doc_id", "gram", "sz")
+    prefix = sg.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("sg", 1, plen.cast("int"))).alias("p", "s"),
+    ).select(
+        "doc_id", "sz", (F.col("p") + 1).alias("rk"), F.col("s.gram").alias("gram")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    # sizes travel WITH the candidate pair (same distinct cardinality —
-    # sz is functionally dependent on doc_id), enabling the LENGTH
-    # FILTER in the join predicate: jac >= tau forces
-    # min(|a|,|b|) >= tau * max(|a|,|b|) (exact integer
-    # cross-multiplication) — size-mismatched pairs never survive
-    # verification, so pruning them here is lossless (PPJoin's filter)
+    # sizes and ranks travel WITH the candidate pair (both functionally
+    # dependent on (doc_id, gram)), enabling TWO lossless prunes in the
+    # join predicate:
+    # - LENGTH filter: jac >= tau forces min(|a|,|b|) >= tau*max(|a|,|b|)
+    #   (exact integer cross-multiplication) — size-mismatched pairs
+    #   never survive verification (PPJoin's length filter);
+    # - POSITION filter: both docs order grams by the SAME global
+    #   (df, gram) total order, so for the pair's MINIMUM shared prefix
+    #   gram every intersection element sorts at-or-after it on both
+    #   sides (any earlier shared element would sit at a lower rank,
+    #   hence inside both prefixes, contradicting minimality), giving
+    #   inter <= 1 + min(sz_a - rk_a, sz_b - rk_b); a qualifying pair
+    #   needs (TAU_DEN+TAU_NUM)·inter >= TAU_NUM·(sz_a+sz_b), so the
+    #   bound must satisfy the same inequality AT that minimal collision
+    #   — filtering every collision row keeps the pair iff SOME row
+    #   passes, and the minimal one always does for true positives.
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+    )
     cand = (
         a.join(
             b,
@@ -155,6 +184,10 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least(F.col("a.sz"), F.col("b.sz")) * TAU_DEN
                 >= TAU_NUM * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                pos_bound * (TAU_DEN + TAU_NUM)
+                >= TAU_NUM * (F.col("a.sz") + F.col("b.sz"))
             ),
         )
         .select(
@@ -171,11 +204,17 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cand ⋈ grams(doc_a) ⋈ grams(doc_b) on (doc, gram) + groupBy)
     # measured 30.2 s of a 32.5 s total at ~sf0.3: it fans |cand| ×
     # grams-per-doc (~190M rows) through an exchange; the array form
-    # moves each gram set ONCE per side
-    ga = docs.select(
+    # moves each gram set ONCE per side. Arrays come from the persisted
+    # sorted frame (r16): array_intersect is order-insensitive, so the
+    # (df, gram)-sorted projection is the same SET the shingle kernel
+    # would rebuild — without the rebuild.
+    garr = sg.select(
+        "doc_id", F.transform("sg", lambda x: x["gram"]).alias("grams")
+    )
+    ga = garr.select(
         F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
     )
-    gb = docs.select(
+    gb = garr.select(
         F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
     )
     inter = (

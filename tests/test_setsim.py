@@ -115,15 +115,19 @@ def test_setsim_plan_is_all_equi_joins(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert re.search(r"Window", plan), plan
+    # r16 optimization respell: the rank window is GONE — the (df, gram)
+    # total order now comes from an in-row array_sort over the one
+    # doc_id groupBy exchange, so a Window node reappearing means the
+    # old two-extra-corpus-pass spelling regressed back in
+    assert not re.search(r"\bWindow\b", plan), plan
     # verification is compute-only array_intersect over attached gram
     # arrays — the explode-join spelling (|cand| x grams-per-doc rows
     # through an exchange) spilled past single-node disk at x10 replicas
     assert "array_intersect" in plan, plan
-    # the only explode is the one feeding docfreq/prefix — it renders
-    # once per consuming branch of the cached frame (docfreq, the two
-    # prefix self-join sides, the shared subtree = 4); the verification
-    # joins attach ARRAYS and must not add Generates (the explode-join
+    # Generates: the shingle explode feeding the cached ex frame renders
+    # once per uncached branch; the prefix posexplode renders once per
+    # self-join side (2). The verification joins attach ARRAYS from the
+    # cached sorted frame and must not add Generates (the explode-join
     # spelling showed 6)
     assert len(re.findall(r"\bGenerate\b", plan)) <= 4, plan
 
