@@ -151,30 +151,74 @@ def decode_features(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # batch-vectorized (r16, guide §4.2 — the ahash-kernel template):
+        # decode_media still parses/validates every container; the per-image
+        # sum/min/max run as whole-batch reduceat/minimum.reduceat over ONE
+        # concatenated pixel vector instead of per-row numpy calls.
         for pdf in batches:
-            rows: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id", "codec", "width", "height", "n_pixels",
-                    "byte_sum", "min_byte", "max_byte", "mean_byte",
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame(
+                    {
+                        k: []
+                        for k in (
+                            "doc_id", "codec", "width", "height", "n_pixels",
+                            "byte_sum", "min_byte", "max_byte", "mean_byte",
+                        )
+                    }
                 )
-            }
-            for did, blob in zip(pdf[doc_id], pdf["media"]):
-                codec, width, px = decode_media(blob)
-                arr = np.frombuffer(px, dtype=np.uint8)
-                n = arr.size
-                s = int(arr.sum()) if n else 0
-                rows["doc_id"].append(did)
-                rows["codec"].append(codec)
-                rows["width"].append(width)
-                rows["height"].append(-(-n // width))
-                rows["n_pixels"].append(n)
-                rows["byte_sum"].append(s)
-                rows["min_byte"].append(int(arr.min()) if n else 0)
-                rows["max_byte"].append(int(arr.max()) if n else 0)
-                micro = (2 * s * 1_000_000 + n) // (2 * n) if n else 0
-                rows["mean_byte"].append(micro / 1_000_000.0)
-            yield pd.DataFrame(rows)
+                continue
+            ids = pdf[doc_id].tolist()
+            codecs = []
+            widths = np.empty(m, dtype=np.int64)
+            lens = np.empty(m, dtype=np.int64)
+            pix = []
+            for j, blob in enumerate(pdf["media"]):
+                codec, w, px = decode_media(blob)
+                codecs.append(codec)
+                widths[j] = w
+                lens[j] = len(px)
+                pix.append(px)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            arr = np.empty(int(offs[-1]), dtype=np.uint8)
+            for j in range(m):
+                if lens[j]:
+                    arr[offs[j] : offs[j + 1]] = np.frombuffer(
+                        pix[j], dtype=np.uint8
+                    )
+            nz = lens > 0
+            # reduceat needs in-bounds, per-image start offsets: clip the
+            # starts of empty rasters and zero their outputs afterwards
+            starts = np.minimum(offs[:-1], max(int(offs[-1]) - 1, 0))
+            sums = np.zeros(m, dtype=np.int64)
+            mins = np.zeros(m, dtype=np.int64)
+            maxs = np.zeros(m, dtype=np.int64)
+            if arr.size:
+                wide = arr.astype(np.int64)
+                seg_sum = np.add.reduceat(wide, starts)
+                seg_min = np.minimum.reduceat(wide, starts)
+                seg_max = np.maximum.reduceat(wide, starts)
+                # a reduceat segment of an empty raster aliases the next
+                # image's bytes — keep only non-empty images' results
+                sums[nz] = seg_sum[nz]
+                mins[nz] = seg_min[nz]
+                maxs[nz] = seg_max[nz]
+            micro = np.zeros(m, dtype=np.int64)
+            micro[nz] = (2 * sums[nz] * 1_000_000 + lens[nz]) // (2 * lens[nz])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "codec": codecs,
+                    "width": widths.astype(np.int32),
+                    "height": (-(-lens // widths)).astype(np.int32),
+                    "n_pixels": lens.astype(np.int32),
+                    "byte_sum": sums,
+                    "min_byte": mins.astype(np.int32),
+                    "max_byte": maxs.astype(np.int32),
+                    "mean_byte": micro / 1_000_000.0,
+                }
+            )
 
     prepared = df.select(F.col(doc_id), media_container().alias("media"))
     return prepared.mapInPandas(extract, FEATURE_SCHEMA)
@@ -208,37 +252,89 @@ def resize_media(df: DataFrame, doc_id: str = "doc_id") -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        # batch-vectorized (r16, guide §4.2 — the ahash-kernel template):
+        # one concatenated pixel vector, the even-row/even-column mask and
+        # the positional checksum computed as whole-batch expressions keyed
+        # by a per-element image index. Checksum exactness: the weighted
+        # bincount sums integer values ≤ 255·n_out per term — integer-exact
+        # in float64 far beyond any real batch — then reduces mod 1e9+7 on
+        # int64, identical to the per-image int64 spelling.
         for pdf in batches:
-            rows: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id", "out_width", "out_height", "n_out_pixels",
-                    "out_byte_sum", "out_mean_byte", "out_pos_checksum",
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame(
+                    {
+                        k: []
+                        for k in (
+                            "doc_id", "out_width", "out_height",
+                            "n_out_pixels", "out_byte_sum", "out_mean_byte",
+                            "out_pos_checksum",
+                        )
+                    }
                 )
-            }
-            for did, blob in zip(pdf[doc_id], pdf["media"]):
-                codec, width, px = decode_media(blob)
-                arr = np.frombuffer(px, dtype=np.uint8)
-                n = arr.size
-                idx = np.arange(n)
-                mask = ((idx // width) % 2 == 0) & ((idx % width) % 2 == 0)
-                out = arr[mask].astype(np.int64)
-                m = out.size
-                s = int(out.sum()) if m else 0
-                chk = (
-                    int((out * (np.arange(m) + 1)).sum() % _CHECKSUM_MOD)
-                    if m
-                    else 0
+                continue
+            ids = pdf[doc_id].tolist()
+            widths = np.empty(m, dtype=np.int64)
+            lens = np.empty(m, dtype=np.int64)
+            pix = []
+            for j, blob in enumerate(pdf["media"]):
+                _, w, px = decode_media(blob)
+                widths[j] = w
+                lens[j] = len(px)
+                pix.append(px)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            arr = np.empty(int(offs[-1]), dtype=np.uint8)
+            for j in range(m):
+                if lens[j]:
+                    arr[offs[j] : offs[j + 1]] = np.frombuffer(
+                        pix[j], dtype=np.uint8
+                    )
+            img = np.repeat(np.arange(m, dtype=np.int64), lens)
+            idx = np.arange(int(offs[-1]), dtype=np.int64) - offs[img]
+            w_e = widths[img]
+            mask = ((idx // w_e) % 2 == 0) & ((idx % w_e) % 2 == 0)
+            sel_img = img[mask]
+            out = arr[mask].astype(np.int64)
+            n_out = np.bincount(sel_img, minlength=m).astype(np.int64)
+            sums = (
+                np.bincount(sel_img, weights=out, minlength=m)
+                .astype(np.int64)
+            )
+            sel_start = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(n_out, out=sel_start[1:])
+            pos = np.arange(out.size, dtype=np.int64) - sel_start[:-1][sel_img]
+            # reduce each term mod 1e9+7 BEFORE the float64 bincount so the
+            # per-image partial sums stay ≤ n_out·(1e9+7) — integer-exact in
+            # float64 up to ~9e6 output pixels per image, far above any
+            # container; then one final mod on int64
+            chks = (
+                np.bincount(
+                    sel_img,
+                    weights=(out * (pos + 1)) % _CHECKSUM_MOD,
+                    minlength=m,
                 )
-                rows["doc_id"].append(did)
-                rows["out_width"].append(-(-width // 2))
-                rows["out_height"].append((-(-n // width) + 1) // 2)
-                rows["n_out_pixels"].append(m)
-                rows["out_byte_sum"].append(s)
-                micro = (2 * s * 1_000_000 + m) // (2 * m) if m else 0
-                rows["out_mean_byte"].append(micro / 1_000_000.0)
-                rows["out_pos_checksum"].append(chk)
-            yield pd.DataFrame(rows)
+                .astype(np.int64)
+                % _CHECKSUM_MOD
+            )
+            nz = n_out > 0
+            micro = np.zeros(m, dtype=np.int64)
+            micro[nz] = (2 * sums[nz] * 1_000_000 + n_out[nz]) // (
+                2 * n_out[nz]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_width": (-(-widths // 2)).astype(np.int32),
+                    "out_height": (((-(-lens // widths)) + 1) // 2).astype(
+                        np.int32
+                    ),
+                    "n_out_pixels": n_out.astype(np.int32),
+                    "out_byte_sum": sums,
+                    "out_mean_byte": micro / 1_000_000.0,
+                    "out_pos_checksum": chks,
+                }
+            )
 
     prepared = df.select(F.col(doc_id), media_container().alias("media"))
     return prepared.mapInPandas(resize, RESIZE_SCHEMA)
@@ -272,29 +368,60 @@ def ahash(
         import numpy as np
         import pandas as pd
 
+        # batch-vectorized kernel (r16, guide §4.2): the per-image spelling
+        # paid ~6 numpy allocations + a 64-step Python packing loop PER ROW;
+        # here every image in the Arrow batch is concatenated into ONE pixel
+        # vector and the grid assignment / cell sums / bit tests / packing
+        # run as single whole-batch numpy expressions (per-image identity is
+        # a composite bincount key img*64+cell). decode_media still parses
+        # and validates every container — only the arithmetic is batched.
+        # Bit-exactness: cell sums are integer-valued float64 (exact below
+        # 2^53), compared on int64 exactly like the per-image spelling.
         for pdf in batches:
-            ids, hashes = [], []
-            for did, blob in zip(pdf[doc_id], pdf["media"]):
-                _, width, px = decode_media(blob)
-                arr = np.frombuffer(px, dtype=np.uint8)
-                n = arr.size
-                if n == 0:  # empty raster: all-zero hash, like the
-                    ids.append(did)  # n-guards in the sibling kernels
-                    hashes.append("0" * 16)
-                    continue
-                h = -(-n // width)
-                idx = np.arange(n)
-                cell = ((idx // width) * 8 // h) * 8 + (idx % width) * 8 // width
-                sums = np.bincount(cell, weights=arr, minlength=64)
-                cnts = np.bincount(cell, minlength=64)
-                total = int(arr.sum())
-                bits = (cnts > 0) & (
-                    sums.astype(np.int64) * n >= total * cnts
-                )
-                hi = sum(int(bits[k]) << (31 - k) for k in range(32))
-                lo = sum(int(bits[32 + k]) << (31 - k) for k in range(32))
-                ids.append(did)
-                hashes.append(f"{hi:08X}{lo:08X}")
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame({"doc_id": [], "ahash": []})
+                continue
+            ids = pdf[doc_id].tolist()
+            widths = np.empty(m, dtype=np.int64)
+            lens = np.empty(m, dtype=np.int64)
+            pix = []
+            for j, blob in enumerate(pdf["media"]):
+                _, w, px = decode_media(blob)
+                widths[j] = w
+                lens[j] = len(px)
+                pix.append(px)
+            offs = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            total_px = int(offs[-1])
+            arr = np.empty(total_px, dtype=np.uint8)
+            for j in range(m):
+                if lens[j]:
+                    arr[offs[j] : offs[j + 1]] = np.frombuffer(
+                        pix[j], dtype=np.uint8
+                    )
+            img = np.repeat(np.arange(m, dtype=np.int64), lens)
+            idx = np.arange(total_px, dtype=np.int64) - offs[img]
+            w_e = widths[img]
+            heights = -(-lens // widths)  # 0 for empty rasters (no elements)
+            h_e = heights[img]
+            cell = ((idx // w_e) * 8 // h_e) * 8 + (idx % w_e) * 8 // w_e
+            code = img * 64 + cell
+            sums = (
+                np.bincount(code, weights=arr, minlength=64 * m)
+                .astype(np.int64)
+                .reshape(m, 64)
+            )
+            cnts = np.bincount(code, minlength=64 * m).reshape(m, 64)
+            totals = sums.sum(axis=1).reshape(m, 1)
+            n_col = lens.reshape(m, 1)
+            bits = (cnts > 0) & (sums * n_col >= totals * cnts)
+            pw = np.int64(1) << (31 - np.arange(32, dtype=np.int64))
+            hi = (bits[:, :32] * pw).sum(axis=1)
+            lo = (bits[:, 32:] * pw).sum(axis=1)
+            # empty rasters fall out naturally: no elements -> all bits 0
+            # -> "0" * 16, the same all-zero hash as before
+            hashes = [f"{a:08X}{b:08X}" for a, b in zip(hi, lo)]
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     prepared = df.select(

@@ -53,13 +53,20 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # label init FOLDS the first propagation round (r16 optimization):
+    # round 1 of the old spelling always computed least(node, min(v))
+    # from comp = node, paying one checkpoint job + one probe job to get
+    # there. The same groupBy that used to dedup the node universe now
+    # aggregates min(v) directly — identical fixed point, identical
+    # labels, one fewer round for every clique-shaped dup graph (the
+    # common near-dup case converges on the NEXT round's no-change probe)
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("__mnv"))
+        .select("node", F.least("node", "__mnv").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("node"))
