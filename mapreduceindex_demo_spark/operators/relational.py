@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +133,7 @@ def with_global_rank(
     rank_col: str = "rank",
     total_col: str | None = None,
     num_buckets: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Global 1-based row number over a total order WITHOUT a
     single-partition window (the r1-judge-flagged scale killer).
@@ -164,7 +166,20 @@ def with_global_rank(
     spark = df.sparkSession
     n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key0 = order_by[0]
+    # persist the proxied input (r16, the house multi-reader rule): THREE
+    # consumers read it — the approxQuantile sampling pass (which fills the
+    # cache), the per-bucket rank window, and the per-bucket counts
+    # aggregate. Unpersisted, the rank and counts sides each re-instantiated
+    # the caller's full subtree (for mapindex_collated_scan that is a second
+    # parquet scan AND a second ArrowEvalPython collation-encode pass —
+    # plan-visible as two identical UDF subtrees, the guide-§4.4 shape;
+    # measured 3.86 → 2.63 s cold at sf0.1). ``persist_input=False`` is for
+    # callers whose input is a cheap narrow scan, where the cache write
+    # costs more than the saved re-scan (order_quartiles measured +13%
+    # WITH the persist).
     proxied = df.withColumn("__proxy", _rank_proxy(df, key0))
+    if persist_input:
+        proxied = proxied.persist(StorageLevel.MEMORY_ONLY)
     qs = [i / n for i in range(1, n)]
     bounds = sorted(set(proxied.approxQuantile("__proxy", qs, 0.0001)))
     bucket = F.lit(0)

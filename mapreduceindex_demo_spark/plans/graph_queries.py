@@ -349,19 +349,36 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         )
 
+    # r16 optimization: the peel runs EAGERLY, one count per round — the
+    # count IS the round's persist-materialization job, so no extra pass —
+    # and stops building new rounds at the fixpoint. The peel is a pure
+    # FILTER of a monotone-shrinking edge set, so an unchanged count
+    # proves set equality, and every remaining round's stats row is served
+    # from the SAME cached frame (free InMemoryTableScan reads) instead of
+    # re-running the degree groupBy + two semi-joins on an edge set that
+    # cannot change. The trade graph converges by round 2 at every test
+    # SF, so this removes half the rounds' work; the served trajectory is
+    # bit-identical (the fixpoint rows equal their predecessor, which is
+    # exactly what the oracle's unrolled rounds produce).
     out = stats(edges, 0)
+    prev_n = edges.count()  # materializes the persisted base edge set
+    converged = False
     for r in range(1, _KCORE_ROUNDS + 1):
-        survivors = (
-            edges.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= _KCORE_K)
-            .select("u")
-        )
-        edges = (
-            edges.join(survivors, "u", "left_semi")
-            .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
-            .persist(StorageLevel.MEMORY_ONLY)
-        )
+        if not converged:
+            survivors = (
+                edges.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= _KCORE_K)
+                .select("u")
+            )
+            edges = (
+                edges.join(survivors, "u", "left_semi")
+                .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
+                .persist(StorageLevel.MEMORY_ONLY)
+            )
+            n = edges.count()  # materializes this round's cache
+            converged = n == prev_n
+            prev_n = n
         out = out.unionAll(stats(edges, r))
     return out.orderBy("round")
 

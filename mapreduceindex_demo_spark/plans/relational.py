@@ -941,7 +941,15 @@ def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey), matching the oracle's window semantics bit-for-bit."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     ranked = with_global_rank(
-        o, ["o_totalprice", "o_orderkey"], rank_col="__r", total_col="__n"
+        o,
+        ["o_totalprice", "o_orderkey"],
+        rank_col="__r",
+        total_col="__n",
+        # the input is a 3-column parquet scan: re-scanning it twice is
+        # cheaper than caching it (r16 A/B: 1.00 s unpersisted vs 1.13 s
+        # persisted cold at sf0.1) — the persist is for UDF-backed inputs
+        # like mapindex_collated_scan's collation encode
+        persist_input=False,
     )
     return ranked.select(
         "o_orderkey",
