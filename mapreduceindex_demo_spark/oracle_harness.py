@@ -155,8 +155,15 @@ def spark_bigram_sql(w: str) -> str:
     array). Shared by the PMI, bigram-logprob, and CCNet queries (r13
     review: three verbatim copies had accreted) so an edge-case fix can
     never silently miss one."""
+    # ``w`` is bound ONCE per row as a lambda variable (r16): every caller
+    # passes an expression like split(text, ' '), and higher-order
+    # functions are interpreted without loop-invariant hoisting, so the
+    # unbound spelling re-ran the split for BOTH element_at calls of EVERY
+    # bigram (measured 11x on the setsim shingle twin of this pattern).
+    # transform(array(e), w0 -> body)[0] == body with w0 := e, exactly.
     return (
-        f"CASE WHEN size({w}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({w}) - 1), "
-        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) END"
+        f"transform(array({w}), w0 -> "
+        f"CASE WHEN size(w0) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(w0) - 1), "
+        f"i -> concat(element_at(w0, i), ' ', element_at(w0, i + 1))) END)[0]"
     )

@@ -2014,16 +2014,19 @@ def q_text_good_turing_smoothing(
     LM surface; this extends the LLM-pipeline text family beyond
     reference parity."""
     d = _t(spark, sf_dir, "documents")
-    ws = "split(text, ' ')"
+    # split bound once per row as a lambda variable (r16 — the
+    # spark_bigram_sql/_ngrams_expr fix: unbound, the split re-ran per
+    # element_at of every trigram)
     vocab = (
         d.select(
             F.explode(
                 F.expr(
-                    f"CASE WHEN size({ws}) < 3 THEN array() "
-                    f"ELSE transform(sequence(1, size({ws}) - 2),"
-                    f" i -> concat_ws(' ', element_at({ws}, i),"
-                    f" element_at({ws}, i + 1), element_at({ws}, i + 2)))"
-                    " END"
+                    "transform(array(split(text, ' ')), w0 -> "
+                    "CASE WHEN size(w0) < 3 THEN array() "
+                    "ELSE transform(sequence(1, size(w0) - 2),"
+                    " i -> concat_ws(' ', element_at(w0, i),"
+                    " element_at(w0, i + 1), element_at(w0, i + 2)))"
+                    " END)[0]"
                 )
             ).alias("term")
         )
@@ -2157,12 +2160,14 @@ def q_dedup_onion_chunk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                f"CASE WHEN size(split(text, ' ')) >= {_ON_CHUNK} THEN"
-                f" transform(sequence(1, size(split(text, ' '))"
-                f" div {_ON_CHUNK}),"
-                f" k -> md5(array_join(slice(split(text, ' '),"
+                # split bound once per row (r16 — the spark_bigram_sql
+                # fix: unbound, the split re-ran per chunk slice)
+                "transform(array(split(text, ' ')), w0 -> "
+                f"CASE WHEN size(w0) >= {_ON_CHUNK} THEN"
+                f" transform(sequence(1, size(w0) div {_ON_CHUNK}),"
+                f" k -> md5(array_join(slice(w0,"
                 f" (k - 1) * {_ON_CHUNK} + 1, {_ON_CHUNK}), ' ')))"
-                " ELSE array() END"
+                " ELSE array() END)[0]"
             )
         ).alias("h"),
     ).persist(StorageLevel.MEMORY_ONLY)

@@ -622,14 +622,16 @@ def q_text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword surface; this extends the LLM-pipeline text family beyond
     reference parity."""
     d = load_table(spark, sf_dir, "documents")
-    ws = "split(text, ' ')"
+    # split bound once per row (r16 — the spark_bigram_sql fix: unbound,
+    # the split re-ran per element_at of every adjacent pair)
     bp = d.select(
         F.explode(
             F.expr(
-                f"CASE WHEN size({ws}) < 2 THEN array() "
-                f"ELSE transform(sequence(1, size({ws}) - 1),"
-                f" i -> struct(element_at({ws}, i) AS t1,"
-                f" element_at({ws}, i + 1) AS t2)) END"
+                "transform(array(split(text, ' ')), w0 -> "
+                "CASE WHEN size(w0) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(w0) - 1),"
+                " i -> struct(element_at(w0, i) AS t1,"
+                " element_at(w0, i + 1) AS t2)) END)[0]"
             )
         ).alias("p")
     ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
