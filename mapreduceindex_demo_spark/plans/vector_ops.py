@@ -250,7 +250,14 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.lit(step).alias("step"), "vec_id", "score")
         )
-        sel = sel.unionByName(pick)
+        # persist each step's selection (r16): every later step references
+        # ``sel`` TWICE (the anti-join and the picked-set join), so the
+        # unpersisted chain doubled its subtree count per step — 2^(k-1)
+        # physical instantiations of the early stages (plan-visible as ~80
+        # exchanges for k=5). The cached frame is <= k rows; with it each
+        # step materializes once and the chain is linear in k. Still zero
+        # driver collects — the greedy chain remains one lazy plan.
+        sel = sel.unionByName(pick).persist(StorageLevel.MEMORY_ONLY)
     return sel
 
 
