@@ -436,13 +436,13 @@ def test_snm_multipass_matches_python(spark):
 
 
 def test_snm_multipass_plan_shape(spark):
-    """Machine-checked scale claims for the multipass: the only exchanges
-    beyond the three pass subtrees carry MATCHED pairs (the
+    """Machine-checked scale claims for the multipass (r16 fused
+    spelling): the three passes run through ONE pass_id-partitioned
+    kernel instance (the posexplode of the sort-key array is the fusion
+    signature), the only exchanges beyond it carry MATCHED pairs (the
     (nation, ka, kb) distincts), nothing shuffle-joins or crosses, and
-    the later passes really sort under reverse(name) / the encoded
-    account balance — i.e. Spark's canonicalized-plan cache did NOT
-    silently unify the passes (each pass frame is its own
-    InMemoryRelation)."""
+    the later passes' sort keys really enter the exploded array —
+    reverse(name) and the lpad cents encoding both appear in the plan."""
     df = QUERIES["er_snm_multipass"].fn(spark, PARITY_SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -452,6 +452,10 @@ def test_snm_multipass_plan_shape(spark):
     assert re.search(
         r"hashpartitioning\(c_nationkey#\d+, ka#\d+L, kb#\d+L", plan
     ), "matched-pair distinct exchange missing"
+    # the fusion signature: ONE kernel, pass_id-partitioned — the pass
+    # sort keys live inside a single posexplode'd array
+    assert "posexplode(" in plan, "fused pass explode missing"
+    assert "pass_id" in plan, "pass_id partition key missing"
     assert "reverse(" in plan, "pass-2 sort key missing from the plan"
     # the pass-3 EXPRESSION, not the bare column name (c_acctbal appears
     # in the scan regardless): the lpad of the cents encoding proves the
