@@ -42,14 +42,24 @@ def connected_components(
     # the edge list is re-joined EVERY round: checkpoint it once so the
     # caller's (possibly expensive) edge-producing lineage — e.g. the LSH
     # signature pipeline — is evaluated exactly once, not once per round
-    # (+ once per convergence probe). NB localCheckpoint is EXECUTOR-LOCAL
-    # block storage (lineage is truncated, so the data does not survive
-    # executor loss); a production cluster with preemptible executors
-    # would use checkpoint() to reliable storage here, same as for the
-    # per-round truncation below.
+    # (+ once per convergence probe). Symmetrization is a ONE-pass explode
+    # (r17): the previous union-of-two-selects instantiated the caller's
+    # edge lineage TWICE inside this checkpoint job — the banded pair
+    # joins behind the ahash/minhash consumers ran once per union branch.
+    # NB localCheckpoint is EXECUTOR-LOCAL block storage (lineage is
+    # truncated, so the data does not survive executor loss); a production
+    # cluster with preemptible executors would use checkpoint() to
+    # reliable storage here, same as for the per-round truncation below.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -66,31 +76,53 @@ def connected_components(
         .select("node", F.least("node", "__mnv").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter - 1):
-        nbr = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
+    # self-loop rows (one per node, tagged own=true) make each round a
+    # SINGLE join + ONE aggregate that references the previous labels
+    # exactly once (r17): new(u) = min over {own label} ∪ {neighbor
+    # labels} rides min(comp), and the monotone change flag rides
+    # min(comp) < min(comp where own) in the SAME groupBy — the old
+    # spelling's second (|V|⋈|V| left) join per round is gone. Single
+    # reference also makes chaining rounds inside one checkpoint LINEAR
+    # in plan size, enabling the stride-2 loop below. adj is a union of
+    # two already-checkpointed scans — cheap to re-evaluate per round,
+    # no third checkpoint needed. The node universe is fixed across
+    # rounds, so the self-loop frame built from the INIT labels stays
+    # valid for every round.
+    adj = sym.select("u", "v", F.lit(False).alias("own")).union(
+        labels.select(
+            F.col("node").alias("u"), F.col("node").alias("v"),
+            F.lit(True).alias("own"),
         )
-        # the round's checkpointed frame carries its own change flag
-        # (r16 optimization): min-label is monotone decreasing, so a
-        # label changed iff a neighbor's label was strictly smaller —
-        # the convergence probe becomes a filter over the already
-        # materialized checkpoint blocks instead of the previous
-        # spelling's per-round |V|⋈|V| rejoin of new against old labels
-        new = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias(
-                    "chg"
-                ),
+    )
+    rounds_done = 1  # the folded init counts as propagation round 1
+    while rounds_done < max_iter:
+        # stride-2 (r17): two propagation rounds share one eager
+        # checkpoint and one convergence probe — at most one wasted |E|
+        # join when the diameter parity is unlucky, against HALF the
+        # per-round scheduler constants (eager checkpoint jobs + probe
+        # jobs), which dominate the near-dup clique graphs this serves.
+        # Correct because min-label is monotone: "step 2 changed
+        # nothing" alone proves the fixed point, whatever step 1 did.
+        steps = min(2, max_iter - rounds_done)
+        cur = labels
+        for _ in range(steps):
+            j = adj.join(cur, adj["v"] == cur["node"])
+            cur = (
+                j.groupBy(adj["u"].alias("node"))
+                .agg(
+                    F.min("comp").alias("__newc"),
+                    F.min(F.when(F.col("own"), F.col("comp"))).alias(
+                        "__oldc"
+                    ),
+                )
+                .select(
+                    "node",
+                    F.col("__newc").alias("comp"),
+                    (F.col("__newc") < F.col("__oldc")).alias("chg"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+        new = cur.localCheckpoint(eager=True)
+        rounds_done += steps
         changed = new.where("chg").limit(1).count()
         labels = new.select("node", "comp")
         if changed == 0:
@@ -223,14 +255,29 @@ def pagerank(
     before calling.
     """
     # checkpoint the symmetrized list FIRST (the connected_components
-    # pattern): `edges` appears twice in the union and would otherwise
-    # also be re-instantiated under the out-weight aggregate — four
-    # evaluations of the caller's (possibly expensive) edge derivation.
-    # After this point everything derives from the checkpointed RDD and
-    # the derivation has run exactly once.
+    # pattern), and symmetrize with a ONE-pass explode (r17): the union
+    # spelling instantiated the caller's (possibly expensive) edge
+    # derivation once per branch inside this checkpoint job. After this
+    # point everything derives from the checkpointed RDD and the
+    # derivation has run exactly once.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"),
+                        F.col(dst).alias("v"),
+                        F.col(weight).alias("w"),
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"),
+                        F.col(src).alias("v"),
+                        F.col(weight).alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v", "e.w")
         .localCheckpoint(eager=True)
     )
     outw = sym.groupBy("u").agg(F.sum("w").alias("outw"))
