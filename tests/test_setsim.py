@@ -132,6 +132,33 @@ def test_setsim_plan_is_all_equi_joins(spark):
     assert len(re.findall(r"\bGenerate\b", plan)) <= 4, plan
 
 
+def test_setsim_hashed_verify_equals_string_fallback(spark, monkeypatch):
+    """The r17 hashed-long verification arrays must return row-identical
+    results to the exact string-array fallback, and the injectivity
+    guard must actually choose the hashed path on the testdata corpus."""
+    import mapreduceindex_demo_spark.plans.setsim as SS
+
+    seen = {}
+    real = SS._xxhash64_injective_over
+
+    def spy(docfreq):
+        seen["ok"] = real(docfreq)
+        return seen["ok"]
+
+    monkeypatch.setattr(SS, "_xxhash64_injective_over", spy)
+    hashed = sorted(
+        map(tuple, QUERIES["dedup_setsim_prefix_join"].fn(spark, PARITY_SF_DIR).collect())
+    )
+    assert seen["ok"] is True  # the guard picked the hashed path
+    spark.catalog.clearCache()
+    monkeypatch.setattr(SS, "_xxhash64_injective_over", lambda df: False)
+    fallback = sorted(
+        map(tuple, QUERIES["dedup_setsim_prefix_join"].fn(spark, PARITY_SF_DIR).collect())
+    )
+    spark.catalog.clearCache()
+    assert hashed == fallback and len(hashed) >= 10
+
+
 def _py_levenshtein(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
