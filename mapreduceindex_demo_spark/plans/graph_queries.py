@@ -342,35 +342,49 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_ONLY)
     )
 
-    def stats(e, r):
-        return e.agg(
+    # r17: per-round stats come from a degree table (one groupBy over the
+    # round's CACHED edge set) instead of a separate countDistinct over
+    # it. n_nodes(e_r) is the degree table's row count and n_edges(e_r)
+    # is sum(degree)/2. The old spelling paid a 2-exchange countDistinct
+    # expand over the corpus-sized cached edge set once per served round
+    # — that work was the entire counted-vs-forced gap on this flag
+    # (forced 1.41 s vs counted 0.82 s at sf0.1: Catalyst prunes an
+    # ungrouped aggregate's expressions under count(), so only the
+    # forced path executed it). The degree frame is deliberately NOT
+    # persisted: under count() the stats reader is pruned away entirely
+    # (one reader left — a persist is pure cache-fill overhead, measured
+    # +0.7 s counted), and under forcing the second evaluation is one
+    # exchange over an InMemoryTableScan, still cheaper than the expand
+    # it replaces.
+    def stats(deg, r):
+        return deg.agg(
             F.lit(r).alias("round"),
-            F.countDistinct("u").cast("long").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum("c") / 2).cast("long").alias("n_edges"),
         )
+
+    def degree(e):
+        return e.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
 
     # r16 optimization: the peel runs EAGERLY, one count per round — the
     # count IS the round's persist-materialization job, so no extra pass —
     # and stops building new rounds at the fixpoint. The peel is a pure
     # FILTER of a monotone-shrinking edge set, so an unchanged count
     # proves set equality, and every remaining round's stats row is served
-    # from the SAME cached frame (free InMemoryTableScan reads) instead of
-    # re-running the degree groupBy + two semi-joins on an edge set that
-    # cannot change. The trade graph converges by round 2 at every test
-    # SF, so this removes half the rounds' work; the served trajectory is
-    # bit-identical (the fixpoint rows equal their predecessor, which is
-    # exactly what the oracle's unrolled rounds produce).
-    out = stats(edges, 0)
+    # from the SAME cached frames (free InMemoryTableScan reads) instead
+    # of re-running the degree groupBy + two semi-joins on an edge set
+    # that cannot change. The trade graph converges by round 2 at every
+    # test SF, so this removes half the rounds' work; the served
+    # trajectory is bit-identical (the fixpoint rows equal their
+    # predecessor, which is exactly what the oracle's unrolled rounds
+    # produce).
+    deg = degree(edges)
+    out = stats(deg, 0)
     prev_n = edges.count()  # materializes the persisted base edge set
     converged = False
     for r in range(1, _KCORE_ROUNDS + 1):
         if not converged:
-            survivors = (
-                edges.groupBy("u")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .where(F.col("c") >= _KCORE_K)
-                .select("u")
-            )
+            survivors = deg.where(F.col("c") >= _KCORE_K).select("u")
             edges = (
                 edges.join(survivors, "u", "left_semi")
                 .join(survivors.select(F.col("u").alias("v")), "v", "left_semi")
@@ -379,7 +393,8 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = edges.count()  # materializes this round's cache
             converged = n == prev_n
             prev_n = n
-        out = out.unionAll(stats(edges, r))
+            deg = degree(edges)
+        out = out.unionAll(stats(deg, r))
     return out.orderBy("round")
 
 

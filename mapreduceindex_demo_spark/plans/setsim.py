@@ -132,7 +132,14 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select(
         "doc_id", F.explode(F.array_distinct(D.shingles())).alias("gram")
     ).persist(StorageLevel.MEMORY_ONLY)
-    docfreq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # vocab-sized, TWO readers since r17 (the injectivity probe below and
+    # the sg join) — persist per the house multi-reader rule (measured
+    # −0.15 s: the probe job fills it, the sg build reads it)
+    docfreq = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     # r17: verification intersects LONG arrays instead of ~20-byte string
     # arrays when xxhash64 is injective over THIS corpus's vocabulary —
     # measured −45% end-to-end at sf0.1 (3.9 → 2.1 s median: the per-pair
@@ -184,7 +191,15 @@ def q_dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "sz", (F.col("p") + 1).alias("rk"), F.col("s.gram").alias("gram")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # r17: the candidate self-join is hinted SHUFFLE_HASH (guide-§3.1
+    # deliberate strategy pick, measured −0.5 s at sf0.1: the sort-merge
+    # default sorted both exploded prefix sides by gram before joining).
+    # Scale-safe by the prefix principle itself: prefixes keep each
+    # document's RAREST grams, so the build side's per-partition posting
+    # mass is bounded — the df-heavy grams that would make a hash build
+    # skew-hazardous never enter any prefix; AQE skew splitting applies
+    # to shuffled-hash joins as well.
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
     # sizes and ranks travel WITH the candidate pair (both functionally
     # dependent on (doc_id, gram)), enabling TWO lossless prunes in the
     # join predicate:
